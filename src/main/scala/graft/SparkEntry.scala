@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.RelationalQueries
+import graft.operators.{MwasQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def registry
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    RelationalQueries.all
+    RelationalQueries.all ++ MwasQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

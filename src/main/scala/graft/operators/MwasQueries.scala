@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.StatFunctions.{log2FoldChange, rpm}
+import graft.functions.WelchTTest.welch_t
+import graft.stats.{Obs, PermutationTest}
+
+/** MWAS-shaped statistical queries over the testdata (SURVEY §2.1 Q22/Q23).
+  *
+  * The reference's hypothesis-test loop (main/mwas_general.py:344-449) maps
+  * to: conditional aggregates → sufficient statistics → scalar Welch
+  * expression. The whole contrast is ONE shuffle (the groupBy); no
+  * per-group driver loops, which is what makes the same plan viable at
+  * 100 TB.
+  */
+object MwasQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Q22 — the `process_bioproject` shape: normalize + two-level aggregate
+    * (reference main/mwas_general.py:470-518). */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val rpmDf = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("grp"), col("l_suppkey").as("biosample"))
+      .agg((sum("l_quantity") / greatest(sum("l_extendedprice"), lit(1.0)) *
+        lit(1e6)).as("rpm"))
+    rpmDf.groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg("rpm").as("mean_rpm"),
+        stddev_pop(col("rpm")).as("sd_rpm"))
+      .orderBy(col("grp"))
+      .limit(100)
+  }
+
+  val q22Sql: String =
+    """WITH rpm AS (
+      |  SELECT o_custkey AS grp, l_suppkey AS biosample,
+      |    sum(l_quantity)/greatest(sum(l_extendedprice),1)*1e6 AS rpm
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY o_custkey, l_suppkey)
+      |SELECT grp, count(*) AS n, avg(rpm) AS mean_rpm,
+      |  stddev_pop(rpm) AS sd_rpm
+      |FROM rpm GROUP BY grp ORDER BY grp LIMIT 100""".stripMargin
+
+  /** Q23 — the MWAS contrast: true/false partition of l_quantity by
+    * `l_returnflag = 'R'` per (l_suppkey % 50) bucket, Welch t from
+    * sufficient statistics (reference main/mwas_general.py:374-412).
+    * The DuckDB oracle computes the identical closed form from
+    * avg/stddev_samp/count, so t and df hash-match; the t-CDF p-value has no
+    * SQL equivalent and lives in q23_full (rows-only). */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    welchContrast(s, dir).select(
+      col("bucket"), col("n_t"), col("n_f"), col("m_t"), col("m_f"),
+      col("w.t").as("t"), col("w.df").as("df"))
+      .orderBy(col("bucket"))
+
+  private def welchContrast(s: SparkSession, dir: String): DataFrame = {
+    val flag = col("l_returnflag") === "R"
+    t(s, dir, "lineitem")
+      .groupBy((col("l_suppkey") % 50).as("bucket"))
+      .agg(
+        count(when(flag, 1)).as("n_t"),
+        count(when(!flag, 1)).as("n_f"),
+        avg(when(flag, col("l_quantity"))).as("m_t"),
+        avg(when(!flag, col("l_quantity"))).as("m_f"),
+        stddev_samp(when(flag, col("l_quantity"))).as("s_t"),
+        stddev_samp(when(!flag, col("l_quantity"))).as("s_f"))
+      .withColumn("w", welch_t(col("m_t"), col("s_t"), col("n_t").cast("double"),
+        col("m_f"), col("s_f"), col("n_f").cast("double")))
+  }
+
+  val q23Sql: String =
+    """WITH s AS (
+      |  SELECT l_suppkey % 50 AS bucket,
+      |    count(*) FILTER (WHERE l_returnflag = 'R') AS n_t,
+      |    count(*) FILTER (WHERE l_returnflag <> 'R') AS n_f,
+      |    avg(l_quantity) FILTER (WHERE l_returnflag = 'R') AS m_t,
+      |    avg(l_quantity) FILTER (WHERE l_returnflag <> 'R') AS m_f,
+      |    stddev_samp(l_quantity) FILTER (WHERE l_returnflag = 'R') AS s_t,
+      |    stddev_samp(l_quantity) FILTER (WHERE l_returnflag <> 'R') AS s_f
+      |  FROM lineitem GROUP BY 1)
+      |SELECT bucket, n_t, n_f, m_t, m_f,
+      |  (m_t - m_f) / sqrt(s_t*s_t/n_t + s_f*s_f/n_f) AS t,
+      |  pow(s_t*s_t/n_t + s_f*s_f/n_f, 2) /
+      |    (pow(s_t*s_t/n_t, 2)/(n_t-1) + pow(s_f*s_f/n_f, 2)/(n_f-1)) AS df
+      |FROM s ORDER BY bucket""".stripMargin
+
+  /** Q23 full — adds the t-CDF p-value and the reference's log2 fold change
+    * sentinels (main/mwas_general.py:325-336). Rows-only check (no SQL t-CDF);
+    * the t/df columns are already oracled by q23. */
+  def q23Full(s: SparkSession, dir: String): DataFrame =
+    welchContrast(s, dir).select(
+      col("bucket"), col("n_t"), col("n_f"),
+      col("w.t").as("t"), col("w.df").as("df"), col("w.p").as("p"),
+      log2FoldChange(col("m_t"), col("m_f")).as("log2_fc"))
+      .orderBy(col("bucket"))
+
+  /** Permutation test over small contrast groups (reference routes big
+    * groups to permutation with 10k resamples, main/mwas_general.py:404-419;
+    * here group sizes ~10 keep the EXACT-enumeration path deterministic).
+    * Rows-only (no SQL equivalent); PermutationTestSpec brute-forces the
+    * oracle in Scala. */
+  def q23Perm(s: SparkSession, dir: String): DataFrame = {
+    val permUdaf = udaf(new PermutationTest(), Encoders.product[Obs])
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 40)
+      .select(col("o_custkey"), col("o_totalprice").as("value"),
+        (col("o_orderpriority") === "1-URGENT").as("isTrue"))
+      .groupBy(col("o_custkey"))
+      .agg(permUdaf(col("value"), col("isTrue")).as("r"))
+      .select(col("o_custkey"), col("r.statistic").as("stat"),
+        col("r.p_value").as("p"), col("r.method").as("method"),
+        col("r.n_true").as("n_true"), col("r.n_false").as("n_false"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("q22_mwas_rpm", q22 _, Some(q22Sql)),
+      ("q23_welch", q23 _, Some(q23Sql)),
+      ("q23_welch_full", q23Full _, None),
+      ("q23_permutation", q23Perm _, None))
+}

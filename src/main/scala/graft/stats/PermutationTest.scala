@@ -1,0 +1,164 @@
+package graft.stats
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Input sample: one observation + which side of the contrast it belongs to. */
+case class Obs(value: Double, isTrue: Boolean)
+
+/** Aggregation buffer: raw observations per side. Bounded by contrast group
+  * size, NOT dataset size — the caller must route only small groups here
+  * (the reference does the same: permutation only when min side >= 4,
+  * main/mwas_general.py:404-419). `maxSide` is a hard guard against
+  * accidentally collecting an unbounded vector on a skewed key. */
+case class PermBuffer(t: ArrayBuffer[Double], f: ArrayBuffer[Double])
+
+case class PermResult(statistic: Double, p_value: Double, method: String,
+    n_true: Long, n_false: Long)
+
+/** Two-sample permutation test on the difference of means, as a typed Spark
+  * `Aggregator` (register with `functions.udaf`).
+  *
+  * Re-expresses the reference's scipy call
+  * (`permutation_test(..., statistic=mean_diff, n_resamples=10000,
+  * vectorized=True)`, main/mwas_general.py:413-419) Spark-natively:
+  *
+  *   - EXACT enumeration of all C(n, k) label assignments when that count is
+  *     <= `exactCutoff` — deterministic and engine-independent (the reference
+  *     explored the same cutoff idea, main/tests/permutation_test.py:25-78);
+  *   - otherwise `resamples` Monte-Carlo permutations from an RNG seeded by
+  *     the data content (order-independent), so results are reproducible
+  *     across runs/partitionings — scipy's global RNG is not, which is why
+  *     parity with the reference is statistical, not bitwise (SURVEY §7.4.1).
+  *
+  * Two-sided p-value; the Monte-Carlo path uses the (hits+1)/(N+1)
+  * correction, matching scipy's randomized estimator.
+  */
+class PermutationTest(resamples: Int = 10000, exactCutoff: Long = 20000,
+    maxSide: Int = 1 << 20)
+    extends Aggregator[Obs, PermBuffer, PermResult] {
+
+  override def zero: PermBuffer = PermBuffer(ArrayBuffer.empty, ArrayBuffer.empty)
+
+  override def reduce(b: PermBuffer, a: Obs): PermBuffer = {
+    val side = if (a.isTrue) b.t else b.f
+    if (side.length < maxSide) side += a.value
+    b
+  }
+
+  override def merge(b1: PermBuffer, b2: PermBuffer): PermBuffer = {
+    b1.t ++= b2.t.take(maxSide - b1.t.length)
+    b1.f ++= b2.f.take(maxSide - b1.f.length)
+    b1
+  }
+
+  override def finish(b: PermBuffer): PermResult = {
+    val x = b.t.toArray
+    val y = b.f.toArray
+    PermutationTest.test(x, y, resamples, exactCutoff)
+  }
+
+  override def bufferEncoder: Encoder[PermBuffer] = Encoders.product[PermBuffer]
+  override def outputEncoder: Encoder[PermResult] = Encoders.product[PermResult]
+}
+
+object PermutationTest {
+
+  private def mean(a: Array[Double], from: Int, until: Int): Double = {
+    var s = 0.0; var i = from
+    while (i < until) { s += a(i); i += 1 }
+    s / (until - from)
+  }
+
+  /** C(n, k) with overflow clamp. */
+  def choose(n: Int, k: Int): Long = {
+    val kk = math.min(k, n - k)
+    var r = 1L
+    var i = 1
+    while (i <= kk) {
+      r = r * (n - kk + i) / i
+      if (r < 0 || r > (1L << 56)) return Long.MaxValue
+      i += 1
+    }
+    r
+  }
+
+  def test(x: Array[Double], y: Array[Double], resamples: Int,
+      exactCutoff: Long): PermResult = {
+    val nx = x.length
+    val ny = y.length
+    if (nx < 2 || ny < 2) {
+      return PermResult(Double.NaN, Double.NaN, "insufficient", nx, ny)
+    }
+    val pooled = new Array[Double](nx + ny)
+    System.arraycopy(x, 0, pooled, 0, nx)
+    System.arraycopy(y, 0, pooled, nx, ny)
+    val obs = mean(x, 0, nx) - mean(y, 0, ny)
+    val total = pooled.sum
+    val n = pooled.length
+    // p(side-of-size-nx assignment) from the sum of the chosen side alone:
+    // meanDiff = s/nx - (total-s)/ny, so only the chosen side's sum matters.
+    def diffFromSum(s: Double): Double = s / nx - (total - s) / ny
+    val eps = 1e-12 * math.max(1.0, math.abs(obs))
+    val absObs = math.abs(obs)
+
+    if (choose(n, nx) <= exactCutoff) {
+      // exact: enumerate every C(n, nx) choice of the x-side via Gosper-less
+      // lexicographic combination walk over indices.
+      val idx = Array.range(0, nx)
+      var hits = 0L
+      var count = 0L
+      var done = false
+      while (!done) {
+        var s = 0.0
+        var i = 0
+        while (i < nx) { s += pooled(idx(i)); i += 1 }
+        if (math.abs(diffFromSum(s)) >= absObs - eps) hits += 1
+        count += 1
+        // next combination
+        var j = nx - 1
+        while (j >= 0 && idx(j) == n - nx + j) j -= 1
+        if (j < 0) done = true
+        else {
+          idx(j) += 1
+          var m = j + 1
+          while (m < nx) { idx(m) = idx(m - 1) + 1; m += 1 }
+        }
+      }
+      PermResult(obs, hits.toDouble / count, "permutation_exact", nx, ny)
+    } else {
+      // Monte-Carlo: seed from a commutative content hash (Long addition is
+      // order-independent, unlike FP summation) so the result is reproducible
+      // across runs, row orders, and partitionings.
+      var seed = 41L * n + 7L * nx
+      pooled.foreach { v =>
+        seed += java.lang.Double.doubleToLongBits(v) * 0x9E3779B97F4A7C15L
+      }
+      val rng = new java.util.Random(seed)
+      // sort so the resampling stream is independent of input row order
+      // (the statistic depends only on the multiset)
+      val work = pooled.clone()
+      java.util.Arrays.sort(work)
+      var hits = 0L
+      var r = 0
+      while (r < resamples) {
+        // partial Fisher-Yates: first nx entries become the resampled x side
+        var i = 0
+        while (i < nx) {
+          val j = i + rng.nextInt(n - i)
+          val tmp = work(i); work(i) = work(j); work(j) = tmp
+          i += 1
+        }
+        var s = 0.0
+        i = 0
+        while (i < nx) { s += work(i); i += 1 }
+        if (math.abs(diffFromSum(s)) >= absObs - eps) hits += 1
+        r += 1
+      }
+      PermResult(obs, (hits + 1).toDouble / (resamples + 1),
+        "permutation_mc", nx, ny)
+    }
+  }
+}

@@ -2,18 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{MwasQueries, RelationalQueries}
+import graft.operators.{MwasPipelineQueries, MwasQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full MWAS engine: metadata condenser ETL → single-plan pipeline →
+    * the reference's 18-column output. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q3(spark, "/root/testdata/sf0.001")
+    MwasPipelineQueries.pipelineQuery(spark, "/root/testdata/sf0.001")
 
   private def registry
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    RelationalQueries.all ++ MwasQueries.all
+    RelationalQueries.all ++ MwasQueries.all ++ MwasPipelineQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

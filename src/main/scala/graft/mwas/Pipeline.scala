@@ -1,0 +1,185 @@
+package graft.mwas
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions.{log2FoldChange, rpm}
+import graft.functions.WelchTTest.welch_t
+
+/** Pipeline configuration (reference globals, main/mwas_general.py:70-94). */
+case class MwasConfig(
+    groupNonzerosThreshold: Int = 3, // GROUP_NONZEROS_ACCEPTANCE_THRESHOLD :82
+    pValueThreshold: Double = 0.005, // P_VALUE_THRESHOLD :85
+    onlyTTest: Boolean = false, // ONLY_T_TEST :86
+    alreadyNormalized: Boolean = false, // ALREADY_NORMALIZED :84
+    implicitZeros: Boolean = true, // IMPLICIT_ZEROS :81
+    permutationSideCutoff: Int = 4, // min-side size routing :407
+    biosampleListCap: Int = 1000) // truncated listing :428-430
+
+/** The MWAS query engine: the reference's run_on_file + process_bioproject +
+  * process_group call tree (main/mwas_general.py:344-679) collapsed into ONE
+  * lazily-planned DataFrame pipeline — SURVEY.md §3.1.
+  *
+  * Scale design (SURVEY §7.4.4): the reference materializes a dense
+  * biosample×group rpm matrix per bioproject (main/mwas_general.py:477).
+  * Here the zero-fill stays VIRTUAL — per (bioproject, group) we keep only
+  * observed rows plus group-level totals (sum, sum of squares); each side of
+  * a contrast gets its statistics algebraically:
+  *
+  *     n_side     = |side| (from set cardinalities, not from rows)
+  *     sum_side   = sum over observed members (implicit zeros add nothing)
+  *     mean_side  = sum_side / n_side
+  *     var_pop    = sumsq_side / n_side - mean_side²
+  *
+  * so the contrast stage shuffles O(observed nonzeros + |sets|), never
+  * O(biosamples × groups × sets) — the rewrite that makes 100 TB feasible.
+  *
+  * Faithful-mode quirk kept on purpose: the reference feeds POPULATION sd
+  * (np.nanstd, ddof=0; main/mwas_general.py:384-385) into scipy's
+  * `ttest_ind_from_stats`, which expects sample sd. We reproduce exactly
+  * that (SURVEY §7.4.3).
+  */
+object Pipeline {
+
+  /** @param input   (run STRING, group STRING, quantifier DOUBLE) — the
+    *                user CSV (main/mwas_general.py:744-759)
+    * @param catalog (bio_project, bio_sample, run, spots) — the srarun
+    *                catalog slice (main/mwas_general.py:37-54)
+    * @param sets    MetadataCondenser.condense output
+    * @return the reference's 18-column output relation
+    *         (main/mwas_general.py:92-94); runtime/memory instrumentation
+    *         columns are 0 (Spark-side metrics live in the event log, not
+    *         in data rows)
+    */
+  def run(input: DataFrame, catalog: DataFrame, sets: DataFrame,
+      cfg: MwasConfig = MwasConfig()): DataFrame = {
+
+    // ---- stage 1: normalize (J1 outer join + implicit-zero fill, F1 rpm) --
+    // outer join: catalog runs absent from input become quantifier=0 rows
+    // with null group (they densify the biosample universe); input runs
+    // absent from the catalog are dropped (no bioproject to attribute to).
+    val joined = catalog
+      .join(input, Seq("run"), "left_outer")
+      .na.fill(Map("quantifier" -> 0.0))
+    val normalized = joined.withColumn("rpm",
+      if (cfg.alreadyNormalized) col("quantifier")
+      else rpm(col("quantifier"), col("spots")))
+
+    // ---- stage 2: per-biosample mean over replicate runs (A5 :505-518) ----
+    val bsRpm = normalized
+      .filter(col("group").isNotNull)
+      .groupBy(col("bio_project"), col("group"), col("bio_sample"))
+      .agg(avg(col("rpm")).as("rpm"))
+
+    // group acceptance: >= K nonzero biosamples (A4 :485-491)
+    val accepted = bsRpm
+      .groupBy(col("bio_project"), col("group"))
+      .agg(
+        sum(when(col("rpm") =!= 0, 1).otherwise(0)).as("nonzeros"),
+        sum(col("rpm")).as("sum_all"),
+        sum(col("rpm") * col("rpm")).as("sumsq_all"),
+        count(lit(1)).as("n_observed"))
+      .filter(col("nonzeros") >= cfg.groupNonzerosThreshold)
+
+    // biosample universe per bioproject (for implicit zeros + listings)
+    val bpUniverse = catalog
+      .groupBy(col("bio_project"))
+      .agg(sort_array(collect_set(col("bio_sample"))).as("all_biosamples"))
+      .withColumn("n_biosamples_cat", size(col("all_biosamples")))
+
+    // ---- stage 3: contrast statistics, zeros kept virtual ----------------
+    // observed rows joined to STORED-side membership only; the other side's
+    // stats fall out of the group totals by subtraction.
+    val member = sets.select(col("bioproject").as("bio_project"),
+      col("set_id"), explode(col("members")).as("bio_sample"))
+    val storedStats = bsRpm
+      .join(member, Seq("bio_project", "bio_sample"))
+      .groupBy(col("bio_project"), col("group"), col("set_id"))
+      .agg(
+        sum(col("rpm")).as("sum_stored"),
+        sum(col("rpm") * col("rpm")).as("sumsq_stored"))
+
+    val contrasts = sets.select(
+        col("bioproject").as("bio_project"), col("set_id"),
+        col("attributes"), col("values"), col("members"),
+        col("n_stored"), col("include"))
+      .join(accepted, Seq("bio_project"))
+      .join(bpUniverse, Seq("bio_project"))
+      .join(storedStats, Seq("bio_project", "group", "set_id"), "left_outer")
+      .na.fill(Map("sum_stored" -> 0.0, "sumsq_stored" -> 0.0))
+
+    // side assignment by polarity (reference :363-372): stored side is the
+    // true side iff include
+    val nTrue = when(col("include"), col("n_stored"))
+      .otherwise(col("n_biosamples_cat") - col("n_stored"))
+    val nFalse = col("n_biosamples_cat") - nTrue
+    val sumTrue = when(col("include"), col("sum_stored"))
+      .otherwise(col("sum_all") - col("sum_stored"))
+    val sumFalse = col("sum_all") - sumTrue
+    val sumsqTrue = when(col("include"), col("sumsq_stored"))
+      .otherwise(col("sumsq_all") - col("sumsq_stored"))
+    val sumsqFalse = col("sumsq_all") - sumsqTrue
+
+    val withStats = contrasts
+      .withColumn("num_true", nTrue.cast("long"))
+      .withColumn("num_false", nFalse.cast("long"))
+      // guards (:376) — with implicit zeros both sides are full-size
+      .filter(col("num_true") >= 2 && col("num_false") >= 2)
+      .withColumn("mean_rpm_true", sumTrue / col("num_true"))
+      .withColumn("mean_rpm_false", sumFalse / col("num_false"))
+      // population sd (np.nanstd ddof=0, :384-385), clamped for FP noise
+      .withColumn("sd_rpm_true",
+        sqrt(greatest(sumsqTrue / col("num_true") -
+          col("mean_rpm_true") * col("mean_rpm_true"), lit(0.0))))
+      .withColumn("sd_rpm_false",
+        sqrt(greatest(sumsqFalse / col("num_false") -
+          col("mean_rpm_false") * col("mean_rpm_false"), lit(0.0))))
+      // both-zero-means skip (:388)
+      .filter(!(col("mean_rpm_true") === 0 && col("mean_rpm_false") === 0))
+
+    // ---- stage 4: test routing (O14 :404-419) + significance (:424-434) --
+    val isTTest = lit(cfg.onlyTTest) ||
+      least(col("num_true"), col("num_false")) < lit(cfg.permutationSideCutoff)
+    val tested = withStats
+      .withColumn("w", welch_t(
+        col("mean_rpm_true"), col("sd_rpm_true"), col("num_true").cast("double"),
+        col("mean_rpm_false"), col("sd_rpm_false"), col("num_false").cast("double")))
+      .withColumn("test_statistic", col("w.t"))
+      .withColumn("p_value", col("w.p"))
+      .withColumn("fold_change",
+        log2FoldChange(col("mean_rpm_true"), col("mean_rpm_false")))
+      .withColumn("status_base",
+        when(isTTest, lit("t_test")).otherwise(lit("permutation_test")))
+
+    val significant = col("p_value") < cfg.pValueThreshold
+    val trueMembers = when(col("include"), col("members"))
+      .otherwise(array_except(col("all_biosamples"), col("members")))
+    val falseMembers = when(col("include"),
+      array_except(col("all_biosamples"), col("members")))
+      .otherwise(col("members"))
+    val tooMany = lit("too many biosamples to list")
+
+    tested.select(
+      col("bio_project").as("bioproject"),
+      col("group"),
+      // CSV-sanitized labels (F6 :441)
+      regexp_replace(col("attributes"), ",", " ").as("metadata_field"),
+      regexp_replace(col("values"), ",", " ").as("metadata_value"),
+      when(significant, concat(col("status_base"), lit("; significant")))
+        .otherwise(col("status_base")).as("status"),
+      lit(0.0).as("runtime_seconds"),
+      lit(0L).as("memory_usage_bytes"),
+      col("num_true"), col("num_false"),
+      col("mean_rpm_true"), col("mean_rpm_false"),
+      col("sd_rpm_true"), col("sd_rpm_false"),
+      col("fold_change"), col("test_statistic"), col("p_value"),
+      when(!significant, lit(""))
+        .when(col("num_true") < cfg.biosampleListCap,
+          array_join(trueMembers, "; "))
+        .otherwise(tooMany).as("true_biosamples"),
+      when(!significant, lit(""))
+        .when(col("num_false") < cfg.biosampleListCap,
+          array_join(falseMembers, "; "))
+        .otherwise(tooMany).as("false_biosamples"))
+  }
+}

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.etl.MetadataCondenser
+import graft.mwas.{MwasConfig, Pipeline}
+
+/** The full MWAS engine driven by testdata-derived fixtures, so the
+  * end-to-end plan (ETL condenser → pipeline → 18-col output) is exercised
+  * and DuckDB-oracle-checkable on the driver's tables.
+  *
+  * Deterministic mapping (no synthesis, pure projections of testdata):
+  *   catalog:  orders → run 'R<o_orderkey>', bio_sample 'BS<o_custkey>',
+  *             bio_project 'BP<o_custkey % 20>', spots = o_totalprice
+  *   input:    2/3 of runs (o_orderkey % 3 != 0 — the rest densify as
+  *             implicit zeros), group = o_orderpriority,
+  *             quantifier = l_quantity sum per order
+  *   metadata: customer → attributes mktsegment, nation_bucket
+  */
+object MwasPipelineQueries {
+
+  private def catalog(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").select(
+      concat(lit("R"), col("o_orderkey")).as("run"),
+      concat(lit("BS"), col("o_custkey")).as("bio_sample"),
+      concat(lit("BP"), col("o_custkey") % 20).as("bio_project"),
+      col("o_totalprice").as("spots"))
+
+  private def input(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    val qty = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("quantifier"))
+    o.filter(col("o_orderkey") % 3 =!= 0)
+      .join(qty, o("o_orderkey") === qty("l_orderkey"), "left_outer")
+      .na.fill(Map("quantifier" -> 0.0))
+      .select(
+        concat(lit("R"), col("o_orderkey")).as("run"),
+        col("o_orderpriority").as("group"),
+        col("quantifier"))
+  }
+
+  private def metadataLong(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val base = c.select(
+      concat(lit("BP"), col("c_custkey") % 20).as("bioproject"),
+      concat(lit("BS"), col("c_custkey")).as("biosample_id"),
+      col("c_mktsegment").as("mktsegment"),
+      concat(lit("N"), col("c_nationkey") % 5).as("nation_bucket"))
+    MetadataCondenser.melt(base, "bioproject", "biosample_id")
+  }
+
+  /** The condenser alone, DuckDB-oracled (SURVEY §2.8's operator). */
+  def condenseQuery(s: SparkSession, dir: String): DataFrame =
+    MetadataCondenser.condense(metadataLong(s, dir))
+      .select(col("bioproject"), col("attributes"), col("values"),
+        col("members"), col("n_stored").cast("long").as("n_stored"),
+        col("include"), col("n_biosamples").cast("long").as("n_biosamples"))
+      .orderBy(col("bioproject"), col("attributes"), col("values"))
+
+  val condenseSql: String =
+    """WITH long AS (
+      |  SELECT 'BP' || (c_custkey % 20) AS bioproject,
+      |         'BS' || c_custkey AS biosample_id,
+      |         'mktsegment' AS attribute, c_mktsegment AS value
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'BP' || (c_custkey % 20), 'BS' || c_custkey,
+      |         'nation_bucket', 'N' || (c_nationkey % 5)
+      |  FROM customer),
+      |bp AS (SELECT bioproject, count(DISTINCT biosample_id) AS n
+      |       FROM long GROUP BY 1),
+      |attr_ok AS (
+      |  SELECT l.bioproject, l.attribute
+      |  FROM long l JOIN bp ON l.bioproject = bp.bioproject
+      |  GROUP BY 1, 2, bp.n
+      |  HAVING count(DISTINCT l.value) > 1 AND count(DISTINCT l.value) < bp.n),
+      |factors AS (
+      |  SELECT l.bioproject, l.attribute, l.value, bp.n AS n_biosamples,
+      |         list_sort(list(DISTINCT l.biosample_id)) AS members_raw,
+      |         count(DISTINCT l.biosample_id) AS cnt
+      |  FROM long l
+      |  JOIN attr_ok a ON l.bioproject = a.bioproject AND l.attribute = a.attribute
+      |  JOIN bp ON l.bioproject = bp.bioproject
+      |  WHERE l.value IS NOT NULL AND l.value <> 'nan'
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING count(DISTINCT l.biosample_id) > 1),
+      |allbs AS (
+      |  SELECT bioproject, list_sort(list(DISTINCT biosample_id)) AS all_members
+      |  FROM long GROUP BY 1),
+      |stored AS (
+      |  SELECT f.bioproject, f.attribute, f.value,
+      |         f.cnt < f.n_biosamples / 2.0 AS include,
+      |         CASE WHEN f.cnt < f.n_biosamples / 2.0 THEN f.members_raw
+      |              ELSE list_sort(list_filter(a.all_members,
+      |                     m -> NOT list_contains(f.members_raw, m))) END AS members,
+      |         f.n_biosamples
+      |  FROM factors f JOIN allbs a ON f.bioproject = a.bioproject)
+      |SELECT bioproject,
+      |       string_agg(attribute, '; ' ORDER BY attribute, value) AS attributes,
+      |       string_agg(value, '; ' ORDER BY attribute, value) AS "values",
+      |       members, CAST(len(members) AS BIGINT) AS n_stored, include,
+      |       n_biosamples
+      |FROM stored
+      |GROUP BY bioproject, include, members, n_biosamples
+      |ORDER BY bioproject, attributes, "values"""".stripMargin
+
+  /** The flagship: condenser output feeding the single-plan MWAS pipeline.
+    * The Welch/fold-change numeric columns are oracled by mwas_pipeline_sql
+    * below; p_value (t-CDF) has no SQL equivalent so this full version is
+    * rows-only. */
+  def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    val sets = MetadataCondenser.condense(metadataLong(s, dir))
+    Pipeline.run(input(s, dir), catalog(s, dir), sets, MwasConfig())
+      .orderBy(col("bioproject"), col("group"), col("metadata_field"),
+        col("metadata_value"))
+  }
+
+  /** Oracle-checkable slice of the pipeline: everything except the t-CDF
+    * p-value and the p-dependent status/listing columns. */
+  def pipelineStatsQuery(s: SparkSession, dir: String): DataFrame =
+    pipelineQuery(s, dir).select(
+      col("bioproject"), col("group"), col("metadata_field"),
+      col("metadata_value"), col("num_true"), col("num_false"),
+      col("mean_rpm_true"), col("mean_rpm_false"),
+      col("sd_rpm_true"), col("sd_rpm_false"), col("test_statistic"))
+      .orderBy(col("bioproject"), col("group"), col("metadata_field"),
+        col("metadata_value"))
+
+  val pipelineStatsSql: String =
+    """WITH catalog AS (
+      |  SELECT 'R' || o_orderkey AS run, 'BS' || o_custkey AS bio_sample,
+      |         'BP' || (o_custkey % 20) AS bio_project,
+      |         o_totalprice AS spots
+      |  FROM orders),
+      |input AS (
+      |  SELECT 'R' || o_orderkey AS run, o_orderpriority AS grp,
+      |         coalesce(q.quantifier, 0) AS quantifier
+      |  FROM orders o LEFT JOIN (
+      |    SELECT l_orderkey, sum(l_quantity) AS quantifier
+      |    FROM lineitem GROUP BY 1) q ON o.o_orderkey = q.l_orderkey
+      |  WHERE o_orderkey % 3 <> 0),
+      |long AS (
+      |  SELECT 'BP' || (c_custkey % 20) AS bioproject,
+      |         'BS' || c_custkey AS biosample_id,
+      |         'mktsegment' AS attribute, c_mktsegment AS value
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'BP' || (c_custkey % 20), 'BS' || c_custkey,
+      |         'nation_bucket', 'N' || (c_nationkey % 5)
+      |  FROM customer),
+      |bp AS (SELECT bioproject, count(DISTINCT biosample_id) AS n
+      |       FROM long GROUP BY 1),
+      |attr_ok AS (
+      |  SELECT l.bioproject, l.attribute
+      |  FROM long l JOIN bp ON l.bioproject = bp.bioproject
+      |  GROUP BY 1, 2, bp.n
+      |  HAVING count(DISTINCT l.value) > 1 AND count(DISTINCT l.value) < bp.n),
+      |factors AS (
+      |  SELECT l.bioproject, l.attribute, l.value, bp.n AS n_biosamples,
+      |         list_sort(list(DISTINCT l.biosample_id)) AS members_raw,
+      |         count(DISTINCT l.biosample_id) AS cnt
+      |  FROM long l
+      |  JOIN attr_ok a ON l.bioproject = a.bioproject AND l.attribute = a.attribute
+      |  JOIN bp ON l.bioproject = bp.bioproject
+      |  WHERE l.value IS NOT NULL AND l.value <> 'nan'
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING count(DISTINCT l.biosample_id) > 1),
+      |allbs AS (
+      |  SELECT bioproject, list_sort(list(DISTINCT biosample_id)) AS all_members
+      |  FROM long GROUP BY 1),
+      |sets AS (
+      |  SELECT bioproject,
+      |         string_agg(attribute, '; ' ORDER BY attribute, value) AS attributes,
+      |         string_agg(value, '; ' ORDER BY attribute, value) AS vals,
+      |         members, len(members) AS n_stored, include, n_biosamples
+      |  FROM (
+      |    SELECT f.bioproject, f.attribute, f.value,
+      |           f.cnt < f.n_biosamples / 2.0 AS include,
+      |           CASE WHEN f.cnt < f.n_biosamples / 2.0 THEN f.members_raw
+      |                ELSE list_sort(list_filter(a.all_members,
+      |                       m -> NOT list_contains(f.members_raw, m))) END AS members,
+      |           f.n_biosamples
+      |    FROM factors f JOIN allbs a ON f.bioproject = a.bioproject)
+      |  GROUP BY bioproject, include, members, n_biosamples),
+      |bs_rpm AS (
+      |  SELECT c.bio_project, i.grp, c.bio_sample,
+      |         avg(i.quantifier / (CASE WHEN c.spots = 0 THEN 1e6 ELSE c.spots END) * 1e6) AS rpm
+      |  FROM catalog c JOIN input i ON c.run = i.run
+      |  GROUP BY 1, 2, 3),
+      |accepted AS (
+      |  SELECT bio_project, grp,
+      |         sum(CASE WHEN rpm <> 0 THEN 1 ELSE 0 END) AS nonzeros,
+      |         sum(rpm) AS sum_all, sum(rpm * rpm) AS sumsq_all
+      |  FROM bs_rpm GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN rpm <> 0 THEN 1 ELSE 0 END) >= 3),
+      |bp_universe AS (
+      |  SELECT bio_project, count(DISTINCT bio_sample) AS n_cat
+      |  FROM catalog GROUP BY 1),
+      |member AS (
+      |  SELECT s.bioproject, s.attributes, s.vals, u.m AS bio_sample
+      |  FROM sets s, unnest(s.members) AS u(m)),
+      |stored_stats AS (
+      |  SELECT m.bioproject, b.grp, m.attributes, m.vals,
+      |         sum(b.rpm) AS sum_stored, sum(b.rpm * b.rpm) AS sumsq_stored
+      |  FROM bs_rpm b JOIN member m
+      |    ON b.bio_project = m.bioproject AND b.bio_sample = m.bio_sample
+      |  GROUP BY 1, 2, 3, 4),
+      |contrasts AS (
+      |  SELECT s.bioproject, a.grp, s.attributes, s.vals, s.include,
+      |         s.n_stored, u.n_cat, a.sum_all, a.sumsq_all,
+      |         coalesce(st.sum_stored, 0) AS sum_stored,
+      |         coalesce(st.sumsq_stored, 0) AS sumsq_stored
+      |  FROM sets s
+      |  JOIN accepted a ON s.bioproject = a.bio_project
+      |  JOIN bp_universe u ON s.bioproject = u.bio_project
+      |  LEFT JOIN stored_stats st ON st.bioproject = s.bioproject
+      |    AND st.grp = a.grp AND st.attributes = s.attributes AND st.vals = s.vals),
+      |sides AS (
+      |  SELECT bioproject, grp, attributes, vals,
+      |    CAST(CASE WHEN include THEN n_stored ELSE n_cat - n_stored END AS BIGINT) AS num_true,
+      |    CAST(CASE WHEN include THEN n_cat - n_stored ELSE n_stored END AS BIGINT) AS num_false,
+      |    CASE WHEN include THEN sum_stored ELSE sum_all - sum_stored END AS sum_t,
+      |    CASE WHEN include THEN sum_all - sum_stored ELSE sum_stored END AS sum_f,
+      |    CASE WHEN include THEN sumsq_stored ELSE sumsq_all - sumsq_stored END AS sumsq_t,
+      |    CASE WHEN include THEN sumsq_all - sumsq_stored ELSE sumsq_stored END AS sumsq_f
+      |  FROM contrasts),
+      |stats AS (
+      |  SELECT bioproject, grp, attributes, vals, num_true, num_false,
+      |    sum_t / num_true AS mean_t, sum_f / num_false AS mean_f,
+      |    sqrt(greatest(sumsq_t / num_true - (sum_t / num_true) * (sum_t / num_true), 0)) AS sd_t,
+      |    sqrt(greatest(sumsq_f / num_false - (sum_f / num_false) * (sum_f / num_false), 0)) AS sd_f
+      |  FROM sides
+      |  WHERE num_true >= 2 AND num_false >= 2)
+      |SELECT bioproject, grp AS "group",
+      |  replace(attributes, ',', ' ') AS metadata_field,
+      |  replace(vals, ',', ' ') AS metadata_value,
+      |  num_true, num_false,
+      |  mean_t AS mean_rpm_true, mean_f AS mean_rpm_false,
+      |  sd_t AS sd_rpm_true, sd_f AS sd_rpm_false,
+      |  CASE WHEN (sd_t*sd_t/num_true + sd_f*sd_f/num_false) > 0
+      |       THEN (mean_t - mean_f) / sqrt(sd_t*sd_t/num_true + sd_f*sd_f/num_false)
+      |       ELSE NULL END AS test_statistic
+      |FROM stats
+      |WHERE NOT (mean_t = 0 AND mean_f = 0)
+      |ORDER BY bioproject, "group", metadata_field, metadata_value""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("mwas_condense", condenseQuery _, Some(condenseSql)),
+      ("mwas_pipeline_stats", pipelineStatsQuery _, Some(pipelineStatsSql)),
+      ("mwas_pipeline_full", pipelineQuery _, None))
+}

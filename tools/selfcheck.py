@@ -60,7 +60,12 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
-    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+    dirs = sorted(glob.glob(f"{out_dir}/*/"))
+    names = {d.rstrip("/").split("/")[-1] for d in dirs}
+    for missing in sorted(set(oracle) - names):
+        print(f"{missing}: MISSING OUTPUT (query failed in Verify?)")
+        failures += 1
+    for qdir in dirs:
         name = qdir.rstrip("/").split("/")[-1]
         files = glob.glob(f"{qdir}/part-*.parquet") or glob.glob(f"{qdir}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)]) \

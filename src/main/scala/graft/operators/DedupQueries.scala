@@ -1,0 +1,363 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data-pipeline dedup + similarity operators over the `documents`
+  * and `embeddings` tables (BASELINE.json scale100 extensions; SURVEY §7.1
+  * step 9).
+  *
+  * Scale design notes (each operator is judged at 100 TB):
+  *   - exact dedup: one hash-groupBy, map-side partial agg, no driver state.
+  *   - jaccard pairs: blocked self-join (here: `source`) — the all-pairs
+  *     comparison never leaves a block, so the shuffle is O(block²), not
+  *     O(corpus²).
+  *   - MinHash-LSH: signatures are computed per-row (narrow), candidates
+  *     come from a shuffle on (band, band_hash) buckets — the standard
+  *     sub-quadratic near-dup path; exact Jaccard verification only runs on
+  *     bucket-mates.
+  *   - SimHash: 60-bit signature per row; hamming-≤3 candidates via the
+  *     pigeonhole 4-block trick (any pair within distance 3 shares one of 4
+  *     15-bit blocks exactly) — again a bucket shuffle, never all-pairs.
+  *   - embedding NN: brute-force is the correctness baseline; the LSH
+  *     (random-hyperplane) variant is the scale path — bucket-local search.
+  *
+  * All math is chosen to be bit-reproducible in the DuckDB oracle: md5 (not
+  * xxhash) where the oracle must re-derive signatures, double-cast vectors,
+  * round(…,6) on cosines.
+  */
+object DedupQueries {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Word 3-gram shingle set (distinct), 1-based slice. */
+  private val shingles: Column = {
+    val w = split(col("text"), " ")
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", slice(w, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** embeddings with double-cast vector and L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  // ------------------------------------------------- D1: exact (hash) dedup
+
+  /** Exact duplicate groups by content hash; keeps the smallest doc_id as
+    * canonical (A1-style hash-groupBy; no near-dup semantics). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- D2: n-gram (unigram) Jaccard pairs
+
+  /** Word-set Jaccard near-dup pairs within a `source` block. The block is
+    * the scale lever: comparisons never cross blocks. */
+  def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir).select(col("source"), col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    val a = w.select(col("source"), col("doc_id").as("doc_a"), col("w").as("wa"))
+    val b = w.select(col("source"), col("doc_id").as("doc_b"), col("w").as("wb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupJaccardPairsSql: String =
+    """WITH w AS (SELECT doc_id, source,
+      |  list_distinct(string_split(text, ' ')) AS w FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+      |FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.w, b.w))) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------- D3: MinHash + LSH
+
+  /** MinHash(64) → 32 bands × 2 rows → bucket-join candidates → exact
+    * 3-gram-Jaccard verification at 0.7. Miss probability for a true pair at
+    * J=0.7 is (1−0.7²)³² ≈ 6e-10, so the oracle (exhaustive shared-shingle
+    * join) agrees. Sub-quadratic: the only shuffle is on band buckets. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = base.withColumn("sig",
+      transform(sequence(lit(0), lit(63)),
+        k => array_min(transform(col("sh"), g => xxhash64(k, g)))))
+    val banded = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(31)), b => struct(
+          b.as("band"),
+          hash(element_at(col("sig"), b * 2 + 1),
+            element_at(col("sig"), b * 2 + 2)).as("bh")))).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashLshSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
+      |  JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id)
+      |SELECT p.doc_a, p.doc_b,
+      |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+      |FROM pairs p JOIN sh x ON p.doc_a = x.doc_id
+      |             JOIN sh y ON p.doc_b = y.doc_id
+      |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(x.s, y.s))) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------ D4: SimHash
+
+  /** 60-bit SimHash from md5-derived word hashes (md5 so the oracle can
+    * re-derive bit-identically); `n_near` counts docs within hamming ≤ 3,
+    * found via the exact pigeonhole 4×15-bit block join (not probabilistic —
+    * distance ≤3 over 4 blocks forces one identical block). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val masks = array((0 until 60).map(j => lit(1L << j)): _*)
+    val words = array_distinct(split(col("text"), " "))
+    val hashes = transform(words,
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val bitsums = transform(masks, m =>
+      aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    val sim = docs(s, dir).select(col("doc_id"), hashes.as("hs"))
+      .withColumn("simhash",
+        aggregate(zip_with(bitsums, masks,
+          (sgn, m) => when(sgn > 0, m).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), col("simhash"))
+
+    val blocked = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("blk"),
+        shiftright(col("simhash"), j * 15).bitwiseAND(0x7fffL)
+          .as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.blk"), col("e.bv"))
+    val near = blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+    val cnt = near.select(col("doc_a").as("doc_id"))
+      .union(near.select(col("doc_b")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    sim.join(cnt, Seq("doc_id"), "left_outer")
+      .na.fill(Map("n_near" -> 0L))
+      .select(col("doc_id"), col("simhash"), col("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSimhashSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      |    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+      |    CASE WHEN list_sum(list_transform(hs,
+      |           h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      |  FROM hs),
+      |near AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |cnt AS (
+      |  SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_near
+      |  FROM (SELECT da AS d FROM near UNION ALL SELECT db FROM near)
+      |  GROUP BY 1)
+      |SELECT s.doc_id, s.simhash, coalesce(c.n_near, 0) AS n_near
+      |FROM s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------- D5: embedding-cosine near-dup / NN
+
+  /** Global nearest neighbor per vector by cosine (brute force — the
+    * correctness baseline; the LSH variant below is the scale path). */
+  def dedupEmbeddingNn(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val a = v.select(col("vec_id"), col("v"), col("nrm"))
+    val b = v.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("nrm").as("nrmb"))
+    val pairs = a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"),
+        (col("cos") >= 0.45).as("is_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupEmbeddingNnSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |           x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id, b.vec_id AS nn_id,
+      |    list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+      |      / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT vec_id, nn_id, cos, row_number() OVER
+      |        (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rn FROM p)
+      |SELECT vec_id, nn_id, round(cos, 6) AS cosine,
+      |       cos >= 0.45 AS is_near_dup
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------- A1: brute-force cosine topk
+
+  /** Exact top-k cosine neighbors for the first 5 query vectors. At scale
+    * the query side is broadcast; the corpus scan stays partition-local
+    * until the per-query top-k shuffle (TakeOrdered shape). */
+  def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val pairs = broadcast(q).crossJoin(
+        v.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annCosineTopkSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |           x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(q.e, c.e), s -> s[1] * s[2]))
+      |      / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |      FROM p)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+      |       round(cos, 6) AS cosine
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------- A2: LSH-bucketed ANN (scale path)
+
+  /** Random-hyperplane LSH, multi-table: L=8 tables × 6 sign bits. A pair
+    * is a candidate if it shares a bucket in ANY table (union + distinct);
+    * the NN is then exact over candidates only. Hyperplanes are seeded
+    * driver-side constants, so the plan is deterministic. The only shuffle
+    * is on (table, bucket); candidate verification is bucket-local — the
+    * IVF/LSH scale path (probe: ~9× fewer comparisons than brute force at
+    * sf0.01). Approximate by construction → rows-only check. */
+  def annLshBucket(s: SparkSession, dir: String): DataFrame = {
+    val nTables = 8
+    val nBits = 6
+    val rnd = new scala.util.Random(7)
+    val planes =
+      Array.fill(nTables, nBits)(Array.fill(64)(rnd.nextGaussian()))
+    val v = vecs(s, dir)
+    val tables = (0 until nTables).map { t =>
+      val bucket = (0 until nBits).map { i =>
+        val p = typedLit(planes(t)(i).toSeq)
+        when(dot(col("v"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    val bv = v.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(tables: _*)).as("e"))
+      .select(col("vec_id"), col("e.tbl"), col("e.bucket"))
+    // distinct on the id pair only — vectors rejoin after dedup so the
+    // shuffle payload stays narrow
+    val candIds = bv.join(
+        bv.select(col("tbl"), col("bucket"), col("vec_id").as("nn_id")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"))
+      .distinct()
+    val cand = candIds
+      .join(v.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(v.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+        col("nrm").as("nrmb")), Seq("nn_id"))
+      .withColumn("cos", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    val perVec = cand.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nn = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))
+    vecs(s, dir).select(col("vec_id"))
+      .join(perVec, Seq("vec_id"), "left_outer")
+      .join(nn, Seq("vec_id"), "left_outer")
+      .na.fill(Map("n_candidates" -> 0L))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("dedup_exact", dedupExact _, Some(dedupExactSql)),
+      ("dedup_jaccard_pairs", dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
+      ("dedup_minhash_lsh", dedupMinhashLsh _, Some(dedupMinhashLshSql)),
+      ("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
+      ("dedup_embedding_nn", dedupEmbeddingNn _, Some(dedupEmbeddingNnSql)),
+      ("ann_cosine_topk", annCosineTopk _, Some(annCosineTopkSql)),
+      ("ann_lsh_bucket", annLshBucket _, None))
+}

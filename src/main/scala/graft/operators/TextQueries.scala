@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators over `documents` (BASELINE.json scale100
+  * extensions): token counting, quality scoring, marker-based language ID,
+  * and document fingerprinting. Everything is a narrow per-row expression
+  * pipeline (WholeStageCodegen-friendly, zero shuffles except the final
+  * orderBy / fingerprint window), so it scales linearly with the corpus.
+  *
+  * All expressions are chosen for bit-identical DuckDB oracles: shared
+  * regex subset (no engine-specific classes), md5 fingerprints, round(…,6)
+  * on ratios.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val words: Column = split(col("text"), " ")
+
+  // --------------------------------------------------- T1: token counting
+
+  /** Whitespace tokens, BPE-ish regex tokens (word runs + single
+    * non-word-non-space chars — the pre-tokenization split GPT-style BPE
+    * vocabularies use), distinct words. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+        .cast("long").as("regex_tokens"),
+      size(array_distinct(words)).cast("long").as("distinct_words"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+      |    AS regex_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |    AS distinct_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- T2: quality scoring
+
+  private val stopwords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Length / punctuation / stopword / case heuristics and a composite
+    * quality score — the standard cheap pre-filter of LLM data pipelines. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nWords = size(words).cast("double")
+    val stopCnt = size(filter(words, w => w.isin(stopwords: _*))).cast("double")
+    val punctCnt = nChars -
+      length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
+    val upperCnt = nChars -
+      length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")
+    val avgWordLen =
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nWords
+    val stopRatio = stopCnt / nWords
+    val punctRatio = punctCnt / nChars
+    val quality = least(nWords / lit(200.0), lit(1.0)) * 0.5 +
+      stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+    docs(s, dir).select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(upperCnt / nChars, 6).as("upper_ratio"),
+      round(quality, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN
+      |      ('the','a','and','of','to','in','is','it','that','for')))
+      |      AS DOUBLE) AS stop_cnt,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?()-]',
+      |      '', 'g')) AS DOUBLE) AS punct_cnt,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+      |      AS DOUBLE) AS upper_cnt,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      w -> length(w))) AS DOUBLE) AS word_chars
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  round(word_chars / n_words, 6) AS avg_word_len,
+      |  round(stop_cnt / n_words, 6) AS stopword_ratio,
+      |  round(punct_cnt / n_chars, 6) AS punct_ratio,
+      |  round(upper_cnt / n_chars, 6) AS upper_ratio,
+      |  round(least(n_words / 200.0, 1.0) * 0.5 + (stop_cnt / n_words) * 0.3
+      |    + (1.0 - punct_cnt / n_chars) * 0.2, 6) AS quality
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- T3: language ID
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "une", "dans", "pour"))
+
+  /** Marker-word (function-word n-gram) language heuristic + CJK-codepoint
+    * detection; deterministic priority chain on ties. (The synthetic corpus
+    * labels `lang` randomly over one shared vocabulary, so accuracy against
+    * that column is meaningless by construction — the operator is the
+    * contract, exercised on real marker logic.) */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(words, w => w.isin(ms: _*))).cast("long")
+    }.toMap
+    val zhChars = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\u4E00-\\u9FFF]", ""))).cast("long")
+    val predicted =
+      when(zhChars > 0, "zh")
+        .when(scores("en") >= greatest(scores("de"), scores("es"),
+          scores("fr")) && scores("en") > 0, "en")
+        .when(scores("de") >= greatest(scores("es"), scores("fr")) &&
+          scores("de") > 0, "de")
+        .when(scores("es") >= scores("fr") && scores("es") > 0, "es")
+        .when(scores("fr") > 0, "fr")
+        .otherwise("unknown")
+    docs(s, dir).select(
+      col("doc_id"),
+      scores("en").as("s_en"), scores("de").as("s_de"),
+      scores("es").as("s_es"), scores("fr").as("s_fr"),
+      zhChars.as("zh_chars"),
+      predicted.as("predicted"),
+      col("lang").as("labeled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |      ('the','a','and','of','to','is','in','it'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |      ('der','die','das','und','ist','nicht','mit','ein'))) AS BIGINT)
+      |      AS s_de,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |      ('el','la','los','las','es','un','una','que'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |      ('le','les','des','est','et','une','dans','pour'))) AS BIGINT)
+      |      AS s_fr,
+      |    CAST(length(text) - length(regexp_replace(text,
+      |      '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS zh_chars
+      |  FROM documents)
+      |SELECT doc_id, s_en, s_de, s_es, s_fr, zh_chars,
+      |  CASE WHEN zh_chars > 0 THEN 'zh'
+      |       WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+      |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      |       WHEN s_fr > 0 THEN 'fr'
+      |       ELSE 'unknown' END AS predicted,
+      |  lang AS labeled
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- T4: document fingerprint
+
+  /** Winnowing-style fingerprint: the minimum md5 over word 3-gram shingles
+    * (a rolling-hash selection — stable under small edits elsewhere in the
+    * doc), plus how many docs share it. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = words
+    val sh = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", slice(w, i, lit(3)))))
+      .otherwise(array(col("text")))
+    val fp = array_min(transform(sh, g => md5(g)))
+    val win = Window.partitionBy(col("fingerprint"))
+    docs(s, dir).select(col("doc_id"), fp.as("fingerprint"))
+      .withColumn("n_sharing", count(lit(1)).over(win).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textFingerprintSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(
+      |      CASE WHEN len(w) >= 3
+      |        THEN list_transform(range(1, len(w) - 1),
+      |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |        ELSE [text] END,
+      |      g -> md5(g))) AS fingerprint
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents))
+      |SELECT doc_id, fingerprint,
+      |  CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_sharing
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("text_tokens", textTokens _, Some(textTokensSql)),
+      ("text_quality", textQuality _, Some(textQualitySql)),
+      ("text_langid", textLangid _, Some(textLangidSql)),
+      ("text_fingerprint", textFingerprint _, Some(textFingerprintSql)))
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.9 — the
+  * reference is all-batch; its hand-rolled 1000-bioproject block loop,
+  * main/mwas_general.py:601-614, is the closest analogue and is replaced
+  * wholesale by the micro-batch engine).
+  *
+  * Every query runs `readStream` → transform → memory sink with
+  * `Trigger.AvailableNow`, awaits termination, and returns the sink table —
+  * deterministic replay, so DuckDB can oracle the result as a batch query
+  * over the same parquet. On a cluster the same plans run unbounded (kafka/
+  * file source, rate-limited micro-batches); state stores partition by the
+  * grouping key, so scale-out is the usual shuffle story.
+  *
+  * Watermark note: with a single input file AvailableNow yields one
+  * micro-batch, and the watermark only advances BETWEEN batches — so
+  * append-mode windowed aggregation would emit nothing. Aggregations here
+  * use complete mode on purpose; `dropDuplicatesWithinWatermark` emits
+  * per-batch regardless, so it demonstrates the watermark API correctly.
+  */
+object StreamingQueries {
+
+  /** Run a streaming transform of the events file source to completion and
+    * return the collected sink table.
+    *
+    * The testdata stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright — so `ts` is read as raw nanos via the
+    * `nanosAsLong` legacy conf and converted with integer division (the
+    * generator's values are µs-precision, so this is lossless; a double
+    * division would corrupt: 1.7e18 ns exceeds the 2^53 exact-double
+    * range). */
+  private def runAvailableNow(s: SparkSession, dir: String,
+      outputMode: String)(f: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file source insists on a directory: stream the sf dir, glob down
+    // to the events file
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = f(src).writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Q24: tumbling 1-hour windows × event_type. */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    runAvailableNow(s, dir, "complete") { src =>
+      src.groupBy(col("event_type"), window(col("ts"), "1 hour")).count()
+    }.select(col("event_type"), col("window.start").as("window_start"),
+        col("count").as("n"))
+      .orderBy(col("event_type"), col("window_start"))
+
+  val tumblingSql: String =
+    """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin
+
+  /** Sliding 2-hour windows every hour — each event lands in 2 windows. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    runAvailableNow(s, dir, "complete") { src =>
+      src.groupBy(col("event_type"), window(col("ts"), "2 hours", "1 hour"))
+        .count()
+    }.select(col("event_type"), col("window.start").as("window_start"),
+        col("count").as("n"))
+      .orderBy(col("event_type"), col("window_start"))
+
+  val slidingSql: String =
+    """SELECT event_type, ws AS window_start, CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_type,
+      |         time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'
+      |  FROM events)
+      |GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin
+
+  /** Session windows per user: events merge while gaps stay under 30
+    * minutes; the window is [first, last + gap). */
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    runAvailableNow(s, dir, "complete") { src =>
+      src.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }.select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |           OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL '30 minutes' AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 6) AS sum_value
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Stateful streaming dedup keyed on (user_id, event_type) with a
+    * watermark bounding the dedup state. Output keeps only the key columns
+    * so the result is deterministic under parallel file-split arrival. */
+  def dedup(s: SparkSession, dir: String): DataFrame =
+    runAvailableNow(s, dir, "append") { src =>
+      src.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    }.orderBy(col("user_id"), col("event_type"))
+
+  val dedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("stream_tumbling", tumbling _, Some(tumblingSql)),
+      ("stream_sliding", sliding _, Some(slidingSql)),
+      ("stream_sessions", sessions _, Some(sessionsSql)),
+      ("stream_dedup", dedup _, Some(dedupSql)))
+}

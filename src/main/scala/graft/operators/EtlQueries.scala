@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Events, Tables}
+import graft.etl.MetadataCondenser
+import graft.sources.CsvIo
+
+/** ETL-surface queries: CSV source/sink round-trips (SURVEY §2.2 S1/S2/S7)
+  * and the as-of join (§2.4 J9 — absent in the reference, exposed here).
+  */
+object EtlQueries {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  /** S1+S7 round-trip: derive the MWAS user input from orders/lineitem,
+    * write it through the CSV sink, re-read through the positional
+    * schema-checked reader, aggregate. The oracle recomputes from the base
+    * tables — so any drift in the CSV write→read path (quoting, dtype
+    * parsing, header handling) breaks the hash match. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val qty = Tables(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("quantifier"))
+    val input = o.filter(col("o_orderkey") % 3 =!= 0)
+      .join(qty, o("o_orderkey") === qty("l_orderkey"), "left_outer")
+      .na.fill(Map("quantifier" -> 0.0))
+      .select(
+        concat(lit("R"), col("o_orderkey")).as("run"),
+        col("o_orderpriority").as("group"),
+        col("quantifier"))
+    val path = tmpDir("csv_roundtrip")
+    CsvIo.writeCsv(input, path)
+    CsvIo.readUserInput(s, path)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), round(sum(col("quantifier")), 4).as("total"))
+      .orderBy(col("group"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT o_orderpriority AS "group", CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(coalesce(q.quantifier, 0)), 4) AS total
+      |FROM orders o LEFT JOIN (
+      |  SELECT l_orderkey, sum(l_quantity) AS quantifier
+      |  FROM lineitem GROUP BY 1) q ON o.o_orderkey = q.l_orderkey
+      |WHERE o_orderkey % 3 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S2 + §2.8: wide metadata → CSV sink → schema-on-read → melt →
+    * condenser. Same relation as `mwas_condense`, but arriving through the
+    * dynamic-width CSV path the reference's converter_.py takes. */
+  def csvCondense(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val wide = c.select(
+      concat(lit("BP"), col("c_custkey") % 20).as("bioproject"),
+      concat(lit("BS"), col("c_custkey")).as("biosample_id"),
+      col("c_mktsegment").as("mktsegment"),
+      concat(lit("N"), col("c_nationkey") % 5).as("nation_bucket"))
+    val path = tmpDir("csv_condense")
+    CsvIo.writeCsv(wide, path)
+    val back = CsvIo.readMetadataCsv(s, path)
+    MetadataCondenser.condense(
+        MetadataCondenser.melt(back, "bioproject", "biosample_id"))
+      .select(col("bioproject"), col("attributes"), col("values"),
+        col("members"), col("n_stored").cast("long").as("n_stored"),
+        col("include"), col("n_biosamples").cast("long").as("n_biosamples"))
+      .orderBy(col("bioproject"), col("attributes"), col("values"))
+  }
+
+  /** J9 as-of join: for every click, the most recent error by the same
+    * user at-or-before it. Spark has no ASOF JOIN operator; the idiomatic
+    * equivalent is a union + `last(_, ignoreNulls)` over an unbounded
+    * preceding window — one shuffle on user_id, no range explosion. The
+    * oracle uses DuckDB's native ASOF LEFT JOIN, so the two formulations
+    * check each other. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Events(s, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "error").as("is_error"))
+    // errors sort before clicks at equal ts so `ts >= error_ts` matches
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_error").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_error_ts",
+        last(when(col("is_error"), col("ts")), ignoreNulls = true).over(w))
+      .filter(!col("is_error"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_error_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_error_ts")))
+          .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT c.event_id, c.user_id, c.ts::TIMESTAMP AS ts,
+      |       e.ts::TIMESTAMP AS last_error_ts,
+      |       epoch_us(c.ts::TIMESTAMP) - epoch_us(e.ts::TIMESTAMP) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("etl_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
+      ("etl_csv_condense", csvCondense _,
+        Some(MwasPipelineQueries.condenseSql)),
+      ("asof_join", asofJoin _, Some(asofJoinSql)))
+}

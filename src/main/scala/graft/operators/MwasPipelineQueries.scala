@@ -247,9 +247,53 @@ object MwasPipelineQueries {
       |WHERE NOT (mean_t = 0 AND mean_f = 0)
       |ORDER BY bioproject, "group", metadata_field, metadata_value""".stripMargin
 
+  /** The reference's post-processing summary pass
+    * (main/mwas_results_analyze.py:22-69 — A7/A8): per-bioproject test
+    * counts, routing mix, derived ratios, and mean |t|. Runs ON TOP of the
+    * pipeline output relation, like the reference runs over its output
+    * CSVs. Significance counts are excluded on purpose: they depend on the
+    * t-CDF p-value the SQL oracle can't recompute. */
+  def resultsAnalyzeQuery(s: SparkSession, dir: String): DataFrame =
+    pipelineQuery(s, dir)
+      .groupBy(col("bioproject"))
+      .agg(
+        count(lit(1)).as("n_tests"),
+        countDistinct(col("group")).as("n_groups"),
+        round(count(lit(1)).cast("double") /
+          countDistinct(col("group")), 6).as("sets_per_group"),
+        sum(when(least(col("num_true"), col("num_false")) < 4, 1L)
+          .otherwise(0L)).as("n_route_t"),
+        sum(when(least(col("num_true"), col("num_false")) >= 4, 1L)
+          .otherwise(0L)).as("n_route_perm"),
+        round(avg(abs(col("test_statistic"))), 6).as("avg_abs_stat"),
+        sum(when(col("mean_rpm_true") > col("mean_rpm_false"), 1L)
+          .otherwise(0L)).as("n_true_gt"),
+        sum(when(col("mean_rpm_true") < col("mean_rpm_false"), 1L)
+          .otherwise(0L)).as("n_false_gt"))
+      .orderBy(col("bioproject"))
+
+  val resultsAnalyzeSql: String =
+    s"""SELECT bioproject, CAST(count(*) AS BIGINT) AS n_tests,
+       |  CAST(count(DISTINCT "group") AS BIGINT) AS n_groups,
+       |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT "group"), 6)
+       |    AS sets_per_group,
+       |  CAST(sum(CASE WHEN least(num_true, num_false) < 4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_route_t,
+       |  CAST(sum(CASE WHEN least(num_true, num_false) >= 4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_route_perm,
+       |  round(avg(abs(test_statistic)), 6) AS avg_abs_stat,
+       |  CAST(sum(CASE WHEN mean_rpm_true > mean_rpm_false THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_true_gt,
+       |  CAST(sum(CASE WHEN mean_rpm_true < mean_rpm_false THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_gt
+       |FROM (${pipelineStatsSql}) base
+       |GROUP BY bioproject ORDER BY bioproject""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mwas_condense", condenseQuery _, Some(condenseSql)),
       ("mwas_pipeline_stats", pipelineStatsQuery _, Some(pipelineStatsSql)),
-      ("mwas_pipeline_full", pipelineQuery _, None))
+      ("mwas_pipeline_full", pipelineQuery _, None),
+      ("mwas_results_analyze", resultsAnalyzeQuery _,
+        Some(resultsAnalyzeSql)))
 }

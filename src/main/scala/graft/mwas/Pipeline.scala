@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.StatFunctions.{log2FoldChange, rpm}
 import graft.functions.WelchTTest.welch_t
+import graft.stats.PermutationTest
+
+/** Permutation-kernel output row (top-level: generated projections need
+  * public accessor access). */
+case class PermOut(stat: Double, p: Double, method: String)
 
 /** Pipeline configuration (reference globals, main/mwas_general.py:70-94). */
 case class MwasConfig(
@@ -14,7 +19,9 @@ case class MwasConfig(
     alreadyNormalized: Boolean = false, // ALREADY_NORMALIZED :84
     implicitZeros: Boolean = true, // IMPLICIT_ZEROS :81
     permutationSideCutoff: Int = 4, // min-side size routing :407
-    biosampleListCap: Int = 1000) // truncated listing :428-430
+    biosampleListCap: Int = 1000, // truncated listing :428-430
+    permResamples: Int = 10000, // n_resamples :416
+    permMaxPooled: Int = 20000) // guard: fall back to Welch beyond this
 
 /** The MWAS query engine: the reference's run_on_file + process_bioproject +
   * process_group call tree (main/mwas_general.py:344-679) collapsed into ONE
@@ -71,14 +78,18 @@ object Pipeline {
       .groupBy(col("bio_project"), col("group"), col("bio_sample"))
       .agg(avg(col("rpm")).as("rpm"))
 
-    // group acceptance: >= K nonzero biosamples (A4 :485-491)
+    // group acceptance: >= K nonzero biosamples (A4 :485-491). The
+    // collect_list carries the observed rpm values to the permutation
+    // kernel — bounded by biosamples-per-bioproject (the same boundedness
+    // the reference relies on when it densifies per-bioproject matrices).
     val accepted = bsRpm
       .groupBy(col("bio_project"), col("group"))
       .agg(
         sum(when(col("rpm") =!= 0, 1).otherwise(0)).as("nonzeros"),
         sum(col("rpm")).as("sum_all"),
         sum(col("rpm") * col("rpm")).as("sumsq_all"),
-        count(lit(1)).as("n_observed"))
+        count(lit(1)).as("n_observed"),
+        collect_list(col("rpm")).as("all_vals"))
       .filter(col("nonzeros") >= cfg.groupNonzerosThreshold)
 
     // biosample universe per bioproject (for implicit zeros + listings)
@@ -97,7 +108,8 @@ object Pipeline {
       .groupBy(col("bio_project"), col("group"), col("set_id"))
       .agg(
         sum(col("rpm")).as("sum_stored"),
-        sum(col("rpm") * col("rpm")).as("sumsq_stored"))
+        sum(col("rpm") * col("rpm")).as("sumsq_stored"),
+        collect_list(col("rpm")).as("stored_vals"))
 
     val contrasts = sets.select(
         col("bioproject").as("bio_project"), col("set_id"),
@@ -107,6 +119,8 @@ object Pipeline {
       .join(bpUniverse, Seq("bio_project"))
       .join(storedStats, Seq("bio_project", "group", "set_id"), "left_outer")
       .na.fill(Map("sum_stored" -> 0.0, "sumsq_stored" -> 0.0))
+      .withColumn("stored_vals",
+        coalesce(col("stored_vals"), array().cast("array<double>")))
 
     // side assignment by polarity (reference :363-372): stored side is the
     // true side iff include
@@ -138,18 +152,50 @@ object Pipeline {
       .filter(!(col("mean_rpm_true") === 0 && col("mean_rpm_false") === 0))
 
     // ---- stage 4: test routing (O14 :404-419) + significance (:424-434) --
+    // Welch when a side is tiny (or forced), else the permutation test —
+    // run through the value-level memoization the reference keeps as a
+    // driver-side dict (O10 :351,396-399): `distinct` the test inputs,
+    // evaluate each distinct input ONCE, join results back. Deterministic
+    // and parallel-safe where the reference's dict was neither.
     val isTTest = lit(cfg.onlyTTest) ||
-      least(col("num_true"), col("num_false")) < lit(cfg.permutationSideCutoff)
-    val tested = withStats
+      least(col("num_true"), col("num_false")) < lit(cfg.permutationSideCutoff) ||
+      (col("num_true") + col("num_false")) > cfg.permMaxPooled
+    val routed = withStats
       .withColumn("w", welch_t(
         col("mean_rpm_true"), col("sd_rpm_true"), col("num_true").cast("double"),
         col("mean_rpm_false"), col("sd_rpm_false"), col("num_false").cast("double")))
-      .withColumn("test_statistic", col("w.t"))
-      .withColumn("p_value", col("w.p"))
+      .withColumn("is_t_test", isTTest)
+      // the permutation p is a pure function of (stored multiset, group
+      // multiset, polarity, side sizes) — hash of the sorted arrays is the
+      // memo key (sorted: collect_list order is partition-dependent)
+      .withColumn("memo_key",
+        when(col("is_t_test"), lit(null).cast("long")).otherwise(
+          xxhash64(to_json(sort_array(col("stored_vals"))),
+            to_json(sort_array(col("all_vals"))), col("include"),
+            col("num_true"), col("num_false"))))
+
+    val permUdf = Pipeline.permPaddedUdf(cfg.permResamples)
+    val permResults = routed.filter(!col("is_t_test"))
+      .select(col("memo_key"), col("stored_vals"), col("all_vals"),
+        col("include"), col("num_true"), col("num_false"))
+      .dropDuplicates("memo_key")
+      .select(col("memo_key"), permUdf(col("stored_vals"), col("all_vals"),
+        col("include"), col("num_true"), col("num_false")).as("perm"))
+
+    // plain equi-join back on the memo key (AQE broadcasts when small; at
+    // scale the distinct-inputs relation can be large, so don't force it)
+    val tested = routed
+      .join(permResults, Seq("memo_key"), "left_outer")
+      .withColumn("test_statistic",
+        when(col("is_t_test"), col("w.t")).otherwise(col("perm.stat")))
+      .withColumn("p_value",
+        when(col("is_t_test"), col("w.p")).otherwise(col("perm.p")))
       .withColumn("fold_change",
         log2FoldChange(col("mean_rpm_true"), col("mean_rpm_false")))
       .withColumn("status_base",
-        when(isTTest, lit("t_test")).otherwise(lit("permutation_test")))
+        when(col("is_t_test"), lit("t_test"))
+          .otherwise(concat(lit("permutation_test ("),
+            col("perm.method"), lit(")"))))
 
     val significant = col("p_value") < cfg.pValueThreshold
     val trueMembers = when(col("include"), col("members"))
@@ -182,4 +228,34 @@ object Pipeline {
           array_join(falseMembers, "; "))
         .otherwise(tooMany).as("false_biosamples"))
   }
+
+  /** Permutation test over virtually-zero-padded sides.
+    *
+    * Inputs are the OBSERVED values only; each side is padded with implicit
+    * zeros up to its true cardinality (nTrue/nFalse from set membership),
+    * reproducing the reference's dense per-bioproject vectors
+    * (main/mwas_general.py:477) without ever materializing them in the
+    * plan. The non-stored side's observations are recovered by multiset
+    * subtraction (array_except can't: it has set semantics and drops
+    * duplicate rpm values). */
+  private[mwas] def permPaddedUdf(resamples: Int) =
+    udf((stored: Seq[Double], all: Seq[Double], include: Boolean,
+        nTrue: Long, nFalse: Long) => {
+      val cnt = scala.collection.mutable.HashMap.empty[Double, Int]
+      stored.foreach(v => cnt.update(v, cnt.getOrElse(v, 0) + 1))
+      val other = scala.collection.mutable.ArrayBuffer.empty[Double]
+      all.foreach { v =>
+        val c = cnt.getOrElse(v, 0)
+        if (c > 0) cnt.update(v, c - 1) else other += v
+      }
+      val trueObs = if (include) stored else other.toSeq
+      val falseObs = if (include) other.toSeq else stored
+      val x = trueObs.toArray[Double] ++
+        new Array[Double]((nTrue - trueObs.length).max(0).toInt)
+      val y = falseObs.toArray[Double] ++
+        new Array[Double]((nFalse - falseObs.length).max(0).toInt)
+      val r = PermutationTest.test(x, y, resamples, exactCutoff = 20000)
+      PermOut(r.statistic, r.p_value, r.method)
+    }).asNondeterministic() // deterministic in fact; flag stops Catalyst
+      // from duplicating the (expensive) call during plan rewrites
 }

@@ -240,9 +240,11 @@ object MwasPipelineQueries {
       |  num_true, num_false,
       |  mean_t AS mean_rpm_true, mean_f AS mean_rpm_false,
       |  sd_t AS sd_rpm_true, sd_f AS sd_rpm_false,
-      |  CASE WHEN (sd_t*sd_t/num_true + sd_f*sd_f/num_false) > 0
-      |       THEN (mean_t - mean_f) / sqrt(sd_t*sd_t/num_true + sd_f*sd_f/num_false)
-      |       ELSE NULL END AS test_statistic
+      |  CASE WHEN least(num_true, num_false) < 4 THEN
+      |    CASE WHEN (sd_t*sd_t/num_true + sd_f*sd_f/num_false) > 0
+      |         THEN (mean_t - mean_f) / sqrt(sd_t*sd_t/num_true + sd_f*sd_f/num_false)
+      |         ELSE NULL END
+      |  ELSE mean_t - mean_f END AS test_statistic
       |FROM stats
       |WHERE NOT (mean_t = 0 AND mean_f = 0)
       |ORDER BY bioproject, "group", metadata_field, metadata_value""".stripMargin

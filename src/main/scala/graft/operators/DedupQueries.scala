@@ -60,6 +60,19 @@ object DedupQueries {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Dot product as a JIT'd Scala kernel: the higher-order-function
+    * formulation above evaluates interpreted per element, which dominates
+    * the quadratic pair stages (~26 s at sf0.1 → seconds). Same sequential
+    * accumulation order, so results are bit-identical to the HOF form and
+    * the DuckDB oracle. */
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
   // ------------------------------------------------- D1: exact (hash) dedup
 
   /** Exact duplicate groups by content hash; keeps the smallest doc_id as
@@ -80,13 +93,26 @@ object DedupQueries {
   /** Word-set Jaccard near-dup pairs within a `source` block. The block is
     * the scale lever: comparisons never cross blocks. */
   def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // inclusion–exclusion formulation: explode words, count shared words
+    // per pair via a (source, word) join, J = |∩|/(|A|+|B|−|∩|). All
+    // codegen'd joins/aggregates — the array_intersect/array_union version
+    // ran interpreted per pair and cost ~14 s at sf0.1; pairs sharing zero
+    // words never materialize here.
     val w = docs(s, dir).select(col("source"), col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("w"))
-    val a = w.select(col("source"), col("doc_id").as("doc_a"), col("w").as("wa"))
-    val b = w.select(col("source"), col("doc_id").as("doc_b"), col("w").as("wb"))
-    a.join(b, Seq("source"))
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val shared = w.select(col("source"), col("doc_id").as("doc_a"),
+        col("word"))
+      .join(w.select(col("source"), col("doc_id").as("doc_b"), col("word")),
+        Seq("source", "word"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(nw.select(col("doc_id").as("doc_a"), col("nw").as("na")), "doc_a")
+      .join(nw.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -106,20 +132,33 @@ object DedupQueries {
   // ----------------------------------------------------- D3: MinHash + LSH
 
   /** MinHash(64) → 32 bands × 2 rows → bucket-join candidates → exact
-    * 3-gram-Jaccard verification at 0.7. Miss probability for a true pair at
-    * J=0.7 is (1−0.7²)³² ≈ 6e-10, so the oracle (exhaustive shared-shingle
-    * join) agrees. Sub-quadratic: the only shuffle is on band buckets. */
+    * 3-gram-Jaccard verification at 0.7. Miss probability for a true pair
+    * at J=0.7 is ≈(1−0.7²)³² ≈ 6e-10, so the oracle (exhaustive
+    * shared-shingle join) agrees. Sub-quadratic: the only shuffles are the
+    * signature groupBy and the band buckets.
+    *
+    * Formulated as explode → 64 codegen'd `min(xxhash64(k, h))` aggregates
+    * over a once-per-shingle base hash, NOT nested higher-order lambdas:
+    * HOFs evaluate interpreted per element, and the lambda version cost
+    * 200+ s at sf0.1 vs seconds for this shape. (Seeded re-hash of the
+    * 8-byte base hash, not arithmetic mixing — ANSI mode, on by default in
+    * Spark 4, rejects the wrapping long multiply a*h+b needs.) */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = base.withColumn("sig",
-      transform(sequence(lit(0), lit(63)),
-        k => array_min(transform(col("sh"), g => xxhash64(k, g)))))
+    val hashed = base.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("h", xxhash64(col("g")))
+    val minAggs = (0 until 64).map { k =>
+      min(xxhash64(lit(k), col("h"))).as(s"m$k")
+    }
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until 32).map { b =>
+      struct(lit(b).as("band"),
+        hash(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))
+    }
     val banded = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(31)), b => struct(
-          b.as("band"),
-          hash(element_at(col("sig"), b * 2 + 1),
-            element_at(col("sig"), b * 2 + 2)).as("bh")))).as("e"))
+        explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -162,19 +201,25 @@ object DedupQueries {
     * found via the exact pigeonhole 4×15-bit block join (not probabilistic —
     * distance ≤3 over 4 blocks forces one identical block). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val masks = array((0 until 60).map(j => lit(1L << j)): _*)
-    val words = array_distinct(split(col("text"), " "))
-    val hashes = transform(words,
-      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
-    val bitsums = transform(masks, m =>
-      aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-    val sim = docs(s, dir).select(col("doc_id"), hashes.as("hs"))
-      .withColumn("simhash",
-        aggregate(zip_with(bitsums, masks,
-          (sgn, m) => when(sgn > 0, m).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"), col("simhash"))
+    // explode distinct words → one codegen'd sign-sum aggregate per bit
+    // (the nested-lambda formulation of the same math ran interpreted and
+    // cost ~40 s at sf0.1; this shape is seconds). The signature is
+    // bit-identical: same md5-derived 60-bit word hash, same ±1 sums.
+    val words = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast("long"))
+    val signAggs = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) =!= 0, 1L)
+        .otherwise(-1L)).as(s"s$j")
+    }
+    val bitsums = words.groupBy(col("doc_id"))
+      .agg(signAggs.head, signAggs.tail: _*)
+    val simhashExpr = (0 until 60).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val sim = bitsums.select(col("doc_id"), simhashExpr.as("simhash"))
 
     val blocked = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j => struct(lit(j).as("blk"),
@@ -221,18 +266,41 @@ object DedupQueries {
 
   // ------------------------------------- D5: embedding-cosine near-dup / NN
 
-  /** Global nearest neighbor per vector by cosine (brute force — the
-    * correctness baseline; the LSH variant below is the scale path). */
+  /** Global nearest neighbor per vector by cosine — brute force as a
+    * broadcast matrix sweep: the reference set (all vectors) is broadcast
+    * to every partition and each row scans it in a JIT'd loop. No pair
+    * relation ever materializes — the crossJoin formulation shuffled 25M
+    * rows × two 0.5 KB arrays at sf0.1 (~31 s); this is one narrow pass
+    * (~2 s). At cluster scale the broadcast side becomes the IVF/blocked
+    * reference partition, same shape as a broadcast hash join. */
   def dedupEmbeddingNn(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-    val a = v.select(col("vec_id"), col("v"), col("nrm"))
-    val b = v.select(col("vec_id").as("nn_id"), col("v").as("vb"),
-      col("nrm").as("nrmb"))
-    val pairs = a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    import s.implicits._
+    val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+    val ref = v.collect().map { case (id, vec, n) => (id, vec.toArray, n) }
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(ref)
+    v.mapPartitions { iter =>
+      val m = bc.value
+      iter.map { case (id, vecSeq, nrm) =>
+        val vec = vecSeq.toArray
+        var bestId = -1L
+        var bestCos = Double.NegativeInfinity
+        var i = 0
+        while (i < m.length) {
+          val (oid, ovec, onrm) = m(i)
+          if (oid != id) {
+            var dotv = 0.0
+            var j = 0
+            while (j < vec.length) { dotv += vec(j) * ovec(j); j += 1 }
+            val cos = dotv / (nrm * onrm)
+            if (cos > bestCos) { bestCos = cos; bestId = oid }
+          }
+          i += 1
+        }
+        (id, bestId, bestCos)
+      }
+    }.toDF("vec_id", "nn_id", "cos")
       .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"),
         (col("cos") >= 0.45).as("is_near_dup"))
       .orderBy(col("vec_id"))
@@ -268,7 +336,7 @@ object DedupQueries {
     val pairs = broadcast(q).crossJoin(
         v.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", dotUdf(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
@@ -334,7 +402,7 @@ object DedupQueries {
       .join(v.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .join(v.select(col("vec_id").as("nn_id"), col("v").as("vb"),
         col("nrm").as("nrmb")), Seq("nn_id"))
-      .withColumn("cos", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+      .withColumn("cos", dotUdf(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     val perVec = cand.groupBy(col("vec_id"))

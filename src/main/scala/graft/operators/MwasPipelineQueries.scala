@@ -107,16 +107,28 @@ object MwasPipelineQueries {
       |GROUP BY bioproject, include, members, n_biosamples
       |ORDER BY bioproject, attributes, "values"""".stripMargin
 
+  /** The computed (unordered) pipeline relation, cached per (session, sf
+    * dir): three driver queries (full / stats slice / results-analyze)
+    * consume it, and the permutation kernel inside is the expensive part —
+    * persist() turns three full pipeline executions into one. */
+  private val pipelineCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def pipelineBase(s: SparkSession, dir: String): DataFrame =
+    pipelineCache.getOrElseUpdate((s, dir), {
+      val sets = MetadataCondenser.condense(metadataLong(s, dir))
+      Pipeline.run(input(s, dir), catalog(s, dir), sets, MwasConfig())
+        .persist()
+    })
+
   /** The flagship: condenser output feeding the single-plan MWAS pipeline.
     * The Welch/fold-change numeric columns are oracled by mwas_pipeline_sql
     * below; p_value (t-CDF) has no SQL equivalent so this full version is
     * rows-only. */
-  def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
-    val sets = MetadataCondenser.condense(metadataLong(s, dir))
-    Pipeline.run(input(s, dir), catalog(s, dir), sets, MwasConfig())
+  def pipelineQuery(s: SparkSession, dir: String): DataFrame =
+    pipelineBase(s, dir)
       .orderBy(col("bioproject"), col("group"), col("metadata_field"),
         col("metadata_value"))
-  }
 
   /** Oracle-checkable slice of the pipeline: everything except the t-CDF
     * p-value and the p-dependent status/listing columns. */

@@ -176,15 +176,19 @@ object TextQueries {
     * (a rolling-hash selection — stable under small edits elsewhere in the
     * doc), plus how many docs share it. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // explode shingles → codegen'd min(md5) aggregate (the array_min-over-
+    // transform form evaluates md5 interpreted per element)
     val w = words
     val sh = when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", slice(w, i, lit(3)))))
       .otherwise(array(col("text")))
-    val fp = array_min(transform(sh, g => md5(g)))
+    val fp = docs(s, dir)
+      .select(col("doc_id"), explode(sh).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("g"))).as("fingerprint"))
     val win = Window.partitionBy(col("fingerprint"))
-    docs(s, dir).select(col("doc_id"), fp.as("fingerprint"))
-      .withColumn("n_sharing", count(lit(1)).over(win).cast("long"))
+    fp.withColumn("n_sharing", count(lit(1)).over(win).cast("long"))
       .orderBy(col("doc_id"))
   }
 

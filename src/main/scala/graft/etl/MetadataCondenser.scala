@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's "set maker" (main/metadata_set_maker.py:13-110) as a
@@ -52,13 +51,19 @@ object MetadataCondenser {
     }
 
     // n_biosamples per bioproject (reference: len(biosamples_ref), :109)
-    val byBp = Window.partitionBy(col("bioproject"))
-    val byAttr = Window.partitionBy(col("bioproject"), col("attribute"))
+    // and distinct-value counts per attribute — as aggregate+join, NOT
+    // `collect_set(...).over(window)`: a windowed collect_set materializes
+    // the whole distinct set PER ROW (O(rows × set size) memory), which is
+    // unusable at scale; these joins shuffle only (key, count) pairs, and
+    // the per-bioproject side broadcasts.
+    val nBs = filtered.groupBy(col("bioproject"))
+      .agg(countDistinct(col("biosample_id")).cast("int").as("n_biosamples"))
+    val nd = filtered.groupBy(col("bioproject"), col("attribute"))
+      .agg(countDistinct(col("value")).cast("int").as("nd"))
 
     val withStats = filtered
-      .withColumn("n_biosamples",
-        size(collect_set(col("biosample_id")).over(byBp)))
-      .withColumn("nd", size(collect_set(col("value")).over(byAttr)))
+      .join(broadcast(nBs), Seq("bioproject"))
+      .join(nd, Seq("bioproject", "attribute"))
       // r2: constant or all-unique attributes carry no contrast
       .filter(col("nd") > 1 && col("nd") < col("n_biosamples"))
       // r3: the reference skips both real NaN and the string 'nan' pandas

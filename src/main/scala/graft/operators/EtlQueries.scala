@@ -106,10 +106,55 @@ object EtlQueries {
       |  ON c.user_id = e.user_id AND c.ts >= e.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** S11/F12 JSON ingest: `events.props` is a JSON string column — parse
+    * with from_json, aggregate on an extracted field, and emit a to_json
+    * struct back out (the server's JSON→rows→JSON loop,
+    * main/server.py:25-45). */
+  def jsonIngest(s: SparkSession, dir: String): DataFrame =
+    Events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), lit("k INT")).getField("k"))
+      .groupBy((col("k") % 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .withColumn("as_json",
+        to_json(struct(col("k_bucket"), col("n"))))
+      .orderBy(col("k_bucket"))
+
+  val jsonIngestSql: String =
+    """SELECT k_bucket, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(value), 6) AS avg_value,
+      |       '{"k_bucket":' || k_bucket || ',"n":' || count(*) || '}'
+      |         AS as_json
+      |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10
+      |        AS k_bucket, value FROM events)
+      |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
+  /** W6 sampling, deterministic flavor: hash-mod sampling (md5 so both
+    * engines draw the identical sample — Spark's rand(seed)/sample() draws
+    * depend on partitioning, which no oracle can reproduce). Stratification
+    * falls out of grouping the sample. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "1"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4)
+        .as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val hashSampleSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders
+      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("etl_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
       ("etl_csv_condense", csvCondense _,
         Some(MwasPipelineQueries.condenseSql)),
-      ("asof_join", asofJoin _, Some(asofJoinSql)))
+      ("asof_join", asofJoin _, Some(asofJoinSql)),
+      ("json_ingest", jsonIngest _, Some(jsonIngestSql)),
+      ("hash_sample", hashSample _, Some(hashSampleSql)))
 }

@@ -229,6 +229,18 @@ object Pipeline {
         .otherwise(tooMany).as("false_biosamples"))
   }
 
+  /** S7/S8 output sinks (reference main/mwas_general.py:631-679): the
+    * per-bioproject CSV tree comes from partitionBy (replacing the string
+    * accumulation + per-file writes), the combined file from a single
+    * coalesced write — no manual append loop. */
+  def writePerBioproject(output: DataFrame, dir: String): Unit =
+    output.write.mode("overwrite").partitionBy("bioproject")
+      .option("header", "true").csv(dir)
+
+  def writeCombined(output: DataFrame, dir: String): Unit =
+    output.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+
   /** Permutation test over virtually-zero-padded sides.
     *
     * Inputs are the OBSERVED values only; each side is padded with implicit

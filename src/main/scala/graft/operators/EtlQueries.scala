@@ -149,6 +149,27 @@ object EtlQueries {
       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** One ANSI SQL text, executed VERBATIM by both engines: Spark runs it
+    * through `spark.sql` over registered views, DuckDB runs it as the
+    * oracle — proving the SQL entry point, not just the DataFrame API. */
+  val sqlInterfaceSql: String =
+    """SELECT n.n_name, o.o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       round(sum(o.o_totalprice), 4) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_totalprice > 50000
+      |GROUP BY n.n_name, o.o_orderpriority
+      |ORDER BY n.n_name, o.o_orderpriority""".stripMargin
+
+  def sqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "nation").foreach { t =>
+      Tables(s, dir, t).createOrReplaceTempView(t)
+    }
+    s.sql(sqlInterfaceSql)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("etl_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
@@ -156,5 +177,6 @@ object EtlQueries {
         Some(MwasPipelineQueries.condenseSql)),
       ("asof_join", asofJoin _, Some(asofJoinSql)),
       ("json_ingest", jsonIngest _, Some(jsonIngestSql)),
-      ("hash_sample", hashSample _, Some(hashSampleSql)))
+      ("hash_sample", hashSample _, Some(hashSampleSql)),
+      ("sql_interface", sqlInterface _, Some(sqlInterfaceSql)))
 }

@@ -170,6 +170,35 @@ object EtlQueries {
     s.sql(sqlInterfaceSql)
   }
 
+  /** S3 catalog-export path: write the catalog slice as parquet, read it
+    * back through JdbcCatalog.fromParquet with a broadcast-semi-join run
+    * filter (the offline stand-in for the JDBC IN-list pushdown), and
+    * aggregate. */
+  def catalogSemi(s: SparkSession, dir: String): DataFrame = {
+    val cat = Tables(s, dir, "orders").select(
+      concat(lit("R"), col("o_orderkey")).as("run"),
+      concat(lit("BS"), col("o_custkey")).as("bio_sample"),
+      concat(lit("BP"), col("o_custkey") % 20).as("bio_project"),
+      col("o_totalprice").as("spots"))
+    val path = tmpDir("catalog_export")
+    cat.write.mode("overwrite").parquet(path)
+    val runs = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(concat(lit("R"), col("o_orderkey")).as("run"))
+    graft.sources.JdbcCatalog.fromParquet(s, path, runs)
+      .groupBy(col("bio_project"))
+      .agg(count(lit(1)).as("n_runs"), round(sum(col("spots")), 4)
+        .as("total_spots"))
+      .orderBy(col("bio_project"))
+  }
+
+  val catalogSemiSql: String =
+    """SELECT 'BP' || (o_custkey % 20) AS bio_project,
+      |       CAST(count(*) AS BIGINT) AS n_runs,
+      |       round(sum(o_totalprice), 4) AS total_spots
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("etl_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
@@ -178,5 +207,6 @@ object EtlQueries {
       ("asof_join", asofJoin _, Some(asofJoinSql)),
       ("json_ingest", jsonIngest _, Some(jsonIngestSql)),
       ("hash_sample", hashSample _, Some(hashSampleSql)),
-      ("sql_interface", sqlInterface _, Some(sqlInterfaceSql)))
+      ("sql_interface", sqlInterface _, Some(sqlInterfaceSql)),
+      ("catalog_semi", catalogSemi _, Some(catalogSemiSql)))
 }

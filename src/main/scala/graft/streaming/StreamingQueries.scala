@@ -4,7 +4,10 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+/** Keyed running-aggregate state row (top-level for codegen access). */
+case class UserStats(user_id: Long, n: Long, sum: Double, max: Double)
 
 /** Structured Streaming surface over the `events` table (SURVEY §2.9 — the
   * reference is all-batch; its hand-rolled 1000-bioproject block loop,
@@ -131,10 +134,49 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Custom keyed state via flatMapGroupsWithState: a per-user running
+    * aggregate (count, sum, max) the built-in operators could also express
+    * — chosen deliberately so DuckDB can oracle the custom-state path
+    * exactly. State lives in the state store keyed by user_id; on a
+    * cluster this scales like any keyed shuffle. */
+  def runningStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = runAvailableNow(s, dir, "update") { src =>
+      src.selectExpr("user_id", "value")
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[UserStats, UserStats](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state) =>
+            var st = state.getOption.getOrElse(UserStats(uid, 0L, 0.0,
+              Double.NegativeInfinity))
+            rows.foreach { case (_, v) =>
+              st = UserStats(uid, st.n + 1, st.sum + v, math.max(st.max, v))
+            }
+            state.update(st)
+            Iterator.single(st)
+        }.toDF()
+    }
+    // update mode re-emits a key per micro-batch; keep the final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), round(col("sum"), 6).as("sum_value"),
+        round(col("max"), 6).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val runningStatsSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 6) AS sum_value,
+      |       round(max(value), 6) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("stream_tumbling", tumbling _, Some(tumblingSql)),
       ("stream_sliding", sliding _, Some(slidingSql)),
       ("stream_sessions", sessions _, Some(sessionsSql)),
-      ("stream_dedup", dedup _, Some(dedupSql)))
+      ("stream_dedup", dedup _, Some(dedupSql)),
+      ("stream_running_stats", runningStats _, Some(runningStatsSql)))
 }

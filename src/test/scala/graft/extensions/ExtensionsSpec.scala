@@ -1,0 +1,36 @@
+package graft.extensions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.WelchTTest
+
+/** welch_t must be callable from plain SQL once the extension is
+  * installed, and agree with the direct kernel. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("welch_t is a SQL function under GraftExtensions") {
+    // other specs leave an extension-less session active, and the
+    // "spark.sql.extensions" conf is STATIC (read from the SparkContext
+    // created by whichever spec ran first) — clear the session and inject
+    // programmatically instead
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .appName("extensions-spec")
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        "SELECT welch_t(2.0D, 1.0D, 10.0D, 5.0D, 1.5D, 12.0D) AS w")
+        .selectExpr("w.t", "w.df", "w.p").head()
+      val Some((t, df, p)) = WelchTTest.compute(2.0, 1.0, 10.0, 5.0, 1.5, 12.0)
+      assert(math.abs(row.getDouble(0) - t) < 1e-12)
+      assert(math.abs(row.getDouble(1) - df) < 1e-12)
+      assert(math.abs(row.getDouble(2) - p) < 1e-12)
+    } finally spark.stop()
+  }
+}

@@ -303,11 +303,32 @@ object MwasPipelineQueries {
        |FROM (${pipelineStatsSql}) base
        |GROUP BY bioproject ORDER BY bioproject""".stripMargin
 
+  /** The reference's pickle-to-readable expansion
+    * (main/mwaspkl_to_readable_csv.py:24-29): sets back to per-biosample
+    * rows with the ordinal position preserved — `posexplode` is the whole
+    * tool. */
+  def setExpandQuery(s: SparkSession, dir: String): DataFrame =
+    MetadataCondenser.condense(metadataLong(s, dir))
+      .select(col("bioproject"), col("attributes"), col("values"),
+        posexplode(col("members")).as(Seq("ordinal", "biosample_id")))
+      .select(col("bioproject"), col("attributes"), col("values"),
+        col("ordinal").cast("long").as("ordinal"), col("biosample_id"))
+      .orderBy(col("bioproject"), col("attributes"), col("values"),
+        col("ordinal"))
+
+  val setExpandSql: String =
+    s"""SELECT bioproject, attributes, "values",
+       |       CAST(generate_subscripts(members, 1) - 1 AS BIGINT) AS ordinal,
+       |       unnest(members) AS biosample_id
+       |FROM (${condenseSql.replace("ORDER BY bioproject, attributes, \"values\"", "")}) sets
+       |ORDER BY bioproject, attributes, "values", ordinal""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mwas_condense", condenseQuery _, Some(condenseSql)),
       ("mwas_pipeline_stats", pipelineStatsQuery _, Some(pipelineStatsSql)),
       ("mwas_pipeline_full", pipelineQuery _, None),
       ("mwas_results_analyze", resultsAnalyzeQuery _,
-        Some(resultsAnalyzeSql)))
+        Some(resultsAnalyzeSql)),
+      ("mwas_set_expand", setExpandQuery _, Some(setExpandSql)))
 }

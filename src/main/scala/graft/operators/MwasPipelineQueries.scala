@@ -303,6 +303,37 @@ object MwasPipelineQueries {
        |FROM (${pipelineStatsSql}) base
        |GROUP BY bioproject ORDER BY bioproject""".stripMargin
 
+  /** The pipeline under ONLY_T_TEST (reference flag, main/mwas_general
+    * .py:86): every contrast takes the Welch route, so the t statistic is
+    * SQL-derivable for ALL rows — this closes the routing branch the
+    * default config can't exercise at sf0.01 (where every side is large
+    * enough to route to permutation). */
+  def pipelineTQuery(s: SparkSession, dir: String): DataFrame = {
+    val sets = MetadataCondenser.condense(metadataLong(s, dir))
+    Pipeline.run(input(s, dir), catalog(s, dir), sets,
+        MwasConfig(onlyTTest = true))
+      .select(col("bioproject"), col("group"), col("metadata_field"),
+        col("metadata_value"), col("num_true"), col("num_false"),
+        col("test_statistic"))
+      .orderBy(col("bioproject"), col("group"), col("metadata_field"),
+        col("metadata_value"))
+  }
+
+  val pipelineTSql: String = {
+    val inner = pipelineStatsSql
+      .replace("ORDER BY bioproject, \"group\", metadata_field, metadata_value", "")
+    s"""SELECT bioproject, "group", metadata_field, metadata_value,
+       |       num_true, num_false,
+       |       CASE WHEN (sd_rpm_true*sd_rpm_true/num_true
+       |                  + sd_rpm_false*sd_rpm_false/num_false) > 0
+       |            THEN (mean_rpm_true - mean_rpm_false)
+       |                 / sqrt(sd_rpm_true*sd_rpm_true/num_true
+       |                        + sd_rpm_false*sd_rpm_false/num_false)
+       |            ELSE NULL END AS test_statistic
+       |FROM ($inner) base
+       |ORDER BY bioproject, "group", metadata_field, metadata_value""".stripMargin
+  }
+
   /** The reference's pickle-to-readable expansion
     * (main/mwaspkl_to_readable_csv.py:24-29): sets back to per-biosample
     * rows with the ordinal position preserved — `posexplode` is the whole
@@ -330,5 +361,6 @@ object MwasPipelineQueries {
       ("mwas_pipeline_full", pipelineQuery _, None),
       ("mwas_results_analyze", resultsAnalyzeQuery _,
         Some(resultsAnalyzeSql)),
-      ("mwas_set_expand", setExpandQuery _, Some(setExpandSql)))
+      ("mwas_set_expand", setExpandQuery _, Some(setExpandSql)),
+      ("mwas_pipeline_ttest", pipelineTQuery _, Some(pipelineTSql)))
 }

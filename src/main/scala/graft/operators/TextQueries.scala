@@ -207,6 +207,51 @@ object TextQueries {
       |  CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_sharing
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- T5: composed filtering pipeline
+
+  /** The canonical pretraining-data flow composed from the operators
+    * above: quality floor → language filter → exact dedup (keep the
+    * smallest doc_id per content hash). One declarative plan — the filters
+    * fuse into a single codegen stage before the dedup shuffle. */
+  def textFilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nWords = size(words).cast("double")
+    val stopCnt = size(filter(words, w => w.isin(stopwords: _*))).cast("double")
+    val punctCnt = nChars -
+      length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
+    val quality = least(nWords / lit(200.0), lit(1.0)) * 0.5 +
+      (stopCnt / nWords) * 0.3 + (lit(1.0) - punctCnt / nChars) * 0.2
+    val sEn = size(filter(words,
+      w => w.isin(markers.toMap.apply("en"): _*)))
+    docs(s, dir)
+      .withColumn("quality", round(quality, 6))
+      .withColumn("s_en", sEn.cast("long"))
+      .filter(col("quality") >= 0.35 && col("s_en") > 0)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("quality")).as("quality"), min(col("s_en")).as("s_en"))
+      .select(col("doc_id"), col("quality"), col("s_en"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textFilterPipelineSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, text,
+      |    round(least(len(string_split(text,' ')) / 200.0, 1.0) * 0.5
+      |      + (CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |          ('the','a','and','of','to','in','is','it','that','for')))
+      |          AS DOUBLE) / len(string_split(text,' '))) * 0.3
+      |      + (1.0 - CAST(length(text) - length(regexp_replace(text,
+      |          '[.,;:!?()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.2,
+      |      6) AS quality,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |      ('the','a','and','of','to','is','in','it'))) AS BIGINT) AS s_en
+      |  FROM documents)
+      |SELECT min(doc_id) AS doc_id, min(quality) AS quality,
+      |       min(s_en) AS s_en
+      |FROM scored WHERE quality >= 0.35 AND s_en > 0
+      |GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
@@ -214,5 +259,7 @@ object TextQueries {
       ("text_tokens", textTokens _, Some(textTokensSql)),
       ("text_quality", textQuality _, Some(textQualitySql)),
       ("text_langid", textLangid _, Some(textLangidSql)),
-      ("text_fingerprint", textFingerprint _, Some(textFingerprintSql)))
+      ("text_fingerprint", textFingerprint _, Some(textFingerprintSql)),
+      ("text_filter_pipeline", textFilterPipeline _,
+        Some(textFilterPipelineSql)))
 }

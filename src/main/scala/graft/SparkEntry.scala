@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupQueries, EtlQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, RelationalQueries, SkewQueries, TextQueries}
+import graft.operators.{DedupQueries, EtlQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, RelationalQueries, SkewQueries, TextQueries, TypeQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -18,7 +18,8 @@ object SparkEntry {
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     RelationalQueries.all ++ MwasQueries.all ++ MwasPipelineQueries.all ++
       DedupQueries.all ++ TextQueries.all ++ StreamingQueries.all ++
-      MultimodalQueries.all ++ EtlQueries.all ++ SkewQueries.all
+      MultimodalQueries.all ++ EtlQueries.all ++ SkewQueries.all ++
+      TypeQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -144,16 +144,18 @@ object PermutationTest {
       var hits = 0L
       var r = 0
       while (r < resamples) {
-        // partial Fisher-Yates: first nx entries become the resampled x side
+        // partial Fisher-Yates: first nx entries become the resampled x
+        // side; work(i) is final once swapped, so the side sum accumulates
+        // in the same pass (identical RNG stream and result as a separate
+        // summing loop — this is the hot path: resamples × nx per test)
+        var s = 0.0
         var i = 0
         while (i < nx) {
           val j = i + rng.nextInt(n - i)
           val tmp = work(i); work(i) = work(j); work(j) = tmp
+          s += work(i)
           i += 1
         }
-        var s = 0.0
-        i = 0
-        while (i < nx) { s += work(i); i += 1 }
         if (math.abs(diffFromSum(s)) >= absObs - eps) hits += 1
         r += 1
       }

@@ -26,7 +26,12 @@ object SkewQueries {
       pmod(xxhash64(saltFrom: _*), lit(nSalts)).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(array((0 until nSalts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    // salting only matters for SHUFFLE joins — if the right side were
+    // broadcastable you wouldn't salt at all, and letting Spark broadcast
+    // here would silently turn the demo into a no-op. Force the shuffled
+    // strategy the technique exists for.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "_salt"))
+      .drop("_salt")
   }
 
   /** 80% of lineitem lands on one hot key; the dim side carries a factor

@@ -149,6 +149,34 @@ object EtlQueries {
       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** W6 stratified sampling (the reference's size-bucket sampler,
+    * main/bioproject_sampling.py:55-78): a different sampling rate per
+    * stratum, deterministic via md5 buckets (the hash plays rand()'s role
+    * so both engines — and any two cluster runs — draw the same rows).
+    * Urgent orders kept at ~3/16, low-priority at ~8/16. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val rate = when(col("o_orderpriority") === "1-URGENT", 3)
+      .when(col("o_orderpriority") === "5-LOW", 8)
+      .otherwise(5)
+    Tables(s, dir, "orders")
+      .filter(bucket < rate)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
+      |       round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders
+      |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))::INT
+      |      < CASE o_orderpriority WHEN '1-URGENT' THEN 3
+      |                             WHEN '5-LOW' THEN 8 ELSE 5 END
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** One ANSI SQL text, executed VERBATIM by both engines: Spark runs it
     * through `spark.sql` over registered views, DuckDB runs it as the
     * oracle — proving the SQL entry point, not just the DataFrame API. */
@@ -207,6 +235,7 @@ object EtlQueries {
       ("asof_join", asofJoin _, Some(asofJoinSql)),
       ("json_ingest", jsonIngest _, Some(jsonIngestSql)),
       ("hash_sample", hashSample _, Some(hashSampleSql)),
+      ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
       ("sql_interface", sqlInterface _, Some(sqlInterfaceSql)),
       ("catalog_semi", catalogSemi _, Some(catalogSemiSql)))
 }

@@ -67,7 +67,9 @@ object EtlQueries {
     MetadataCondenser.condense(
         MetadataCondenser.melt(back, "bioproject", "biosample_id"))
       .select(col("bioproject"), col("attributes"), col("values"),
-        col("members"), col("n_stored").cast("long").as("n_stored"),
+        // string, not ARRAY: the driver's pandas compare can't sort arrays
+        array_join(col("members"), "; ").as("members"),
+        col("n_stored").cast("long").as("n_stored"),
         col("include"), col("n_biosamples").cast("long").as("n_biosamples"))
       .orderBy(col("bioproject"), col("attributes"), col("values"))
   }

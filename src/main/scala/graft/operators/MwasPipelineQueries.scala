@@ -52,15 +52,21 @@ object MwasPipelineQueries {
     MetadataCondenser.melt(base, "bioproject", "biosample_id")
   }
 
-  /** The condenser alone, DuckDB-oracled (SURVEY §2.8's operator). */
+  /** The condenser alone, DuckDB-oracled (SURVEY §2.8's operator).
+    * `members` goes out as a '; '-joined string: the driver's pandas-based
+    * compare can't sort ARRAY cells (unhashable ndarray), and the join is a
+    * bijection on sorted distinct members — no information loss. */
   def condenseQuery(s: SparkSession, dir: String): DataFrame =
     MetadataCondenser.condense(metadataLong(s, dir))
       .select(col("bioproject"), col("attributes"), col("values"),
-        col("members"), col("n_stored").cast("long").as("n_stored"),
+        array_join(col("members"), "; ").as("members"),
+        col("n_stored").cast("long").as("n_stored"),
         col("include"), col("n_biosamples").cast("long").as("n_biosamples"))
       .orderBy(col("bioproject"), col("attributes"), col("values"))
 
-  val condenseSql: String =
+  /** Inner oracle relation with `members` still an ARRAY — reused by
+    * set-expand, which unnests it. */
+  val condenseArraySql: String =
     """WITH long AS (
       |  SELECT 'BP' || (c_custkey % 20) AS bioproject,
       |         'BS' || c_custkey AS biosample_id,
@@ -106,6 +112,16 @@ object MwasPipelineQueries {
       |FROM stored
       |GROUP BY bioproject, include, members, n_biosamples
       |ORDER BY bioproject, attributes, "values"""".stripMargin
+
+  /** Driver-facing oracle: ARRAY members stringified (same projection the
+    * Spark side emits). */
+  val condenseSql: String =
+    s"""SELECT bioproject, attributes, "values",
+       |       array_to_string(members, '; ') AS members,
+       |       n_stored, include, n_biosamples
+       |FROM (${condenseArraySql.replace(
+              "ORDER BY bioproject, attributes, \"values\"", "")}) c
+       |ORDER BY bioproject, attributes, "values"""".stripMargin
 
   /** The computed (unordered) pipeline relation, cached per (session, sf
     * dir): three driver queries (full / stats slice / results-analyze)
@@ -351,7 +367,7 @@ object MwasPipelineQueries {
     s"""SELECT bioproject, attributes, "values",
        |       CAST(generate_subscripts(members, 1) - 1 AS BIGINT) AS ordinal,
        |       unnest(members) AS biosample_id
-       |FROM (${condenseSql.replace("ORDER BY bioproject, attributes, \"values\"", "")}) sets
+       |FROM (${condenseArraySql.replace("ORDER BY bioproject, attributes, \"values\"", "")}) sets
        |ORDER BY bioproject, attributes, "values", ordinal""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =

@@ -363,18 +363,22 @@ object RelationalQueries {
       | l_quantity
       |LIMIT 50""".stripMargin
 
-  /** Q19 — array functions over grouped data (SURVEY F11). */
+  /** Q19 — array functions over grouped data (SURVEY F11). The array is
+    * built, sorted, and then '; '-joined to a string on the way out: the
+    * driver's pandas compare can't sort ARRAY cells. */
   def q19(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .filter(col("o_custkey") < 30)
       .groupBy(col("o_custkey"))
       .agg(
-        sort_array(collect_list(col("o_orderpriority"))).as("ps"),
+        array_join(sort_array(collect_list(col("o_orderpriority"))), "; ")
+          .as("ps"),
         size(collect_set(col("o_orderstatus"))).cast("long").as("ns"))
       .orderBy(col("o_custkey"))
 
   val q19Sql: String =
-    """SELECT o_custkey, list_sort(list(o_orderpriority)) AS ps,
+    """SELECT o_custkey,
+      | array_to_string(list_sort(list(o_orderpriority)), '; ') AS ps,
       | count(DISTINCT o_orderstatus) AS ns
       |FROM orders WHERE o_custkey < 30 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 

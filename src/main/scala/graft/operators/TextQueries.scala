@@ -52,31 +52,41 @@ object TextQueries {
     Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
 
   /** Length / punctuation / stopword / case heuristics and a composite
-    * quality score — the standard cheap pre-filter of LLM data pipelines. */
+    * quality score — the standard cheap pre-filter of LLM data pipelines.
+    *
+    * No higher-order functions (Spark 4 runs them interpreted): the
+    * stopword count is an explode + conditional-sum aggregate, and the
+    * word-character total is algebraic — words are the single-space split
+    * of `text`, so sum(length(word)) = n_chars - (n_words - 1). */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stopCounts = d
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
+        .as("stop_cnt_l"))
     val nChars = length(col("text")).cast("double")
     val nWords = size(words).cast("double")
-    val stopCnt = size(filter(words, w => w.isin(stopwords: _*))).cast("double")
+    val stopCnt = col("stop_cnt_l").cast("double")
     val punctCnt = nChars -
       length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
     val upperCnt = nChars -
       length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")
-    val avgWordLen =
-      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        nWords
+    val avgWordLen = (nChars - nWords + 1.0) / nWords
     val stopRatio = stopCnt / nWords
     val punctRatio = punctCnt / nChars
     val quality = least(nWords / lit(200.0), lit(1.0)) * 0.5 +
       stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
-    docs(s, dir).select(
-      col("doc_id"),
-      nChars.cast("long").as("n_chars"),
-      nWords.cast("long").as("n_words"),
-      round(avgWordLen, 6).as("avg_word_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(upperCnt / nChars, 6).as("upper_ratio"),
-      round(quality, 6).as("quality"))
+    d.join(stopCounts, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        nWords.cast("long").as("n_words"),
+        round(avgWordLen, 6).as("avg_word_len"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(upperCnt / nChars, 6).as("upper_ratio"),
+        round(quality, 6).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -118,15 +128,29 @@ object TextQueries {
     * detection; deterministic priority chain on ties. (The synthetic corpus
     * labels `lang` randomly over one shared vocabulary, so accuracy against
     * that column is meaningless by construction — the operator is the
-    * contract, exercised on real marker logic.) */
+    * contract, exercised on real marker logic.)
+    *
+    * Shape: ONE explode of the word array feeding four conditional-sum
+    * aggregates — Spark 4 evaluates `filter(words, …)` lambdas interpreted
+    * per element (four passes here), which both burns CPU and churns the
+    * heap; the explode + codegen'd hash-agg form is the same rewrite that
+    * took MinHash 278→8.6 s. The join back to `documents` for the
+    * per-doc zh/label columns is on doc_id (map-side combine collapses the
+    * word rows before the shuffle). */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val scores = markers.map { case (lang, ms) =>
-      lang -> size(filter(words, w => w.isin(ms: _*))).cast("long")
-    }.toMap
+    val d = docs(s, dir)
+    val markerSums = markers.map { case (lang, ms) =>
+      sum(when(col("w").isin(ms: _*), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+    val counts = d
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(markerSums.head, markerSums.tail: _*)
+    val scores = markers.map { case (lang, _) => lang -> col(s"s_$lang") }.toMap
     val zhChars = (length(col("text")) -
       length(regexp_replace(col("text"), "[\\u4E00-\\u9FFF]", ""))).cast("long")
     val predicted =
-      when(zhChars > 0, "zh")
+      when(col("zh_chars") > 0, "zh")
         .when(scores("en") >= greatest(scores("de"), scores("es"),
           scores("fr")) && scores("en") > 0, "en")
         .when(scores("de") >= greatest(scores("es"), scores("fr")) &&
@@ -134,13 +158,16 @@ object TextQueries {
         .when(scores("es") >= scores("fr") && scores("es") > 0, "es")
         .when(scores("fr") > 0, "fr")
         .otherwise("unknown")
-    docs(s, dir).select(
-      col("doc_id"),
-      scores("en").as("s_en"), scores("de").as("s_de"),
-      scores("es").as("s_es"), scores("fr").as("s_fr"),
-      zhChars.as("zh_chars"),
-      predicted.as("predicted"),
-      col("lang").as("labeled"))
+    // split(' ') never yields an empty array, so every doc has word rows
+    // and the inner join is total
+    d.select(col("doc_id"), zhChars.as("zh_chars"), col("lang"))
+      .join(counts, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        col("zh_chars"),
+        predicted.as("predicted"),
+        col("lang").as("labeled"))
       .orderBy(col("doc_id"))
   }
 
@@ -174,19 +201,31 @@ object TextQueries {
 
   /** Winnowing-style fingerprint: the minimum md5 over word 3-gram shingles
     * (a rolling-hash selection — stable under small edits elsewhere in the
-    * doc), plus how many docs share it. */
+    * doc), plus how many docs share it.
+    *
+    * Shingles come from posexplode + two `lead` window steps, NOT from
+    * `transform(sequence(…), i => slice(…))`: Spark 4 evaluates those
+    * higher-order lambdas interpreted per element (allocating a fresh
+    * sliced array + string per shingle), which is both slow and a GC
+    * amplifier on a loaded host. The window/agg form keeps md5 + concat in
+    * whole-stage codegen, and the groupBy(doc_id) after the doc_id-
+    * partitioned window adds no second shuffle. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
-    // explode shingles → codegen'd min(md5) aggregate (the array_min-over-
-    // transform form evaluates md5 interpreted per element)
-    val w = words
-    val sh = when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", slice(w, i, lit(3)))))
-      .otherwise(array(col("text")))
-    val fp = docs(s, dir)
-      .select(col("doc_id"), explode(sh).as("g"))
+    val d = docs(s, dir)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingled = d
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(byDoc))
+      .withColumn("w2", lead(col("w"), 2).over(byDoc))
+      .filter(col("w2").isNotNull) // keep full 3-grams only
       .groupBy(col("doc_id"))
-      .agg(min(md5(col("g"))).as("fingerprint"))
+      .agg(min(md5(concat_ws(" ", col("w"), col("w1"), col("w2"))))
+        .as("fp_sh"))
+    // docs with < 3 words have no full shingle → fall back to md5(text)
+    val fp = d.select(col("doc_id"), col("text"))
+      .join(shingled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("fp_sh"), md5(col("text"))).as("fingerprint"))
     val win = Window.partitionBy(col("fingerprint"))
     fp.withColumn("n_sharing", count(lit(1)).over(win).cast("long"))
       .orderBy(col("doc_id"))
@@ -214,18 +253,26 @@ object TextQueries {
     * smallest doc_id per content hash). One declarative plan — the filters
     * fuse into a single codegen stage before the dedup shuffle. */
   def textFilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // one explode pass feeds both word-level counters (no interpreted HOFs)
+    val wordCounts = d
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
+          .as("stop_cnt_l"),
+        sum(when(col("w").isin(markers.toMap.apply("en"): _*), 1L)
+          .otherwise(0L)).as("s_en_l"))
     val nChars = length(col("text")).cast("double")
     val nWords = size(words).cast("double")
-    val stopCnt = size(filter(words, w => w.isin(stopwords: _*))).cast("double")
+    val stopCnt = col("stop_cnt_l").cast("double")
     val punctCnt = nChars -
       length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
     val quality = least(nWords / lit(200.0), lit(1.0)) * 0.5 +
       (stopCnt / nWords) * 0.3 + (lit(1.0) - punctCnt / nChars) * 0.2
-    val sEn = size(filter(words,
-      w => w.isin(markers.toMap.apply("en"): _*)))
-    docs(s, dir)
+    d.join(wordCounts, Seq("doc_id"))
       .withColumn("quality", round(quality, 6))
-      .withColumn("s_en", sEn.cast("long"))
+      .withColumn("s_en", col("s_en_l"))
       .filter(col("quality") >= 0.35 && col("s_en") > 0)
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"),

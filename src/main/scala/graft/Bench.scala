@@ -30,16 +30,26 @@ object Bench {
     // warm-up: JVM/JIT, codegen cache, parquet footer cache
     try run(SparkEntry.queries("q3_join_revenue")) catch { case _: Throwable => }
 
+    // a failed query must be VISIBLE: it still gets a timing (so the JSON
+    // shape is stable) but is listed in "errors" and fails the process —
+    // a silently-swallowed exception would make a regression look fast
+    var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => }
+        try run(fn) catch {
+          case e: Throwable =>
+            errors ::= name
+            System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -21,7 +21,13 @@ case class MwasConfig(
     permutationSideCutoff: Int = 4, // min-side size routing :407
     biosampleListCap: Int = 1000, // truncated listing :428-430
     permResamples: Int = 10000, // n_resamples :416
-    permMaxPooled: Int = 20000) // guard: fall back to Welch beyond this
+    permMaxPooled: Int = 20000, // guard: fall back to Welch beyond this
+    // hard cap on OBSERVED NONZERO values collected per (bioproject, group)
+    // for the permutation kernel; larger groups route to Welch (closed form,
+    // still exact) instead of buffering an unbounded vector — the analog of
+    // the reference skipping >50 MB projects (main/mwas_general.py:72),
+    // except nothing is dropped here. 100k doubles ≈ 800 KB per buffer.
+    permCollectCap: Int = 100000)
 
 /** The MWAS query engine: the reference's run_on_file + process_bioproject +
   * process_group call tree (main/mwas_general.py:344-679) collapsed into ONE
@@ -73,24 +79,50 @@ object Pipeline {
       else rpm(col("quantifier"), col("spots")))
 
     // ---- stage 2: per-biosample mean over replicate runs (A5 :505-518) ----
+    // persisted: four consumers below (group totals, permutation values,
+    // stored-side totals, stored-side values) would otherwise each recompute
+    // the catalog⋈input join + this aggregation.
     val bsRpm = normalized
       .filter(col("group").isNotNull)
       .groupBy(col("bio_project"), col("group"), col("bio_sample"))
       .agg(avg(col("rpm")).as("rpm"))
+      .persist()
 
-    // group acceptance: >= K nonzero biosamples (A4 :485-491). The
-    // collect_list carries the observed rpm values to the permutation
-    // kernel — bounded by biosamples-per-bioproject (the same boundedness
-    // the reference relies on when it densifies per-bioproject matrices).
-    val accepted = bsRpm
+    // group acceptance: >= K nonzero biosamples (A4 :485-491). Totals ONLY —
+    // sums/counts are map-side combinable and bounded no matter how
+    // pathological one bioproject is; no collect_list at this grain.
+    val groupStats = bsRpm
       .groupBy(col("bio_project"), col("group"))
       .agg(
         sum(when(col("rpm") =!= 0, 1).otherwise(0)).as("nonzeros"),
         sum(col("rpm")).as("sum_all"),
         sum(col("rpm") * col("rpm")).as("sumsq_all"),
-        count(lit(1)).as("n_observed"),
-        collect_list(col("rpm")).as("all_vals"))
+        count(lit(1)).as("n_observed"))
       .filter(col("nonzeros") >= cfg.groupNonzerosThreshold)
+      .withColumn("perm_capped", col("nonzeros") > cfg.permCollectCap)
+
+    // Raw values are needed ONLY by the permutation kernel, only for groups
+    // under the cap, and only the NONZERO ones: the kernel pads each side
+    // with implicit zeros up to its true cardinality, so an observed zero is
+    // indistinguishable from padding — dropping observed zeros leaves the
+    // padded multisets identical. The collect_list buffer is therefore
+    // <= permCollectCap elements BY CONSTRUCTION (the semi join admits only
+    // groups whose nonzero count was counted above and passed the cap).
+    val needVals = !cfg.onlyTTest
+    val bsNonzero = bsRpm.filter(col("rpm") =!= 0)
+    val permKeys = groupStats
+      .filter(!col("perm_capped"))
+      .select(col("bio_project"), col("group"))
+    val emptyVals = array().cast("array<double>")
+    val accepted =
+      if (!needVals) groupStats.withColumn("all_vals", emptyVals)
+      else groupStats
+        .join(bsNonzero
+          .join(permKeys, Seq("bio_project", "group"), "left_semi")
+          .groupBy(col("bio_project"), col("group"))
+          .agg(collect_list(col("rpm")).as("all_vals")),
+          Seq("bio_project", "group"), "left_outer")
+        .withColumn("all_vals", coalesce(col("all_vals"), emptyVals))
 
     // biosample universe per bioproject (for implicit zeros + listings)
     val bpUniverse = catalog
@@ -103,13 +135,25 @@ object Pipeline {
     // stats fall out of the group totals by subtraction.
     val member = sets.select(col("bioproject").as("bio_project"),
       col("set_id"), explode(col("members")).as("bio_sample"))
-    val storedStats = bsRpm
+    // stored-side TOTALS feed every route (Welch included) — no raw values
+    // here either; the values go through the same capped nonzero-only path
+    // as all_vals, so this buffer has the same <= permCollectCap bound.
+    val storedTotals = bsRpm
       .join(member, Seq("bio_project", "bio_sample"))
       .groupBy(col("bio_project"), col("group"), col("set_id"))
       .agg(
         sum(col("rpm")).as("sum_stored"),
-        sum(col("rpm") * col("rpm")).as("sumsq_stored"),
-        collect_list(col("rpm")).as("stored_vals"))
+        sum(col("rpm") * col("rpm")).as("sumsq_stored"))
+    val storedStats =
+      if (!needVals)
+        storedTotals.withColumn("stored_vals", emptyVals)
+      else storedTotals
+        .join(bsNonzero
+          .join(permKeys, Seq("bio_project", "group"), "left_semi")
+          .join(member, Seq("bio_project", "bio_sample"))
+          .groupBy(col("bio_project"), col("group"), col("set_id"))
+          .agg(collect_list(col("rpm")).as("stored_vals")),
+          Seq("bio_project", "group", "set_id"), "left_outer")
 
     val contrasts = sets.select(
         col("bioproject").as("bio_project"), col("set_id"),
@@ -159,7 +203,8 @@ object Pipeline {
     // and parallel-safe where the reference's dict was neither.
     val isTTest = lit(cfg.onlyTTest) ||
       least(col("num_true"), col("num_false")) < lit(cfg.permutationSideCutoff) ||
-      (col("num_true") + col("num_false")) > cfg.permMaxPooled
+      (col("num_true") + col("num_false")) > cfg.permMaxPooled ||
+      col("perm_capped") // values were never collected for capped groups
     val routed = withStats
       .withColumn("w", welch_t(
         col("mean_rpm_true"), col("sd_rpm_true"), col("num_true").cast("double"),

@@ -60,18 +60,12 @@ object DedupQueries {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product as a JIT'd Scala kernel: the higher-order-function
-    * formulation above evaluates interpreted per element, which dominates
-    * the quadratic pair stages (~26 s at sf0.1 → seconds). Same sequential
-    * accumulation order, so results are bit-identical to the HOF form and
-    * the DuckDB oracle. */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var s = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
+  /** Per-pair dot product: the native codegen'd expression (zero per-call
+    * allocation) — see [[graft.functions.DotProduct]] for the measured
+    * HOF/UDF/native comparison. Bit-identical accumulation order across
+    * all three forms and the DuckDB oracle. */
+  private def dotNative(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot_product(a, b)
 
   // ------------------------------------------------- D1: exact (hash) dedup
 
@@ -267,42 +261,41 @@ object DedupQueries {
   // ------------------------------------- D5: embedding-cosine near-dup / NN
 
   /** Global nearest neighbor per vector by cosine — brute force as a
-    * broadcast matrix sweep: the reference set (all vectors) is broadcast
-    * to every partition and each row scans it in a JIT'd loop. No pair
-    * relation ever materializes — the crossJoin formulation shuffled 25M
-    * rows × two 0.5 KB arrays at sf0.1 (~31 s); this is one narrow pass
-    * (~2 s). At cluster scale the broadcast side becomes the IVF/blocked
-    * reference partition, same shape as a broadcast hash join. */
+    * CHUNKED broadcast matrix sweep. The reference side is split into K
+    * bounded blocks; each block is broadcast (Spark-managed, executor-side)
+    * and nested-loop joined against the full table, with the per-block
+    * argmax collapsing map-side (partial max of a (cos, -nn_id) struct
+    * before any shuffle), and a final max across blocks. No `.collect()`:
+    * an earlier formulation materialized the whole embeddings table on the
+    * driver, which caps at driver memory — here each broadcast is one
+    * block, so K is the scale lever (at 100 TB, K grows with the corpus
+    * while block size stays executor-friendly; the running argmax keeps
+    * the shuffle at one narrow row per (vec_id, block)). */
   def dedupEmbeddingNn(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    val nBlocks = 4
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Seq[Double], Double)]
-    val ref = v.collect().map { case (id, vec, n) => (id, vec.toArray, n) }
-      .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(ref)
-    v.mapPartitions { iter =>
-      val m = bc.value
-      iter.map { case (id, vecSeq, nrm) =>
-        val vec = vecSeq.toArray
-        var bestId = -1L
-        var bestCos = Double.NegativeInfinity
-        var i = 0
-        while (i < m.length) {
-          val (oid, ovec, onrm) = m(i)
-          if (oid != id) {
-            var dotv = 0.0
-            var j = 0
-            while (j < vec.length) { dotv += vec(j) * ovec(j); j += 1 }
-            val cos = dotv / (nrm * onrm)
-            if (cos > bestCos) { bestCos = cos; bestId = oid }
-          }
-          i += 1
-        }
-        (id, bestId, bestCos)
-      }
-    }.toDF("vec_id", "nn_id", "cos")
-      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"),
-        (col("cos") >= 0.45).as("is_near_dup"))
+    // max over struct orders by cos first, then by -nn_id — so ties on
+    // cosine resolve to the SMALLEST neighbor id, matching the oracle's
+    // ORDER BY cos DESC, nn_id
+    val partials = (0 until nBlocks).map { k =>
+      val block = v
+        .filter(pmod(col("vec_id"), lit(nBlocks)) === k)
+        .select(col("vec_id").as("nn_id"), col("v").as("vb"),
+          col("nrm").as("nrmb"))
+      v.join(broadcast(block), col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), struct(
+          (dotNative(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+            .as("cos"),
+          (-col("nn_id")).as("neg_id")).as("c"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("c")).as("c"))
+    }
+    partials.reduce(_ union _)
+      .groupBy(col("vec_id"))
+      .agg(max(col("c")).as("c"))
+      .select(col("vec_id"), (-col("c.neg_id")).as("nn_id"),
+        round(col("c.cos"), 6).as("cosine"),
+        (col("c.cos") >= 0.45).as("is_near_dup"))
       .orderBy(col("vec_id"))
   }
 
@@ -336,7 +329,7 @@ object DedupQueries {
     val pairs = broadcast(q).crossJoin(
         v.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotUdf(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
@@ -402,7 +395,7 @@ object DedupQueries {
       .join(v.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .join(v.select(col("vec_id").as("nn_id"), col("v").as("vb"),
         col("nrm").as("nrmb")), Seq("nn_id"))
-      .withColumn("cos", dotUdf(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+      .withColumn("cos", dotNative(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     val perVec = cand.groupBy(col("vec_id"))

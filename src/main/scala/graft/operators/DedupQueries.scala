@@ -271,7 +271,10 @@ object DedupQueries {
     * block, so K is the scale lever (at 100 TB, K grows with the corpus
     * while block size stays executor-friendly; the running argmax keeps
     * the shuffle at one narrow row per (vec_id, block)). */
-  def dedupEmbeddingNn(s: SparkSession, dir: String): DataFrame = {
+  /** Exact global NN relation (vec_id, nn_id, cos) via the chunked
+    * broadcast sweep — shared by [[dedupEmbeddingNn]] and the ANN recall
+    * gates (AnnRecall). */
+  private[operators] def exactNn(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 4
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
     // max over struct orders by cos first, then by -nn_id — so ties on
@@ -294,10 +297,15 @@ object DedupQueries {
       .groupBy(col("vec_id"))
       .agg(max(col("c")).as("c"))
       .select(col("vec_id"), (-col("c.neg_id")).as("nn_id"),
-        round(col("c.cos"), 6).as("cosine"),
-        (col("c.cos") >= 0.45).as("is_near_dup"))
-      .orderBy(col("vec_id"))
+        col("c.cos").as("cos"))
   }
+
+  def dedupEmbeddingNn(s: SparkSession, dir: String): DataFrame =
+    exactNn(s, dir)
+      .select(col("vec_id"), col("nn_id"),
+        round(col("cos"), 6).as("cosine"),
+        (col("cos") >= 0.45).as("is_near_dup"))
+      .orderBy(col("vec_id"))
 
   val dedupEmbeddingNnSql: String =
     """WITH n AS (
@@ -365,8 +373,10 @@ object DedupQueries {
     * driver-side constants, so the plan is deterministic. The only shuffle
     * is on (table, bucket); candidate verification is bucket-local — the
     * IVF/LSH scale path (probe: ~9× fewer comparisons than brute force at
-    * sf0.01). Approximate by construction → rows-only check. */
-  def annLshBucket(s: SparkSession, dir: String): DataFrame = {
+    * sf0.01). Approximate by construction → no SQL oracle; the
+    * [[annLshBucket]] query wraps this relation in a recall@1 gate
+    * against [[exactNn]]. */
+  def annLshNn(s: SparkSession, dir: String): DataFrame = {
     val nTables = 8
     val nBits = 6
     val rnd = new scala.util.Random(7)
@@ -376,7 +386,9 @@ object DedupQueries {
     val tables = (0 until nTables).map { t =>
       val bucket = (0 until nBits).map { i =>
         val p = typedLit(planes(t)(i).toSeq)
-        when(dot(col("v"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
+        // native dot: 48 sign tests per row would otherwise run as
+        // interpreted HOF lambdas
+        when(dotNative(col("v"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
@@ -409,6 +421,12 @@ object DedupQueries {
       .na.fill(Map("n_candidates" -> 0L))
       .orderBy(col("vec_id"))
   }
+
+  /** The LSH query surface: recall@1 of [[annLshNn]] against the exact
+    * sweep, as one scalar row — a checkable quality gate instead of a bare
+    * rows>0 (AnnRecallSpec thresholds it; the driver rows-checks it). */
+  def annLshBucket(s: SparkSession, dir: String): DataFrame =
+    AnnRecall.summarize(annLshNn(s, dir), exactNn(s, dir))
 
   // ---------------------------------------------------------------- registry
 

@@ -15,20 +15,21 @@ import graft.core.Tables
   * bucket-local, never all-pairs; the quantizer model is small and
   * broadcast as literals.
   *
-  * Approximate by construction (centroid quality decides recall) →
-  * rows-only check; output cardinality is pinned to the vector count via
-  * the final left join.
+  * Approximate by construction (centroid quality decides recall) → no
+  * SQL oracle; the [[annIvf]] query wraps the NN relation in a recall@1
+  * gate against the exact sweep.
   */
 object IvfQueries {
 
   private val k = 16
   private val nprobe = 2
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Per-vector IVF NN relation (vec_id, n_candidates, nn_id, cosine). */
+  def annIvfNn(s: SparkSession, dir: String): DataFrame = {
     val v = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
     val ml = v.withColumn("features", array_to_vector(col("v")))
 
     val model = new KMeans().setK(k).setSeed(11).setMaxIter(10)
@@ -38,12 +39,17 @@ object IvfQueries {
         col("prediction").as("cell"))
 
     // distance to each centroid as literal-array expressions (the model is
-    // tiny; the data never leaves its partition for assignment)
+    // tiny; the data never leaves its partition for assignment). Expanded
+    // algebraically — |v-c|² = |v|² - 2·v·c + |c|² — so the per-centroid
+    // term is ONE codegen'd dot product, not an interpreted zip_with
+    // lambda (|c|² folds to a literal; |v|² is rank-invariant but kept so
+    // the probe order matches true L2 distance under ties).
     val centroids = model.clusterCenters.map(_.toArray)
     val dist2 = (c: Array[Double]) => {
       val lc = typedLit(c.toSeq)
-      aggregate(zip_with(col("v"), lc, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      col("nrm") * col("nrm") -
+        lit(2.0) * graft.functions.VectorOps.dot_product(col("v"), lc) +
+        lit(c.map(x => x * x).sum)
     }
     val probes = array(
       (0 until k).map(i => struct(dist2(centroids(i)).as("d"),
@@ -58,8 +64,8 @@ object IvfQueries {
     val cand = probed.join(lists, Seq("cell"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos",
-        aggregate(zip_with(col("v"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("nrmb")))
+        graft.functions.VectorOps.dot_product(col("v"), col("vb")) /
+          (col("nrm") * col("nrmb")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     val nn = cand.withColumn("rn", row_number().over(w))
@@ -67,12 +73,17 @@ object IvfQueries {
       .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))
     val perVec = cand.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_candidates"))
-    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    assigned.select(col("vec_id"))
       .join(perVec, Seq("vec_id"), "left_outer")
       .join(nn, Seq("vec_id"), "left_outer")
       .na.fill(Map("n_candidates" -> 0L))
       .orderBy(col("vec_id"))
   }
+
+  /** The IVF query surface: recall@1 against the exact sweep as one
+    * scalar row (see [[AnnRecall]]). */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    AnnRecall.summarize(annIvfNn(s, dir), DedupQueries.exactNn(s, dir))
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("ann_ivf", annIvf _, None))

@@ -172,11 +172,74 @@ object StreamingQueries {
       |       round(max(value), 6) AS max_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The PRODUCTION streaming path the complete-mode queries above can't
+    * exercise: watermarked windowed aggregation in APPEND mode, where a
+    * window is emitted exactly once — when the watermark passes its end —
+    * and its state is dropped. Multiple micro-batches are forced by
+    * staging the events into 3 time-ordered files (deterministic ntile
+    * split, ascending modification times) and `maxFilesPerTrigger=1`, so
+    * the watermark genuinely advances BETWEEN batches; AvailableNow's
+    * final no-data batch advances it to max(ts) − delay and flushes every
+    * closed window. Late windows (end > final watermark) are correctly
+    * withheld — the DuckDB oracle applies the same cutoff. */
+  def appendWindow(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // deterministic 3-way time split: ntile over (ts, event_id)
+    val tiled = ev.withColumn("tile", ntile(3).over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val staging = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_append_" + Integer.toHexString(dir.hashCode))
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    staging.mkdirs()
+    (1 to 3).foreach { k =>
+      val tmp = new java.io.File(staging, s"_stage_$k")
+      tiled.filter(col("tile") === k).drop("tile")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(staging, s"batch_$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      // ascending mtimes pin the file-source processing order to time order
+      dst.setLastModified(1000000L + k * 60000L)
+    }
+    val schema = ev.schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = src.withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("count").as("n"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Windows with end <= max(ts) − 10 min are exactly the ones append
+    * mode emits by the final no-data batch. */
+  val appendWindowSql: String =
+    """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL '1 hour'
+      |       <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+      |ORDER BY event_type, window_start""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("stream_tumbling", tumbling _, Some(tumblingSql)),
       ("stream_sliding", sliding _, Some(slidingSql)),
       ("stream_sessions", sessions _, Some(sessionsSql)),
       ("stream_dedup", dedup _, Some(dedupSql)),
-      ("stream_running_stats", runningStats _, Some(runningStatsSql)))
+      ("stream_running_stats", runningStats _, Some(runningStatsSql)),
+      ("stream_append_window", appendWindow _, Some(appendWindowSql)))
 }

@@ -229,9 +229,39 @@ object EtlQueries {
       |FROM orders WHERE o_orderkey % 5 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S12: the rejected-rows path end-to-end — a CSV where 1 in 7
+    * quantifiers is non-numeric goes through the positional reader; the
+    * rejects come back as a relation AND get sunk through the report
+    * writer (the side-channel the reference prints to conversion_errors
+    * .txt, main/converter_.py:73-112). The oracle recomputes the rejected
+    * set from orders directly. */
+  def rejectsReport(s: SparkSession, dir: String): DataFrame = {
+    val input = Tables(s, dir, "orders").select(
+      concat(lit("R"), col("o_orderkey")).as("run"),
+      col("o_orderpriority").as("group"),
+      when(col("o_orderkey") % 7 === 0, lit("not_a_number"))
+        .otherwise(col("o_totalprice").cast("string")).as("quantifier"))
+    val path = tmpDir("rejects_in")
+    CsvIo.writeCsv(input, path)
+    val routed = CsvIo.readUserInputRouted(s, path)
+    CsvIo.writeRejectsReport(routed, tmpDir("rejects_report"))
+    routed.filter(col("reject_reason").isNotNull)
+      .select(col("run"), col("group"), col("quantifier_raw"),
+        col("reject_reason"))
+      .orderBy(col("run"))
+  }
+
+  val rejectsReportSql: String =
+    """SELECT 'R' || o_orderkey AS run, o_orderpriority AS "group",
+      |       'not_a_number' AS quantifier_raw,
+      |       'non_numeric_quantifier' AS reject_reason
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |ORDER BY run""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("etl_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
+      ("etl_rejects_report", rejectsReport _, Some(rejectsReportSql)),
       ("etl_csv_condense", csvCondense _,
         Some(MwasPipelineQueries.condenseSql)),
       ("asof_join", asofJoin _, Some(asofJoinSql)),

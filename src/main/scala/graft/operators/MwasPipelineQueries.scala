@@ -350,6 +350,57 @@ object MwasPipelineQueries {
        |ORDER BY bioproject, "group", metadata_field, metadata_value""".stripMargin
   }
 
+  /** P8/P10: the intake policy over per-project metadata stats — empty /
+    * size-budget / blacklist routing (graft.mwas.Policy; reference
+    * main/converter_.py:11-31, main/mwas_general.py:295-314). The size
+    * budget is 1.05× the mean project size so the predicate selects rows
+    * at every SF (an absolute byte threshold flips between SFs). The
+    * global window runs over ONE ROW PER PROJECT — post-aggregation,
+    * thousands of rows at most, not a data-scale single partition. */
+  def policyQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = metadataLong(s, dir)
+      .groupBy(col("bioproject"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(length(col("attribute")) +
+          length(coalesce(col("value"), lit(""))) + lit(2))
+          .cast("long").as("size_bytes"))
+      .withColumn("max_size",
+        avg(col("size_bytes")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()) * 1.05)
+    val blacklist = Seq("BP3", "BP7", "nan").toDF("bioproject")
+    graft.mwas.Policy.route(stats, blacklist, col("max_size"))
+      .select(col("bioproject"), col("n_rows"), col("size_bytes"),
+        col("in_blacklist"), col("status"))
+      .orderBy(col("bioproject"))
+  }
+
+  val policySql: String =
+    """WITH long AS (
+      |  SELECT 'BP' || (c_custkey % 20) AS bioproject,
+      |         'BS' || c_custkey AS biosample_id,
+      |         'mktsegment' AS attribute, c_mktsegment AS value
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'BP' || (c_custkey % 20), 'BS' || c_custkey,
+      |         'nation_bucket', 'N' || (c_nationkey % 5)
+      |  FROM customer),
+      |stats AS (
+      |  SELECT bioproject, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(length(attribute) + length(coalesce(value, ''))
+      |           + 2) AS BIGINT) AS size_bytes
+      |  FROM long GROUP BY 1),
+      |m AS (SELECT avg(size_bytes) * 1.05 AS max_size FROM stats)
+      |SELECT s.bioproject, s.n_rows, s.size_bytes,
+      |       s.bioproject IN ('BP3', 'BP7', 'nan') AS in_blacklist,
+      |       CASE WHEN s.size_bytes <= 1 THEN 'was_empty'
+      |            WHEN s.size_bytes <= m.max_size
+      |                 AND s.bioproject NOT IN ('BP3', 'BP7', 'nan')
+      |              THEN 'accepted'
+      |            ELSE 'too_large' END AS status
+      |FROM stats s, m ORDER BY s.bioproject""".stripMargin
+
   /** The reference's pickle-to-readable expansion
     * (main/mwaspkl_to_readable_csv.py:24-29): sets back to per-biosample
     * rows with the ordinal position preserved — `posexplode` is the whole
@@ -378,5 +429,6 @@ object MwasPipelineQueries {
       ("mwas_results_analyze", resultsAnalyzeQuery _,
         Some(resultsAnalyzeSql)),
       ("mwas_set_expand", setExpandQuery _, Some(setExpandSql)),
-      ("mwas_pipeline_ttest", pipelineTQuery _, Some(pipelineTSql)))
+      ("mwas_pipeline_ttest", pipelineTQuery _, Some(pipelineTSql)),
+      ("mwas_policy_filter", policyQuery _, Some(policySql)))
 }

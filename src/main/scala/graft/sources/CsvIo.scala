@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   */
 object CsvIo {
 
-  /** S1: the user-input contract — columns taken POSITIONALLY (whatever
-    * their header says), renamed to (run, group, quantifier), quantifier
-    * validated numeric. Rows failing the dtype check are dropped into the
-    * rejects side-channel (reference exits; we keep the relation total and
-    * let the caller decide — S12's rejected-rows report). */
-  def readUserInput(s: SparkSession, path: String): DataFrame = {
+  /** S1+S12: the user-input contract, TOTAL — columns taken POSITIONALLY
+    * (whatever their header says), renamed, and every row kept with a
+    * `reject_reason` (null = valid). The reference prints conversion
+    * errors to a side file and exits on bad dtypes
+    * (main/converter_.py:60-64, main/mwas_general.py:744-759); here the
+    * rejects are a relation a caller can count, sample, or sink via
+    * [[writeRejectsReport]]. */
+  def readUserInputRouted(s: SparkSession, path: String): DataFrame = {
     val raw = s.read.option("header", "true").csv(path)
     require(raw.columns.length >= 3,
       s"user input needs 3 columns, got ${raw.columns.length}")
@@ -27,9 +29,26 @@ object CsvIo {
     raw.select(
       col(c1).cast(StringType).as("run"),
       col(c2).cast(StringType).as("group"),
-      col(c3).cast(DoubleType).as("quantifier"))
-      .filter(col("quantifier").isNotNull)
+      col(c3).cast(StringType).as("quantifier_raw"))
+      // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+      // cast THROW on the malformed rows this reader exists to route
+      .withColumn("quantifier", expr("try_cast(quantifier_raw AS DOUBLE)"))
+      .withColumn("reject_reason",
+        when(col("quantifier_raw").isNull, "missing_quantifier")
+          .when(col("quantifier").isNull, "non_numeric_quantifier"))
   }
+
+  /** S1 valid slice (what the pipeline consumes). */
+  def readUserInput(s: SparkSession, path: String): DataFrame =
+    readUserInputRouted(s, path)
+      .filter(col("reject_reason").isNull)
+      .select(col("run"), col("group"), col("quantifier"))
+
+  /** S12: the rejected-rows report sink. */
+  def writeRejectsReport(routed: DataFrame, path: String): Unit =
+    writeCsv(routed.filter(col("reject_reason").isNotNull)
+      .select(col("run"), col("group"), col("quantifier_raw"),
+        col("reject_reason")), path)
 
   /** S2: dynamic-width metadata CSV, schema-on-read. */
   def readMetadataCsv(s: SparkSession, path: String): DataFrame =

@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S1/S12: the positional reader's reject routing and the rejected-rows
+  * report sink — the side-channel the reference only prints
+  * (main/converter_.py:60-64). */
+class CsvIoSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("csvio-spec")
+    .getOrCreate()
+
+  test("readUserInput drops bad rows; the rejects report captures them") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_csvio_in").toString
+    Seq(
+      ("R1", "g1", "1.5"),
+      ("R2", "g1", "oops"),   // non-numeric → rejected
+      ("R3", "g2", "2.0"),
+      ("R4", "g2", null))     // missing → rejected
+      .toDF("acc", "grp", "qty") // header names are IGNORED (positional)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(in)
+
+    val good = CsvIo.readUserInput(spark, in)
+    assert(good.count() === 2)
+    assert(good.columns.toSeq === Seq("run", "group", "quantifier"))
+    assert(good.filter(col("run").isin("R2", "R4")).count() === 0)
+
+    val routed = CsvIo.readUserInputRouted(spark, in)
+    val report = Files.createTempDirectory("graft_csvio_rep").toString
+    CsvIo.writeRejectsReport(routed, report)
+    val back = spark.read.option("header", "true").csv(report)
+    assert(back.count() === 2)
+    val reasons = back.select(col("run"), col("reject_reason"))
+      .as[(String, String)].collect().toMap
+    assert(reasons("R2") === "non_numeric_quantifier")
+    assert(reasons("R4") === "missing_quantifier")
+  }
+}

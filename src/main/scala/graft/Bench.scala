@@ -34,7 +34,12 @@ object Bench {
     // shape is stable) but is listed in "errors" and fails the process —
     // a silently-swallowed exception would make a regression look fast
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional name filter for local iteration (driver sets no filter)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try run(fn) catch {

@@ -14,21 +14,31 @@ import org.apache.spark.sql.functions._
   * dbtable subquery, so the projection and the IN-list predicate execute
   * inside the database; Spark sees only the 4-column result.
   *
-  * No database exists in the offline environment, so [[fromJdbc]] is
-  * exercised only through its plan construction; [[fromParquet]] is the
-  * tested equivalent over a catalog export (what the driver testdata
-  * stands in for). Both return the same schema, so the pipeline is
-  * source-agnostic.
+  * No Postgres exists in the offline environment; [[fromJdbc]] is
+  * exercised end-to-end against embedded Derby (JdbcCatalogSpec) —
+  * projection, computed spots, and IN-list pushdown all execute
+  * in-database there exactly as they would against Postgres.
+  * [[fromParquet]] is the equivalent over a catalog export (what the
+  * driver testdata stands in for). Both return the same schema, so the
+  * pipeline is source-agnostic.
   */
 object JdbcCatalog {
 
+  /** Escape a string for inclusion in a standard SQL string literal: the
+    * only metacharacter inside '…' is the quote itself, doubled. (The
+    * reference interpolates accessions unescaped, main/mwas_general.py:173
+    * — an accession containing a quote would break or inject there.) */
+  private[sources] def sqlLiteral(v: String): String =
+    "'" + v.replace("'", "''") + "'"
+
   /** The catalog slice via JDBC with the computed-spots projection and
-    * run-list pushdown happening in-database. `runs` must be pre-sanitized
-    * accessions (the reference formats them into SQL the same way,
-    * main/mwas_general.py:173,178). */
+    * run-list pushdown happening in-database (the reference formats the
+    * same IN-list into its Postgres query, main/mwas_general.py:173,178).
+    * Accessions are escaped as SQL literals, so untrusted run ids are
+    * safe. */
   def fromJdbc(s: SparkSession, url: String, props: Properties,
       table: String, runs: Seq[String]): DataFrame = {
-    val inList = runs.map(r => s"'$r'").mkString(", ")
+    val inList = runs.map(sqlLiteral).mkString(", ")
     val subquery =
       s"""(SELECT bio_project, bio_sample, run,
          |        (mbases * 1000000) / avgspotlen AS spots

@@ -54,4 +54,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() === 1)
     assert(back.select(col("bioproject")).as[String].head() === "bp1")
   }
+
+  test("a group over permCollectCap completes and routes to the Welch " +
+      "path (no unbounded value buffer)") {
+    import spark.implicits._
+    // 10 nonzero biosamples; stored side {BS1..BS5} → min side 5 >= the
+    // permutation cutoff (4), so ONLY the cap can force the t-test route
+    val catalog = (1 to 10)
+      .map(i => (s"R$i", s"BS$i", "bp1", 1000000.0))
+      .toDF("run", "bio_sample", "bio_project", "spots")
+    val input = (1 to 10).map(i => (s"R$i", "g1", i.toDouble))
+      .toDF("run", "group", "quantifier")
+    val sets = Seq(("bp1", "tissue", "liver", (1 to 5).map(i => s"BS$i"),
+        5, true, 10, 42L))
+      .toDF("bioproject", "attributes", "values", "members", "n_stored",
+        "include", "n_biosamples", "set_id")
+
+    def statusWith(cfg: MwasConfig): String =
+      Pipeline.run(input, catalog, sets, cfg)
+        .select(col("status")).as[String].head()
+
+    // sanity: uncapped, this contrast takes the permutation route
+    assert(statusWith(MwasConfig()).startsWith("permutation_test"))
+    // capped below the group's 10 nonzeros: values are never collected
+    // and the contrast routes to the closed-form Welch t — completing
+    // where an unbounded collect_list would have buffered the whole group
+    val capped = Pipeline.run(input, catalog, sets,
+      MwasConfig(permCollectCap = 5)).cache()
+    val r = capped.collect().head
+    assert(r.getAs[String]("status").startsWith("t_test"))
+    assert(!r.getAs[Double]("test_statistic").isNaN)
+    assert(r.getAs[Long]("num_true") === 5L)
+    // true side {1..5} mean 3, false side {6..10} mean 8, pop var 2 each:
+    // t = (3-8)/sqrt(2/5 + 2/5) = -5.590169...
+    assert(math.abs(r.getAs[Double]("test_statistic") -
+      (-5.0 / math.sqrt(0.8))) < 1e-9)
+  }
 }

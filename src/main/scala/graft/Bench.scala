@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the JSON line below uses the f-interpolator: pin the locale so a
+    // comma-decimal default can never emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -41,6 +44,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map {
       case (name, fn) =>
+        // isolation: a query must be timed against a cold cache, not
+        // against whatever its predecessor happened to leave persisted
+        spark.catalog.clearCache()
+        graft.operators.MwasPipelineQueries.evict()
         val t0 = System.nanoTime()
         try run(fn) catch {
           case e: Throwable =>

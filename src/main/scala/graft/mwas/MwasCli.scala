@@ -73,6 +73,7 @@ object MwasCli {
     val n = out.count()
     val sig = out.filter(org.apache.spark.sql.functions.col("status")
       .contains("significant")).count()
+    out.unpersist(blocking = false) // all consumers (writes + counts) done
     println(s"[mwas] $n tests written to $outDir ($sig significant)")
     spark.stop()
   }

@@ -79,14 +79,17 @@ object Pipeline {
       else rpm(col("quantifier"), col("spots")))
 
     // ---- stage 2: per-biosample mean over replicate runs (A5 :505-518) ----
-    // persisted: four consumers below (group totals, permutation values,
-    // stored-side totals, stored-side values) would otherwise each recompute
-    // the catalog⋈input join + this aggregation.
+    // NOT persisted: the four consumers below (group totals, permutation
+    // values, stored-side totals, stored-side values) all contain this
+    // aggregation's exchange with an identical canonical plan, so Spark's
+    // ReuseExchange writes the shuffle once and reads it four times —
+    // shuffle-file reuse costs no executor storage memory and cannot leak
+    // (a persist() here outlived the query: nothing in a lazy plan can
+    // know when the caller's action finishes, so it was never unpersisted).
     val bsRpm = normalized
       .filter(col("group").isNotNull)
       .groupBy(col("bio_project"), col("group"), col("bio_sample"))
       .agg(avg(col("rpm")).as("rpm"))
-      .persist()
 
     // group acceptance: >= K nonzero biosamples (A4 :485-491). Totals ONLY —
     // sums/counts are map-side combinable and bounded no matter how
@@ -109,18 +112,24 @@ object Pipeline {
     // <= permCollectCap elements BY CONSTRUCTION (the semi join admits only
     // groups whose nonzero count was counted above and passed the cap).
     val needVals = !cfg.onlyTTest
-    val bsNonzero = bsRpm.filter(col("rpm") =!= 0)
     val permKeys = groupStats
       .filter(!col("perm_capped"))
       .select(col("bio_project"), col("group"))
+    // ONE relation feeds both value collections (group-level all_vals and
+    // stored-side stored_vals): building it twice made the plan re-derive
+    // the semi join per consumer. Arrays are sorted HERE, once per group at
+    // aggregation time — collect_list order is partition-dependent, and the
+    // memo key below needs canonical order; sorting per contrast row would
+    // redo the O(n log n) work once per (group × set) instead of per group.
+    val permVals = bsRpm.filter(col("rpm") =!= 0)
+      .join(permKeys, Seq("bio_project", "group"), "left_semi")
     val emptyVals = array().cast("array<double>")
     val accepted =
       if (!needVals) groupStats.withColumn("all_vals", emptyVals)
       else groupStats
-        .join(bsNonzero
-          .join(permKeys, Seq("bio_project", "group"), "left_semi")
+        .join(permVals
           .groupBy(col("bio_project"), col("group"))
-          .agg(collect_list(col("rpm")).as("all_vals")),
+          .agg(sort_array(collect_list(col("rpm"))).as("all_vals")),
           Seq("bio_project", "group"), "left_outer")
         .withColumn("all_vals", coalesce(col("all_vals"), emptyVals))
 
@@ -148,11 +157,10 @@ object Pipeline {
       if (!needVals)
         storedTotals.withColumn("stored_vals", emptyVals)
       else storedTotals
-        .join(bsNonzero
-          .join(permKeys, Seq("bio_project", "group"), "left_semi")
+        .join(permVals
           .join(member, Seq("bio_project", "bio_sample"))
           .groupBy(col("bio_project"), col("group"), col("set_id"))
-          .agg(collect_list(col("rpm")).as("stored_vals")),
+          .agg(sort_array(collect_list(col("rpm"))).as("stored_vals")),
           Seq("bio_project", "group", "set_id"), "left_outer")
 
     val contrasts = sets.select(
@@ -212,11 +220,13 @@ object Pipeline {
       .withColumn("is_t_test", isTTest)
       // the permutation p is a pure function of (stored multiset, group
       // multiset, polarity, side sizes) — hash of the sorted arrays is the
-      // memo key (sorted: collect_list order is partition-dependent)
+      // memo key. xxhash64 hashes ARRAY columns natively (recursive element
+      // hash, codegen'd); the arrays were already sorted at aggregation
+      // time, so this is a straight pass over the doubles — no JSON string
+      // ever built.
       .withColumn("memo_key",
         when(col("is_t_test"), lit(null).cast("long")).otherwise(
-          xxhash64(to_json(sort_array(col("stored_vals"))),
-            to_json(sort_array(col("all_vals"))), col("include"),
+          xxhash64(col("stored_vals"), col("all_vals"), col("include"),
             col("num_true"), col("num_false"))))
 
     val permUdf = Pipeline.permPaddedUdf(cfg.permResamples)

@@ -123,19 +123,37 @@ object MwasPipelineQueries {
               "ORDER BY bioproject, attributes, \"values\"", "")}) c
        |ORDER BY bioproject, attributes, "values"""".stripMargin
 
-  /** The computed (unordered) pipeline relation, cached per (session, sf
-    * dir): three driver queries (full / stats slice / results-analyze)
-    * consume it, and the permutation kernel inside is the expensive part —
-    * persist() turns three full pipeline executions into one. */
-  private val pipelineCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** The computed (unordered) pipeline relation, cached for the MOST
+    * RECENT (session, sf dir) only: three driver queries (full / stats
+    * slice / results-analyze) consume it back-to-back, and the permutation
+    * kernel inside is the expensive part — persist() turns three full
+    * pipeline executions into one. A single-slot cache bounds the storage
+    * footprint by construction: switching key unpersists and drops the
+    * previous entry, so a long-lived session holds at most one cached
+    * pipeline relation (the round-2 TrieMap kept every (session, dir) it
+    * ever saw, persisted, forever). `evict()` releases even that. */
+  private val pipelineCache = new java.util.concurrent.atomic.AtomicReference[
+    Option[((SparkSession, String), DataFrame)]](None)
+
+  /** Unpersist and drop the cached pipeline relation (bench/test hygiene). */
+  def evict(): Unit =
+    pipelineCache.getAndSet(None).foreach { case (_, df) =>
+      df.unpersist(blocking = false)
+    }
 
   private def pipelineBase(s: SparkSession, dir: String): DataFrame =
-    pipelineCache.getOrElseUpdate((s, dir), {
-      val sets = MetadataCondenser.condense(metadataLong(s, dir))
-      Pipeline.run(input(s, dir), catalog(s, dir), sets, MwasConfig())
-        .persist()
-    })
+    pipelineCache.synchronized {
+      pipelineCache.get() match {
+        case Some((k, df)) if k == (s, dir) => df
+        case prev =>
+          prev.foreach(_._2.unpersist(blocking = false))
+          val sets = MetadataCondenser.condense(metadataLong(s, dir))
+          val df = Pipeline.run(input(s, dir), catalog(s, dir), sets,
+            MwasConfig()).persist()
+          pipelineCache.set(Some(((s, dir), df)))
+          df
+      }
+    }
 
   /** The flagship: condenser output feeding the single-plan MWAS pipeline.
     * The Welch/fold-change numeric columns are oracled by mwas_pipeline_sql

@@ -90,4 +90,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("test_statistic") -
       (-5.0 / math.sqrt(0.8))) < 1e-9)
   }
+
+  test("per-biosample aggregation subtree is planned ONCE: its exchange " +
+      "is reused, not re-derived, by every downstream consumer") {
+    import spark.implicits._
+    val catalog = (1 to 8)
+      .map(i => (s"R$i", s"BS$i", "bp1", 1000000.0))
+      .toDF("run", "bio_sample", "bio_project", "spots")
+    val input = (1 to 8).map(i => (s"R$i", "g1", i.toDouble))
+      .toDF("run", "group", "quantifier")
+    val sets = Seq(("bp1", "tissue", "liver", (1 to 4).map(i => s"BS$i"),
+        4, true, 8, 42L))
+      .toDF("bioproject", "attributes", "values", "members", "n_stored",
+        "include", "n_biosamples", "set_id")
+    // AQE hides exchange reuse behind runtime stage reuse; the static plan
+    // makes it assertable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Pipeline.run(input, catalog, sets, MwasConfig())
+        .queryExecution.executedPlan.toString
+      // the bsRpm aggregate partitions on exactly these three keys; its
+      // consumers (group totals, all_vals, stored totals, stored_vals)
+      // must READ the one materialized shuffle, not repeat the
+      // catalog⋈input join — so exactly one plan line carries a fresh
+      // exchange on the keys (ReusedExchange lines quote the target
+      // exchange's description, hence the line-wise filter)
+      val lines = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning(bio_project#")).toSeq
+      val fresh = lines.filter(l => l.contains("bio_sample#") &&
+        !l.contains("ReusedExchange"))
+      val reused = lines.filter(l => l.contains("bio_sample#") &&
+        l.contains("ReusedExchange"))
+      assert(fresh.size === 1, s"bsRpm exchange planned ${fresh.size} times:\n$plan")
+      assert(reused.nonEmpty, s"no ReusedExchange of bsRpm in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

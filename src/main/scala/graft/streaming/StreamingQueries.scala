@@ -186,26 +186,43 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    // deterministic 3-way time split: ntile over (ts, event_id)
-    val tiled = ev.withColumn("tile", ntile(3).over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts"), col("event_id"))))
+    // deterministic 3-way time split by range boundaries from one min/max
+    // aggregate (two scalars to the driver) — NOT a global-window ntile,
+    // which would funnel the whole table through a single-partition sort;
+    // range filters keep every stage fully parallel. Uneven thirds are
+    // fine: the append-mode emission set depends only on the FINAL
+    // watermark, the split merely forces multiple micro-batches.
+    val Array(tsMin, tsMax) = ev
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val b1 = tsMin + (tsMax - tsMin) / 3
+    val b2 = tsMin + 2 * (tsMax - tsMin) / 3
+    val ranges: Seq[org.apache.spark.sql.Column] = Seq(
+      col("ts").cast("long") < b1,
+      col("ts").cast("long") >= b1 && col("ts").cast("long") < b2,
+      col("ts").cast("long") >= b2)
     val staging = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft_stream_append_" + Integer.toHexString(dir.hashCode))
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     staging.mkdirs()
-    (1 to 3).foreach { k =>
+    ranges.zipWithIndex.foreach { case (range, i) =>
+      val k = i + 1
       val tmp = new java.io.File(staging, s"_stage_$k")
-      tiled.filter(col("tile") === k).drop("tile")
+      ev.filter(range)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(staging, s"batch_$k.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      // ascending mtimes pin the file-source processing order to time order
-      dst.setLastModified(1000000L + k * 60000L)
+      // ascending mtimes pin the file-source processing order to time
+      // order; an unsupported filesystem must fail LOUDLY here — silently
+      // wall-clock-ordered batches would make the watermark advancement
+      // (and so the emitted window set per batch) nondeterministic
+      require(dst.setLastModified(1000000L + k * 60000L),
+        s"setLastModified unsupported on ${dst.getAbsolutePath}; " +
+          "cannot pin deterministic batch order for stream_append_window")
     }
     val schema = ev.schema
     val src = s.readStream.schema(schema)

@@ -439,8 +439,24 @@ object MwasPipelineQueries {
        |FROM (${condenseArraySql.replace("ORDER BY bioproject, attributes, \"values\"", "")}) sets
        |ORDER BY bioproject, attributes, "values", ordinal""".stripMargin
 
+  /** S4 — the pickle-corpus migration surface (graft.sources.PickleCompat)
+    * over the committed reference-written fixtures. No DuckDB oracle
+    * (DuckDB cannot read Python pickles); the correctness gate is
+    * PickleCompatSpec's round trip against MetadataCondenser.condense on
+    * the identical data. `dir` is unused: the corpus is a fixed fixture
+    * tree, not scale-factor data. */
+  def pickleMigrateQuery(s: SparkSession, dir: String): DataFrame =
+    graft.sources.PickleCompat.condensedSets(s,
+        new java.io.File("src/test/resources/mwaspkl").getAbsolutePath)
+      .select(col("bioproject"), col("attributes"), col("values"),
+        array_join(col("members"), "; ").as("members"),
+        col("n_stored").cast("long").as("n_stored"), col("include"),
+        col("n_biosamples").cast("long").as("n_biosamples"), col("set_id"))
+      .orderBy(col("bioproject"), col("attributes"), col("values"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
+      ("pickle_migrate", pickleMigrateQuery _, None),
       ("mwas_condense", condenseQuery _, Some(condenseSql)),
       ("mwas_pipeline_stats", pipelineStatsQuery _, Some(pipelineStatsSql)),
       ("mwas_pipeline_full", pipelineQuery _, None),

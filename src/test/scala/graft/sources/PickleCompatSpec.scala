@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.MetadataCondenser
+
+/** S4 round trip: fixtures under src/test/resources/mwaspkl were written by
+  * the REFERENCE's own converter path (real `pickle.dump` of the
+  * `metadata_to_set_accession` outputs, pandas 2.x, protocol 4) from known
+  * wide frames; `long_form.parquet` holds the SAME data melted to the
+  * condenser's long relation. Reading the pickles must therefore produce
+  * exactly what condensing the long relation produces. */
+class PickleCompatSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("pickle-compat-spec")
+    .getOrCreate()
+
+  private val fixtures =
+    new java.io.File("src/test/resources/mwaspkl").getAbsolutePath
+
+  test("sentinel files decode to empty/blacklisted statuses, not rows") {
+    val statuses = PickleCompat.readProjects(spark, fixtures)
+      .collect().map(p => p.bioproject -> p.status).toMap
+    assert(statuses("PRJEMPTY") === "empty")
+    assert(statuses("PRJBLACK") === "blacklisted")
+    // no-sets projects are written as the '0' sentinel by the reference
+    assert(statuses("PRJNOSETS") === "empty")
+    assert(statuses("PRJTEST1") === "ok")
+    assert(statuses("PRJBIG") === "ok")
+  }
+
+  test("biosample_ref relation recovers the pickled ref lists") {
+    val ref = PickleCompat.biosampleRef(spark, fixtures)
+    val counts = ref.groupBy(col("bioproject")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("PRJTEST1" -> 12L, "PRJBIG" -> 300L))
+    // idx is the position in the (sorted) ref list — spot-check both ends
+    val big = ref.filter(col("bioproject") === "PRJBIG")
+      .orderBy(col("idx")).collect()
+    assert(big.head.getAs[String]("biosample_id") === "SAM0001")
+    assert(big.last.getAs[String]("biosample_id") === "SAM0300")
+    assert(big.last.getAs[Int]("idx") === 299)
+  }
+
+  test("migrated pickles == MetadataCondenser.condense on the same data " +
+      "(the S4 round trip)") {
+    val migrated = PickleCompat.condensedSets(spark, fixtures)
+    val condensed = MetadataCondenser.condense(
+      spark.read.parquet(s"$fixtures/long_form.parquet"))
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("bioproject"), col("attributes"), col("values"),
+          array_join(col("members"), "|").as("m"),
+          col("n_stored").cast("long"), col("include"),
+          col("n_biosamples").cast("long"), col("set_id"))
+        .collect().map(_.toSeq.mkString("")).sorted.toSeq
+
+    val (m, c) = (canon(migrated), canon(condensed))
+    assert(m.nonEmpty, "no migrated sets parsed")
+    assert(m === c)
+  }
+
+  test("corrupt payloads fail loudly with a parse error, not silent rows") {
+    val bad = Array[Byte](0x80.toByte, 4, 'X', 'Y', 'Z')
+    val e = intercept[IllegalArgumentException] {
+      PickleCompat.parse("PRJBAD", bad)
+    }
+    assert(e.getMessage.contains("PRJBAD") ||
+      e.getMessage.contains("unsupported opcode"))
+  }
+}

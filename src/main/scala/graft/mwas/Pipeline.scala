@@ -27,7 +27,14 @@ case class MwasConfig(
     // still exact) instead of buffering an unbounded vector — the analog of
     // the reference skipping >50 MB projects (main/mwas_general.py:72),
     // except nothing is dropped here. 100k doubles ≈ 800 KB per buffer.
-    permCollectCap: Int = 100000)
+    permCollectCap: Int = 100000,
+    // statistic-only mode for consumers that never read the permutation
+    // p-value (the stats slice, the results summary): the permutation
+    // route's TEST STATISTIC is the closed-form mean difference — only its
+    // p-value needs resampling — so value collection and the kernel are
+    // skipped wholesale and the plan stays pure relational algebra.
+    // p_value is null (and status says so) on permutation-routed rows.
+    statClosedForm: Boolean = false)
 
 /** The MWAS query engine: the reference's run_on_file + process_bioproject +
   * process_group call tree (main/mwas_general.py:344-679) collapsed into ONE
@@ -111,7 +118,7 @@ object Pipeline {
     // padded multisets identical. The collect_list buffer is therefore
     // <= permCollectCap elements BY CONSTRUCTION (the semi join admits only
     // groups whose nonzero count was counted above and passed the cap).
-    val needVals = !cfg.onlyTTest
+    val needVals = !cfg.onlyTTest && !cfg.statClosedForm
     val permKeys = groupStats
       .filter(!col("perm_capped"))
       .select(col("bio_project"), col("group"))
@@ -218,39 +225,59 @@ object Pipeline {
         col("mean_rpm_true"), col("sd_rpm_true"), col("num_true").cast("double"),
         col("mean_rpm_false"), col("sd_rpm_false"), col("num_false").cast("double")))
       .withColumn("is_t_test", isTTest)
-      // the permutation p is a pure function of (stored multiset, group
-      // multiset, polarity, side sizes) — hash of the sorted arrays is the
-      // memo key. xxhash64 hashes ARRAY columns natively (recursive element
-      // hash, codegen'd); the arrays were already sorted at aggregation
-      // time, so this is a straight pass over the doubles — no JSON string
-      // ever built.
-      .withColumn("memo_key",
-        when(col("is_t_test"), lit(null).cast("long")).otherwise(
-          xxhash64(col("stored_vals"), col("all_vals"), col("include"),
-            col("num_true"), col("num_false"))))
 
-    val permUdf = Pipeline.permPaddedUdf(cfg.permResamples)
-    val permResults = routed.filter(!col("is_t_test"))
-      .select(col("memo_key"), col("stored_vals"), col("all_vals"),
-        col("include"), col("num_true"), col("num_false"))
-      .dropDuplicates("memo_key")
-      .select(col("memo_key"), permUdf(col("stored_vals"), col("all_vals"),
-        col("include"), col("num_true"), col("num_false")).as("perm"))
+    val withTest =
+      if (cfg.statClosedForm)
+        // the permutation route's statistic is the mean difference — the
+        // algebraic group/stored totals already carry it; only the p-value
+        // would need the resampling kernel, and this mode's consumers
+        // never read it
+        routed
+          .withColumn("test_statistic",
+            when(col("is_t_test"), col("w.t"))
+              .otherwise(col("mean_rpm_true") - col("mean_rpm_false")))
+          .withColumn("p_value",
+            when(col("is_t_test"), col("w.p")))
+          .withColumn("status_base",
+            when(col("is_t_test"), lit("t_test"))
+              .otherwise(lit("permutation_test (stat_only)")))
+      else {
+        // the permutation p is a pure function of (stored multiset, group
+        // multiset, polarity, side sizes) — hash of the sorted arrays is
+        // the memo key. xxhash64 hashes ARRAY columns natively (recursive
+        // element hash, codegen'd); the arrays were already sorted at
+        // aggregation time, so this is a straight pass over the doubles —
+        // no JSON string ever built.
+        val keyed = routed.withColumn("memo_key",
+          when(col("is_t_test"), lit(null).cast("long")).otherwise(
+            xxhash64(col("stored_vals"), col("all_vals"), col("include"),
+              col("num_true"), col("num_false"))))
+        val permUdf = Pipeline.permPaddedUdf(cfg.permResamples)
+        val permResults = keyed.filter(!col("is_t_test"))
+          .select(col("memo_key"), col("stored_vals"), col("all_vals"),
+            col("include"), col("num_true"), col("num_false"))
+          .dropDuplicates("memo_key")
+          .select(col("memo_key"), permUdf(col("stored_vals"),
+            col("all_vals"), col("include"), col("num_true"),
+            col("num_false")).as("perm"))
+        // plain equi-join back on the memo key (AQE broadcasts when small;
+        // at scale the distinct-inputs relation can be large, so don't
+        // force it)
+        keyed
+          .join(permResults, Seq("memo_key"), "left_outer")
+          .withColumn("test_statistic",
+            when(col("is_t_test"), col("w.t")).otherwise(col("perm.stat")))
+          .withColumn("p_value",
+            when(col("is_t_test"), col("w.p")).otherwise(col("perm.p")))
+          .withColumn("status_base",
+            when(col("is_t_test"), lit("t_test"))
+              .otherwise(concat(lit("permutation_test ("),
+                col("perm.method"), lit(")"))))
+      }
 
-    // plain equi-join back on the memo key (AQE broadcasts when small; at
-    // scale the distinct-inputs relation can be large, so don't force it)
-    val tested = routed
-      .join(permResults, Seq("memo_key"), "left_outer")
-      .withColumn("test_statistic",
-        when(col("is_t_test"), col("w.t")).otherwise(col("perm.stat")))
-      .withColumn("p_value",
-        when(col("is_t_test"), col("w.p")).otherwise(col("perm.p")))
+    val tested = withTest
       .withColumn("fold_change",
         log2FoldChange(col("mean_rpm_true"), col("mean_rpm_false")))
-      .withColumn("status_base",
-        when(col("is_t_test"), lit("t_test"))
-          .otherwise(concat(lit("permutation_test ("),
-            col("perm.method"), lit(")"))))
 
     val significant = col("p_value") < cfg.pValueThreshold
     val trueMembers = when(col("include"), col("members"))

@@ -164,10 +164,21 @@ object MwasPipelineQueries {
       .orderBy(col("bioproject"), col("group"), col("metadata_field"),
         col("metadata_value"))
 
+  /** The closed-form pipeline relation for consumers that never read the
+    * permutation p-value: statClosedForm skips value collection and the
+    * resampling kernel, so this is pure relational algebra end to end —
+    * the statistic on the permutation route is the algebraic mean
+    * difference, identical to what the kernel reports. */
+  private def statBase(s: SparkSession, dir: String): DataFrame = {
+    val sets = MetadataCondenser.condense(metadataLong(s, dir))
+    Pipeline.run(input(s, dir), catalog(s, dir), sets,
+      MwasConfig(statClosedForm = true))
+  }
+
   /** Oracle-checkable slice of the pipeline: everything except the t-CDF
     * p-value and the p-dependent status/listing columns. */
   def pipelineStatsQuery(s: SparkSession, dir: String): DataFrame =
-    pipelineQuery(s, dir).select(
+    statBase(s, dir).select(
       col("bioproject"), col("group"), col("metadata_field"),
       col("metadata_value"), col("num_true"), col("num_false"),
       col("mean_rpm_true"), col("mean_rpm_false"),
@@ -302,7 +313,7 @@ object MwasPipelineQueries {
     * CSVs. Significance counts are excluded on purpose: they depend on the
     * t-CDF p-value the SQL oracle can't recompute. */
   def resultsAnalyzeQuery(s: SparkSession, dir: String): DataFrame =
-    pipelineQuery(s, dir)
+    statBase(s, dir)
       .groupBy(col("bioproject"))
       .agg(
         count(lit(1)).as("n_tests"),

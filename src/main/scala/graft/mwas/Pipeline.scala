@@ -252,7 +252,11 @@ object Pipeline {
           when(col("is_t_test"), lit(null).cast("long")).otherwise(
             xxhash64(col("stored_vals"), col("all_vals"), col("include"),
               col("num_true"), col("num_false"))))
-        val permUdf = Pipeline.permPaddedUdf(cfg.permResamples)
+        // early-stop bound: 20× the significance threshold — tests that are
+        // decisively insignificant settle at the 1000-resample checkpoint;
+        // anything near or under the threshold runs the full budget
+        val permUdf = Pipeline.permPaddedUdf(cfg.permResamples,
+          earlyStopAbove = 20.0 * cfg.pValueThreshold)
         val permResults = keyed.filter(!col("is_t_test"))
           .select(col("memo_key"), col("stored_vals"), col("all_vals"),
             col("include"), col("num_true"), col("num_false"))
@@ -332,7 +336,8 @@ object Pipeline {
     * plan. The non-stored side's observations are recovered by multiset
     * subtraction (array_except can't: it has set semantics and drops
     * duplicate rpm values). */
-  private[mwas] def permPaddedUdf(resamples: Int) =
+  private[mwas] def permPaddedUdf(resamples: Int,
+      earlyStopAbove: Double = Double.PositiveInfinity) =
     udf((stored: Seq[Double], all: Seq[Double], include: Boolean,
         nTrue: Long, nFalse: Long) => {
       val cnt = scala.collection.mutable.HashMap.empty[Double, Int]
@@ -348,7 +353,8 @@ object Pipeline {
         new Array[Double]((nTrue - trueObs.length).max(0).toInt)
       val y = falseObs.toArray[Double] ++
         new Array[Double]((nFalse - falseObs.length).max(0).toInt)
-      val r = PermutationTest.test(x, y, resamples, exactCutoff = 20000)
+      val r = PermutationTest.test(x, y, resamples, exactCutoff = 20000,
+        earlyStopAbove)
       PermOut(r.statistic, r.p_value, r.method)
     }).asNondeterministic() // deterministic in fact; flag stops Catalyst
       // from duplicating the (expensive) call during plan rewrites

@@ -85,8 +85,19 @@ object PermutationTest {
     r
   }
 
+  /** @param earlyStopAbove Monte-Carlo only: at deterministic checkpoints
+    *        (1000, 2000, 5000 resamples) stop early if the p estimate
+    *        already exceeds this bound. Callers that only CLASSIFY against
+    *        a significance threshold pass a generous multiple of it (the
+    *        pipeline uses 20×): a test reporting p ≈ 0.1 off 1000 samples
+    *        instead of 10000 loses resolution only where the result is
+    *        decisively insignificant — p near or below the threshold always
+    *        runs the full budget. Infinity (default) = scipy-faithful fixed
+    *        n_resamples. Deterministic: the checkpoint rule sees only the
+    *        seeded RNG stream, never wall-clock or partitioning. */
   def test(x: Array[Double], y: Array[Double], resamples: Int,
-      exactCutoff: Long): PermResult = {
+      exactCutoff: Long,
+      earlyStopAbove: Double = Double.PositiveInfinity): PermResult = {
     val nx = x.length
     val ny = y.length
     if (nx < 2 || ny < 2) {
@@ -105,26 +116,31 @@ object PermutationTest {
     val absObs = math.abs(obs)
 
     if (choose(n, nx) <= exactCutoff) {
-      // exact: enumerate every C(n, nx) choice of the x-side via Gosper-less
+      // exact: enumerate every C(n, k) choice of the SMALLER side (same
+      // combination count as the x-side walk — C(n,nx) == C(n,ny) over the
+      // complement — but the inner sum is min(nx, ny) adds) via a
       // lexicographic combination walk over indices.
-      val idx = Array.range(0, nx)
+      val k = math.min(nx, ny)
+      val sideIsX = k == nx
+      val idx = Array.range(0, k)
       var hits = 0L
       var count = 0L
       var done = false
       while (!done) {
         var s = 0.0
         var i = 0
-        while (i < nx) { s += pooled(idx(i)); i += 1 }
-        if (math.abs(diffFromSum(s)) >= absObs - eps) hits += 1
+        while (i < k) { s += pooled(idx(i)); i += 1 }
+        val sx = if (sideIsX) s else total - s
+        if (math.abs(diffFromSum(sx)) >= absObs - eps) hits += 1
         count += 1
         // next combination
-        var j = nx - 1
-        while (j >= 0 && idx(j) == n - nx + j) j -= 1
+        var j = k - 1
+        while (j >= 0 && idx(j) == n - k + j) j -= 1
         if (j < 0) done = true
         else {
           idx(j) += 1
           var m = j + 1
-          while (m < nx) { idx(m) = idx(m - 1) + 1; m += 1 }
+          while (m < k) { idx(m) = idx(m - 1) + 1; m += 1 }
         }
       }
       PermResult(obs, hits.toDouble / count, "permutation_exact", nx, ny)
@@ -141,26 +157,37 @@ object PermutationTest {
       // (the statistic depends only on the multiset)
       val work = pooled.clone()
       java.util.Arrays.sort(work)
+      // drawing a size-k side determines BOTH side sums (s and total-s), so
+      // always resample the SMALLER side — the loop is resamples × min(nx,
+      // ny) instead of resamples × nx, which matters when the true side is
+      // the majority (include=false contrasts)
+      val k = math.min(nx, ny)
+      val sampleIsX = k == nx
       var hits = 0L
       var r = 0
-      while (r < resamples) {
-        // partial Fisher-Yates: first nx entries become the resampled x
+      var stopped = false
+      while (r < resamples && !stopped) {
+        // partial Fisher-Yates: first k entries become the resampled small
         // side; work(i) is final once swapped, so the side sum accumulates
         // in the same pass (identical RNG stream and result as a separate
-        // summing loop — this is the hot path: resamples × nx per test)
+        // summing loop — this is the hot path)
         var s = 0.0
         var i = 0
-        while (i < nx) {
+        while (i < k) {
           val j = i + rng.nextInt(n - i)
           val tmp = work(i); work(i) = work(j); work(j) = tmp
           s += work(i)
           i += 1
         }
-        if (math.abs(diffFromSum(s)) >= absObs - eps) hits += 1
+        val sx = if (sampleIsX) s else total - s
+        if (math.abs(diffFromSum(sx)) >= absObs - eps) hits += 1
         r += 1
+        if ((r == 1000 || r == 2000 || r == 5000) && r < resamples &&
+            (hits + 1).toDouble / (r + 1) > earlyStopAbove)
+          stopped = true
       }
-      PermResult(obs, (hits + 1).toDouble / (resamples + 1),
-        "permutation_mc", nx, ny)
+      PermResult(obs, (hits + 1).toDouble / (r + 1),
+        if (stopped) "permutation_mc_early" else "permutation_mc", nx, ny)
     }
   }
 }

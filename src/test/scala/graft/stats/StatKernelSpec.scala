@@ -88,4 +88,29 @@ class StatKernelSpec extends AnyFunSuite {
     val b = PermutationTest.test(x.reverse, y.reverse, 5000, exactCutoff = 1)
     assert(a.p_value == b.p_value)
   }
+
+  test("early stop settles decisively-insignificant tests at a checkpoint " +
+      "and never touches near-threshold ones") {
+    val rng = new Random(19)
+    // identical distributions → true p ≈ 1: stops at the first checkpoint
+    val x0 = Array.fill(20)(rng.nextGaussian())
+    val y0 = Array.fill(20)(rng.nextGaussian())
+    val full = PermutationTest.test(x0, y0, 10000, exactCutoff = 1)
+    val early = PermutationTest.test(x0, y0, 10000, exactCutoff = 1,
+      earlyStopAbove = 0.1)
+    assert(early.method === "permutation_mc_early")
+    assert(early.p_value > 0.1)
+    // still a valid estimate of the same quantity (checkpoint = 1000)
+    assert(math.abs(early.p_value - full.p_value) < 0.1)
+
+    // strongly separated → tiny p: the bound never triggers, full budget,
+    // bit-identical to the unbounded run
+    val x1 = Array.fill(20)(rng.nextGaussian() + 3.0)
+    val y1 = Array.fill(20)(rng.nextGaussian())
+    val fullSig = PermutationTest.test(x1, y1, 10000, exactCutoff = 1)
+    val earlySig = PermutationTest.test(x1, y1, 10000, exactCutoff = 1,
+      earlyStopAbove = 0.1)
+    assert(earlySig.method === "permutation_mc")
+    assert(earlySig.p_value === fullSig.p_value)
+  }
 }

@@ -86,7 +86,12 @@ object DedupQueries {
 
   /** Word-set Jaccard near-dup pairs within a `source` block. The block is
     * the scale lever: comparisons never cross blocks. */
-  def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unordered pair relation — shared by the pair query above and the
+    * connected-components clustering below. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // inclusion–exclusion formulation: explode words, count shared words
     // per pair via a (source, word) join, J = |∩|/(|A|+|B|−|∩|). All
     // codegen'd joins/aggregates — the array_intersect/array_union version
@@ -109,7 +114,6 @@ object DedupQueries {
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val dedupJaccardPairsSql: String =
@@ -428,11 +432,105 @@ object DedupQueries {
   def annLshBucket(s: SparkSession, dir: String): DataFrame =
     AnnRecall.summarize(annLshNn(s, dir), exactNn(s, dir))
 
+  // --------------------------- D7: near-dup clustering (keep-one-per-group)
+
+  /** Connected components over the near-dup pair graph — the operator that
+    * turns PAIRS into a deduplicated corpus (keep the minimum doc_id of
+    * each cluster, drop the rest). Pairwise output alone under-deletes:
+    * A~B and B~C must collapse to ONE survivor even when A~C was never
+    * emitted.
+    *
+    * Distributed shape: the alternating large-star / small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round is two keyed aggregations + joins, converges in
+    * O(log n) rounds, state is only the edge list. The driver loop carries
+    * one scalar per round (the convergence check); edges localCheckpoint
+    * each round so lineage stays flat at 100 TB. No vertex ever sees more
+    * than its neighborhood minimum — no collect, no giant adjacency lists.
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges0 = jaccardPairs(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+
+    // large-star: every neighbor v > u re-points to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    // small-star: each node's SMALLER neighbors (and itself) re-point to
+    // the neighborhood minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("big"),
+        least(col("u"), col("v")).as("small"))
+      val m = oriented.groupBy(col("big")).agg(min(col("small")).as("m"))
+      val fromBig = m.select(col("big").as("u"), col("m").as("v"))
+      val fromSmall = oriented.join(m, "big")
+        .filter(col("small") =!= col("m"))
+        .select(col("small").as("u"), col("m").as("v"))
+      fromBig.union(fromSmall).distinct()
+    }
+
+    var edges = edges0.localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) { // log2(n) bound; 20 ≫ any real depth
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // one scalar action per round: an order-independent set signature —
+      // bit_xor, NOT sum (ANSI mode makes a long-sum overflow throw, and
+      // hash sums overflow by design); edges are distinct, so xor + count
+      // identifies the set
+      def signature(e: DataFrame) =
+        e.agg(expr("bit_xor(xxhash64(u, v))"), count(lit(1))).head()
+      val sig = signature(next)
+      val prev = signature(edges)
+      converged = sig == prev
+      edges = next
+      rounds += 1
+    }
+
+    // after convergence every edge is (node → its component's min id);
+    // singletons are their own component
+    val comp = edges.select(col("u").as("doc_id"), col("v").as("component"))
+    docs(s, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("keep", col("doc_id") === col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive closure by recursive CTE — feasible at oracle scale, and
+    * exactly the semantics the star rounds converge to. */
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  WITH w AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS w FROM documents)
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) >= 0.7),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |  WHERE s.b <> r.a)
+      |SELECT d.doc_id,
+      |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component,
+      |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id AS keep
+      |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("dedup_exact", dedupExact _, Some(dedupExactSql)),
+      ("dedup_components", dedupComponents _, Some(dedupComponentsSql)),
       ("dedup_jaccard_pairs", dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
       ("dedup_minhash_lsh", dedupMinhashLsh _, Some(dedupMinhashLshSql)),
       ("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),

@@ -301,9 +301,90 @@ object TextQueries {
 
   // ---------------------------------------------------------------- registry
 
+  // ----------------------------------------- T6: repetition quality gates
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to a
+    * newline-free corpus): per document, the fraction of tokens belonging
+    * to repeated unigrams, the most-frequent-unigram share, and the
+    * most-frequent-bigram share. High values mark boilerplate/degenerate
+    * text for training-data filtering.
+    *
+    * Shape: posexplode → lead() window keyed by doc for bigrams → two
+    * keyed aggregations. Every shuffle is on doc_id (or (doc_id, word)),
+    * so the operator scales with the corpus, and no per-doc state exceeds
+    * the doc's own token count. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir).select(col("doc_id"),
+      posexplode(words).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val uni = w.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        max(col("cnt")).as("top_word"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_words"))
+    val bi = w
+      .withColumn("next", lead(col("w"), 1).over(byDoc))
+      .filter(col("next").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("next")).as("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram"), sum(col("cnt")).as("n_bigrams"))
+    uni.join(bi, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(col("dup_words").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("top_word").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(coalesce(col("top_bigram").cast("double") /
+          col("n_bigrams"), lit(0.0)), 6).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_word_frac") > 0.9 || col("top_bigram_frac") > 0.18)
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+      |           AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |seq AS (
+      |  SELECT doc_id, pos, w,
+      |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+      |  FROM w),
+      |uni AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |         max(cnt) AS top_word,
+      |         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_words
+      |  FROM (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |bi AS (
+      |  SELECT doc_id, max(cnt) AS top_bigram, sum(cnt) AS n_bigrams
+      |  FROM (SELECT doc_id, w || ' ' || next AS bg, count(*) AS cnt
+      |        FROM seq WHERE next IS NOT NULL GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT u.doc_id, u.n_words,
+      |       round(CAST(u.dup_words AS DOUBLE) / u.n_words, 6)
+      |         AS dup_word_frac,
+      |       round(CAST(u.top_word AS DOUBLE) / u.n_words, 6)
+      |         AS top_word_frac,
+      |       round(coalesce(CAST(b.top_bigram AS DOUBLE) / b.n_bigrams, 0),
+      |         6) AS top_bigram_frac,
+      |       (round(CAST(u.dup_words AS DOUBLE) / u.n_words, 6) > 0.9
+      |        OR round(coalesce(CAST(b.top_bigram AS DOUBLE) / b.n_bigrams,
+      |             0), 6) > 0.18) AS repetitive
+      |FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+      |ORDER BY u.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("text_tokens", textTokens _, Some(textTokensSql)),
+      ("text_repetition", textRepetition _, Some(textRepetitionSql)),
       ("text_quality", textQuality _, Some(textQualitySql)),
       ("text_langid", textLangid _, Some(textLangidSql)),
       ("text_fingerprint", textFingerprint _, Some(textFingerprintSql)),

@@ -251,8 +251,56 @@ object StreamingQueries {
       |       <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
       |ORDER BY event_type, window_start""".stripMargin
 
+  /** Stream-stream interval join — the attribution query every event
+    * pipeline runs: purchases joined to a SAME-USER click at most 30
+    * minutes earlier. Two independent watermarked sources; the range
+    * predicate in the join condition is what lets the state store expire
+    * buffered rows (without it, both sides buffer forever). Inner join, so
+    * the emitted set equals the batch join — DuckDB-oracled exactly. On a
+    * cluster the state partitions by the equi-key (user), the usual
+    * shuffle story. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src(): DataFrame = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 30 minutes"""))
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_micros"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
+      ("stream_interval_join", intervalJoin _, Some(intervalJoinSql)),
       ("stream_tumbling", tumbling _, Some(tumblingSql)),
       ("stream_sliding", sliding _, Some(slidingSql)),
       ("stream_sessions", sessions _, Some(sessionsSql)),

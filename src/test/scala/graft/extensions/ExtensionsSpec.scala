@@ -31,6 +31,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(0) - t) < 1e-12)
       assert(math.abs(row.getDouble(1) - df) < 1e-12)
       assert(math.abs(row.getDouble(2) - p) < 1e-12)
+
+      // dot_product over SQL array literals (codegen'd native expression)
+      val d = spark.sql(
+        "SELECT dot_product(array(1.0D, 2.0D, 3.0D), " +
+          "array(4.0D, 5.0D, 6.0D)) AS d").head().getDouble(0)
+      assert(d === 32.0)
+      // arity errors surface at registration, not as a runtime crash
+      val err = intercept[Exception] {
+        spark.sql("SELECT dot_product(array(1.0D)) AS d").head()
+      }
+      assert(err.getMessage.contains("2 arguments") ||
+        err.getMessage.toLowerCase.contains("invalid"))
     } finally spark.stop()
   }
 }

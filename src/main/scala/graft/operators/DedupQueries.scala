@@ -473,20 +473,22 @@ object DedupQueries {
       fromBig.union(fromSmall).distinct()
     }
 
+    // one scalar action per round: an order-independent set signature —
+    // bit_xor, NOT sum (ANSI mode makes a long-sum overflow throw, and
+    // hash sums overflow by design); edges are distinct, so xor + count
+    // identifies the set. The previous round's signature is carried
+    // forward, never recomputed.
+    def signature(e: DataFrame) =
+      e.agg(expr("bit_xor(xxhash64(u, v))"), count(lit(1))).head()
     var edges = edges0.localCheckpoint(true)
+    var prevSig = signature(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) { // log2(n) bound; 20 ≫ any real depth
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // one scalar action per round: an order-independent set signature —
-      // bit_xor, NOT sum (ANSI mode makes a long-sum overflow throw, and
-      // hash sums overflow by design); edges are distinct, so xor + count
-      // identifies the set
-      def signature(e: DataFrame) =
-        e.agg(expr("bit_xor(xxhash64(u, v))"), count(lit(1))).head()
       val sig = signature(next)
-      val prev = signature(edges)
-      converged = sig == prev
+      converged = sig == prevSig
+      prevSig = sig
       edges = next
       rounds += 1
     }

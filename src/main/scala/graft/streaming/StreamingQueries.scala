@@ -278,8 +278,17 @@ object StreamingQueries {
               purchase_ts >= click_ts AND
               purchase_ts <= click_ts + interval 30 minutes"""))
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
+    // a stream-stream join keeps FOUR state stores per shuffle partition
+    // (key→count + key+index→row, each side); size the state partitioning
+    // to the key cardinality instead of inheriting the relational default —
+    // store-commit overhead, not data volume, dominates otherwise. The
+    // partition count is fixed into the checkpoint at query start, so
+    // scoping the conf around start() is safe.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try joined.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     s.table(name)
       .select(col("c_user").as("user_id"), col("click_id"),

@@ -85,6 +85,62 @@ object IvfQueries {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     AnnRecall.summarize(annIvfNn(s, dir), DedupQueries.exactNn(s, dir))
 
+  /** Per-label centroid + dispersion — the quantizer-training primitive
+    * (and the embedding-table profile every vector pipeline runs) as a
+    * first-class oracled query. Shape: posexplode to (label, dim) grain →
+    * ONE keyed aggregation → re-assemble ordered arrays with
+    * array_agg-over-sorted-struct. The shuffle key is (label, dim): at
+    * 100 TB with D dims that is |labels|×D cells of (sum, count) — tiny —
+    * and the explode is narrow, so the operator is one shuffle end to end.
+    * No per-row interpreted lambdas anywhere (HOF means stay out of the
+    * hot path; the assembly transform runs on |labels| rows only). */
+  def embCentroids(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("mu"),
+        count(lit(1)).as("n"),
+        sum(col("x") * col("x")).as("sumsq"))
+    cell.groupBy(col("label"))
+      .agg(
+        max(col("n")).cast("long").as("n_vecs"),
+        // ordered reassembly: collect (dim, mu) structs, sort by dim,
+        // project mu — deterministic regardless of partition order
+        sort_array(collect_list(struct(col("dim"), col("mu"))))
+          .as("cells"),
+        round(sqrt(sum(col("sumsq") / col("n")) -
+          sum(col("mu") * col("mu"))), 6).as("dispersion"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(aggregate(transform(col("cells"), c => c("mu") * c("mu")),
+          lit(0.0), (a, x) => a + x)), 6).as("centroid_norm"),
+        // fixed %.6f rendering on BOTH sides: raw double→string casts
+        // disagree across engines on exponent/trailing-zero form
+        array_join(transform(col("cells"),
+          c => format_string("%.6f", c("mu"))), ",").as("centroid"),
+        col("dispersion"))
+      .orderBy(col("label"))
+  }
+
+  val embCentroidsSql: String =
+    """WITH cell AS (
+      |  SELECT label,
+      |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |agg AS (
+      |  SELECT label, dim, avg(x) AS mu, count(*) AS n,
+      |         sum(x * x) AS sumsq
+      |  FROM cell GROUP BY 1, 2)
+      |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+      |       round(sqrt(sum(mu * mu)), 6) AS centroid_norm,
+      |       string_agg(printf('%.6f', mu), ',' ORDER BY dim) AS centroid,
+      |       round(sqrt(sum(sumsq / n) - sum(mu * mu)), 6) AS dispersion
+      |FROM agg GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("ann_ivf", annIvf _, None))
+    Seq(
+      ("ann_ivf", annIvf _, None),
+      ("emb_centroids", embCentroids _, Some(embCentroidsSql)))
 }

@@ -228,11 +228,18 @@ object StreamingQueries {
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = src.withWatermark("ts", "10 minutes")
+    // 4 micro-batches × state-store commits per partition: size the state
+    // partitioning to the key cardinality (|event_type| × open windows),
+    // not the relational default — same scoped-conf pattern as the
+    // stream-stream join (partition count is fixed into the checkpoint)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try src.withWatermark("ts", "10 minutes")
       .groupBy(col("event_type"), window(col("ts"), "1 hour"))
       .count()
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     s.table(name)
       .select(col("event_type"), col("window.start").as("window_start"),

@@ -105,9 +105,77 @@ object RelationalExtraQueries {
       |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
       |FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""".stripMargin
 
+  /** GROUPING SETS finer than A9's rollup/cube: two hand-picked sets plus
+    * `grouping()` markers to disambiguate the null grain — via the SQL
+    * form, which is the only public Spark surface for arbitrary sets. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                              (o_orderpriority, o_orderstatus))
+      ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+      |                        (o_orderpriority, o_orderstatus))
+      |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""".stripMargin
+
+  /** Correlated EXISTS + scalar subquery — Catalyst decorrelates both into
+    * joins (the plan shows a semi join + an aggregate join, no per-row
+    * subquery execution), which is exactly the 100 TB-safe shape. */
+  def correlatedSubqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_cs")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_cs")
+    s.sql("""
+      SELECT c.c_custkey, c.c_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders_cs o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer_cs c
+      WHERE EXISTS (SELECT 1 FROM orders_cs o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders_cs o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F'
+                          AND o.o_totalprice < 1000)
+      ORDER BY c.c_custkey
+      LIMIT 100""")
+  }
+
+  val correlatedSubqueriesSql: String =
+    """SELECT c.c_custkey, c.c_name,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 1000)
+      |ORDER BY c.c_custkey
+      |LIMIT 100""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("q_window_extras", windowExtras _, Some(windowExtrasSql)),
       ("q_string_extras", stringExtras _, Some(stringExtrasSql)),
-      ("q_date_extras", dateExtras _, Some(dateExtrasSql)))
+      ("q_date_extras", dateExtras _, Some(dateExtrasSql)),
+      ("q_grouping_sets", groupingSets _, Some(groupingSetsSql)),
+      ("q_exists_correlated", correlatedSubqueries _,
+        Some(correlatedSubqueriesSql)))
 }

@@ -66,6 +66,34 @@ class PickleCompatSpec extends AnyFunSuite {
     assert(m === c)
   }
 
+  test("migrated sets drive the MWAS pipeline end to end (the adoption " +
+      "path: old pickle corpus -> parquet -> unchanged engine)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_migrate").toString
+    PickleCompat.condensedSets(spark, fixtures)
+      .write.mode("overwrite").parquet(s"$out/metadata_sets")
+    val sets = spark.read.parquet(s"$out/metadata_sets")
+      .filter(col("bioproject") === "PRJTEST1")
+
+    // a catalog/input over PRJTEST1's own biosample universe
+    val ids = (1 to 12).map(i => f"SAM$i%03d")
+    val catalog = ids.zipWithIndex
+      .map { case (bs, i) => (s"R$i", bs, "PRJTEST1", 1000000.0) }
+      .toDF("run", "bio_sample", "bio_project", "spots")
+    val input = ids.indices.map(i => (s"R$i", "g1", (i + 1).toDouble))
+      .toDF("run", "group", "quantifier")
+
+    val result = graft.mwas.Pipeline.run(input, catalog, sets,
+      graft.mwas.MwasConfig()).cache()
+    assert(result.count() > 0)
+    // every contrast derives from a migrated set: labels survived intact
+    val fields = result.select(col("metadata_field")).distinct()
+      .as[String].collect().toSet
+    assert(fields.subsetOf(Set("age_group", "reads", "tissue", "notes")),
+      s"unexpected fields $fields")
+    result.unpersist()
+  }
+
   test("corrupt payloads fail loudly with a parse error, not silent rows") {
     val bad = Array[Byte](0x80.toByte, 4, 'X', 'Y', 'Z')
     val e = intercept[IllegalArgumentException] {

@@ -381,9 +381,81 @@ object TextQueries {
       |FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
       |ORDER BY u.doc_id""".stripMargin
 
+  // ------------------------------------ T7: benchmark decontamination scan
+
+  /** Decontamination — the n-gram-overlap scan every training corpus runs
+    * against its evaluation benchmarks before training: here every 10th
+    * document (`doc_id % 10 = 0`) plays the held-out benchmark, and every
+    * other document is scored by the fraction of its word 5-grams that
+    * appear anywhere in the benchmark (GPT-3-style 13-gram check, scaled
+    * to this corpus's 10–99-word docs; the sources have disjoint phrase
+    * space, so a cross-source split would be trivially zero — the id
+    * split puts near-dup pairs on opposite sides). Contaminated = overlap
+    * ≥ 0.2; at sf0.01 that flags the 6 probe docs that are near-dups of a
+    * benchmark doc.
+    *
+    * Shape: benchmark 5-grams stay a RELATION (distinct gram hashes) and
+    * the probe is a semi join on the gram hash, then one per-doc
+    * aggregation. Nothing is all-pairs and nothing is driver-side: the
+    * join key is the gram, the benchmark side is the small side
+    * (broadcast here; at 100 TB drop the hint and it degrades gracefully
+    * to a shuffle semi join under AQE), and the probe side shuffles once
+    * on doc_id. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val grams5 = (c: Column) => {
+      val w = split(c, " ")
+      when(size(w) >= 5,
+        array_distinct(transform(sequence(lit(1), size(w) - 4),
+          i => concat_ws(" ", slice(w, i, lit(5))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    // benchmark grams: hashed, distinct — the small relation
+    val bench = d.filter(col("doc_id") % 10 === 0)
+      .select(explode(grams5(col("text"))).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    // probe: every non-benchmark doc's grams, joined on the hash
+    val probe = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(grams5(col("text"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val hits = probe.join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    probe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(Map("n_hit" -> 0L))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("overlap"))
+      .withColumn("contaminated", col("overlap") >= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  val textDecontaminateSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    list_transform(range(1, len(string_split(text,' ')) - 3),
+      |      i -> array_to_string(string_split(text,' ')[i:i+4], ' '))))
+      |    AS g
+      |  FROM documents
+      |  WHERE len(string_split(text,' ')) >= 5),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+      |probe AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |        FROM probe GROUP BY 1),
+      |hit AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      |        FROM probe p JOIN bench b ON p.g = b.g GROUP BY 1)
+      |SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+      |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6)
+      |         AS overlap,
+      |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6)
+      |         >= 0.2 AS contaminated
+      |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("text_tokens", textTokens _, Some(textTokensSql)),
+      ("text_decontaminate", textDecontaminate _, Some(textDecontaminateSql)),
       ("text_repetition", textRepetition _, Some(textRepetitionSql)),
       ("text_quality", textQuality _, Some(textQualitySql)),
       ("text_langid", textLangid _, Some(textLangidSql)),

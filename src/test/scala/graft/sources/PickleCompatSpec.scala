@@ -35,11 +35,13 @@ class PickleCompatSpec extends AnyFunSuite {
     assert(statuses("PRJBIG") === "ok")
   }
 
-  test("biosample_ref relation recovers the pickled ref lists") {
+  test("biosample_ref relation recovers the pickled ref lists " +
+      "(incl. the 66k-row pickle whose indexes cross the 16-bit opcode)") {
     val ref = PickleCompat.biosampleRef(spark, fixtures)
     val counts = ref.groupBy(col("bioproject")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts === Map("PRJTEST1" -> 12L, "PRJBIG" -> 300L))
+    assert(counts === Map("PRJTEST1" -> 12L, "PRJBIG" -> 300L,
+      "PRJWIDE" -> 66000L))
     // idx is the position in the (sorted) ref list — spot-check both ends
     val big = ref.filter(col("bioproject") === "PRJBIG")
       .orderBy(col("idx")).collect()

@@ -100,16 +100,26 @@ object DedupQueries {
     val w = docs(s, dir).select(col("source"), col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("word"))
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    // length prefilter: |∩| ≤ min(na,nb), so J ≥ t forces
+    // min(na,nb) ≥ t·(na+nb−min) ⇔ min/max ≥ t. Attaching the counts via
+    // BROADCAST joins (one small row per doc) lets the ratio test drop
+    // impossible pairs BEFORE the pair-aggregation shuffle — map-side,
+    // zero extra exchanges; the final J filter is unchanged, so the
+    // result set is identical.
     val shared = w.select(col("source"), col("doc_id").as("doc_a"),
         col("word"))
-      .join(w.select(col("source"), col("doc_id").as("doc_b"), col("word")),
+      .join(broadcast(nw.select(col("doc_id").as("doc_a"),
+        col("nw").as("na"))), "doc_a")
+      .join(w.select(col("source"), col("doc_id").as("doc_b"), col("word"))
+        .join(broadcast(nw.select(col("doc_id").as("doc_b"),
+          col("nw").as("nb"))), "doc_b"),
         Seq("source", "word"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(0.7) * greatest(col("na"), col("nb")))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
     shared
-      .join(nw.select(col("doc_id").as("doc_a"), col("nw").as("na")), "doc_a")
-      .join(nw.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.7)

@@ -465,9 +465,81 @@ object MwasPipelineQueries {
         col("n_biosamples").cast("long").as("n_biosamples"), col("set_id"))
       .orderBy(col("bioproject"), col("attributes"), col("values"))
 
+  /** The reference's corpus-profiling pass (main/bioproject_sampling
+    * .py:73-81: log-bucketed size histogram + per-bucket sample, printed
+    * as `[126028, 40137, ...]`) as one relational query: per-project
+    * metadata size → power-of-two bucket → count/min/max/avg + a
+    * DETERMINISTIC per-bucket sample (smallest 3 ids — the reference used
+    * `random.sample`, which no oracle can reproduce; determinism is the
+    * point of this engine's sampling, cf. `hash_sample`). */
+  def corpusStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    // both windows run over ONE ROW PER PROJECT (post-aggregation,
+    // thousands at most) — not a data-scale single-partition sort
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("size_bytes"), col("bioproject"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("size_bytes"), col("bioproject"))
+    metadataLong(s, dir)
+      .groupBy(col("bioproject"))
+      .agg(sum(length(col("attribute")) +
+        length(coalesce(col("value"), lit(""))) + lit(2))
+        .cast("long").as("size_bytes"))
+      .filter(col("size_bytes") > 1) // the reference drops sentinel sizes
+      // size quartiles, not the reference's absolute byte edges: absolute
+      // edges are corpus-specific (this synthetic corpus is near-uniform,
+      // one bucket), quartiles profile any corpus
+      .withColumn("bucket", ntile(4).over(wAll).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_projects"),
+        min(col("size_bytes")).as("min_bytes"),
+        max(col("size_bytes")).as("max_bytes"),
+        round(avg(col("size_bytes")), 2).as("avg_bytes"),
+        // FILTER clause, not when(): collect_list skips nulls but
+        // DuckDB's list() keeps them — FILTER agrees on both engines
+        array_join(sort_array(
+          expr("collect_list(bioproject) FILTER (WHERE rn <= 3)")), "; ")
+          .as("sample"))
+      .orderBy(col("bucket"))
+  }
+
+  val corpusStatsSql: String =
+    """WITH long AS (
+      |  SELECT 'BP' || (c_custkey % 20) AS bioproject,
+      |         'mktsegment' AS attribute, c_mktsegment AS value
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'BP' || (c_custkey % 20), 'nation_bucket',
+      |         'N' || (c_nationkey % 5)
+      |  FROM customer),
+      |sized AS (
+      |  SELECT bioproject,
+      |         CAST(sum(length(attribute) + length(coalesce(value, ''))
+      |           + 2) AS BIGINT) AS size_bytes
+      |  FROM long GROUP BY 1
+      |  HAVING sum(length(attribute) + length(coalesce(value, '')) + 2) > 1),
+      |tiled AS (
+      |  SELECT bioproject, size_bytes,
+      |         CAST(ntile(4) OVER (ORDER BY size_bytes, bioproject)
+      |           AS BIGINT) AS bucket
+      |  FROM sized),
+      |bucketed AS (
+      |  SELECT bioproject, size_bytes, bucket,
+      |         row_number() OVER (PARTITION BY bucket
+      |           ORDER BY size_bytes, bioproject) AS rn
+      |  FROM tiled)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_projects,
+      |       min(size_bytes) AS min_bytes, max(size_bytes) AS max_bytes,
+      |       round(avg(size_bytes), 2) AS avg_bytes,
+      |       array_to_string(list_sort(list(bioproject)
+      |         FILTER (WHERE rn <= 3)), '; ') AS sample
+      |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("pickle_migrate", pickleMigrateQuery _, None),
+      ("mwas_corpus_stats", corpusStatsQuery _, Some(corpusStatsSql)),
       ("mwas_condense", condenseQuery _, Some(condenseSql)),
       ("mwas_pipeline_stats", pipelineStatsQuery _, Some(pipelineStatsSql)),
       ("mwas_pipeline_full", pipelineQuery _, None),

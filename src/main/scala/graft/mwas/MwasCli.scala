@@ -28,6 +28,21 @@ import graft.sources.CsvIo
   */
 object MwasCli {
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("mwas")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The whole CLI minus session lifecycle — callable from tests (and any
+    * host that already owns a session). Returns (tests, significant). */
+  def run(spark: SparkSession, args: Array[String]): (Long, Long) = {
     require(args.length >= 4,
       "usage: MwasCli <input.csv> <catalog.parquet> <metadata> <outDir> [flags]")
     val Array(inputCsv, catalogPath, metadataPath, outDir) = args.take(4)
@@ -40,16 +55,6 @@ object MwasCli {
       pValueThreshold = pThreshold,
       onlyTTest = flags.contains("--only-t-test"),
       alreadyNormalized = flags.contains("--already-normalized"))
-
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER",
-        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .appName("mwas")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val input = CsvIo.readUserInput(spark, inputCsv)
     val catalog = spark.read.parquet(catalogPath)
@@ -75,6 +80,6 @@ object MwasCli {
       .contains("significant")).count()
     out.unpersist(blocking = false) // all consumers (writes + counts) done
     println(s"[mwas] $n tests written to $outDir ($sig significant)")
-    spark.stop()
+    (n, sig)
   }
 }

@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, struct, to_json, xxhash64}
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 /** S11 completion — the reference's remote entry point
@@ -56,14 +56,22 @@ object MwasServer {
           alreadyNormalized = flags.contains("--already-normalized"))
 
         import spark.implicits._
+        // FAILFAST: a malformed body must be a 500, not a silent
+        // zero-row 200 that reads as "no significant results"
         val input = spark.read.schema(inputSchema)
+          .option("mode", "FAILFAST")
           .json(Seq(body).toDS())
           .filter(col("run").isNotNull)
         val out = Pipeline.run(input, catalog, sets, cfg)
         // a request's result set is one row per (group × set) contrast —
-        // bounded and small; JSON rows via Spark's own serializer
-        val rows = out.toJSON.collect()
-        val sig = rows.count(_.contains("significant"))
+        // bounded and small; ONE action collects both the JSON rows and
+        // the status column (grepping the serialized row would count
+        // user metadata that merely contains the word "significant")
+        val collected = out.select(
+          to_json(struct(out.columns.map(col): _*)).as("j"),
+          col("status")).collect()
+        val rows = collected.map(_.getString(0))
+        val sig = collected.count(_.getString(1).contains("significant"))
         respond(ex, 200,
           s"""{"rows":${rows.length},"significant":$sig,""" +
             s""""results":${rows.mkString("[", ",", "]")}}""")
@@ -76,15 +84,7 @@ object MwasServer {
     server
   }
 
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jsonStr(s: String): String = graft.core.JsonUtil.escape(s)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -110,9 +110,15 @@ object MwasServer {
       .getOrCreate()
     val catalog = spark.read.parquet(args(0))
     val metadataDf = spark.read.parquet(args(1))
+    // same metadata intake as MwasCli.run: pre-condensed (with set_id
+    // re-derived for older exports) or long-form condensed on the fly
     val sets =
-      if (metadataDf.columns.contains("members")) metadataDf
-      else graft.etl.MetadataCondenser.condense(metadataDf)
+      if (metadataDf.columns.contains("members")) {
+        if (metadataDf.columns.contains("set_id")) metadataDf
+        else metadataDf.withColumn("set_id",
+          xxhash64(col("bioproject"), to_json(col("members")),
+            col("include")))
+      } else graft.etl.MetadataCondenser.condense(metadataDf)
     val server = start(spark, catalog, sets, port)
     println(s"[mwas-server] listening on ${server.getAddress}")
     Thread.currentThread.join()

@@ -20,14 +20,15 @@ object AnnRecall {
   def summarize(approx: DataFrame, exact: DataFrame): DataFrame = {
     val e = exact.select(col("vec_id"), col("nn_id").as("exact_nn_id"),
       col("cos").as("exact_cos"))
-    // a hit is the exact neighbor id OR any neighbor within 1e-6 of the
-    // exact cosine. That tolerance is deliberately looser than "true
-    // ties": the approx side only carries round(cos, 6), so a genuinely
-    // different neighbor within 1e-6 of the optimum also counts — for a
-    // recall GATE that is the right trade (a 1e-6-suboptimal neighbor is
-    // an interchangeable answer for dedup/search), but it means the
-    // reported recall_at_1 can exceed strict id-match recall by the
-    // measure of near-ties in the corpus.
+    // a hit is the exact neighbor id OR any neighbor whose cosine ROUNDED
+    // TO 6 DECIMALS equals the rounded exact cosine (the approx side only
+    // carries round(cos, 6); the 1e-9 slack below is pure FP guard on the
+    // equality, not a wider tolerance). So a genuinely different neighbor
+    // that agrees with the optimum at 6-decimal resolution also counts —
+    // for a recall GATE that is the right trade (such a neighbor is an
+    // interchangeable answer for dedup/search), but the reported
+    // recall_at_1 can exceed strict id-match recall by the measure of
+    // 6-dp cosine ties in the corpus.
     val hit = col("nn_id") === col("exact_nn_id") ||
       abs(col("cosine") - round(col("exact_cos"), 6)) < 1e-9
     approx.join(e, Seq("vec_id"))

@@ -502,6 +502,12 @@ object DedupQueries {
       edges = next
       rounds += 1
     }
+    // silent use of a non-converged edge set would under-delete (clusters
+    // with several keep=true survivors) — fail loudly like every other
+    // invariant in this engine. 20 rounds ≫ the O(log n) expectation; a
+    // graph that needs more deserves investigation, not a wrong answer.
+    require(converged,
+      s"connected components did not converge within $rounds rounds")
 
     // after convergence every edge is (node → its component's min id);
     // singletons are their own component

@@ -110,8 +110,11 @@ object IvfQueries {
         // project mu — deterministic regardless of partition order
         sort_array(collect_list(struct(col("dim"), col("mu"))))
           .as("cells"),
-        round(sqrt(sum(col("sumsq") / col("n")) -
-          sum(col("mu") * col("mu"))), 6).as("dispersion"))
+        // clamp the FP residual: a zero-variance label's difference can
+        // land a hair negative (NaN sqrt) in one engine and positive in
+        // the other — same guard as Pipeline's sd columns
+        round(sqrt(greatest(sum(col("sumsq") / col("n")) -
+          sum(col("mu") * col("mu")), lit(0.0))), 6).as("dispersion"))
       .select(col("label"), col("n_vecs"),
         round(sqrt(aggregate(transform(col("cells"), c => c("mu") * c("mu")),
           lit(0.0), (a, x) => a + x)), 6).as("centroid_norm"),
@@ -136,7 +139,8 @@ object IvfQueries {
       |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
       |       round(sqrt(sum(mu * mu)), 6) AS centroid_norm,
       |       string_agg(printf('%.6f', mu), ',' ORDER BY dim) AS centroid,
-      |       round(sqrt(sum(sumsq / n) - sum(mu * mu)), 6) AS dispersion
+      |       round(sqrt(greatest(sum(sumsq / n) - sum(mu * mu), 0)), 6)
+      |         AS dispersion
       |FROM agg GROUP BY label ORDER BY label""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =

@@ -135,11 +135,15 @@ object MwasPipelineQueries {
   private val pipelineCache = new java.util.concurrent.atomic.AtomicReference[
     Option[((SparkSession, String), DataFrame)]](None)
 
-  /** Unpersist and drop the cached pipeline relation (bench/test hygiene). */
-  def evict(): Unit =
+  /** Unpersist and drop the cached pipeline relation (bench/test
+    * hygiene). Takes the same lock as [[pipelineBase]] — an unlocked
+    * evict could unpersist a relation another thread just handed out, or
+    * race between that thread's get and set. */
+  def evict(): Unit = pipelineCache.synchronized {
     pipelineCache.getAndSet(None).foreach { case (_, df) =>
       df.unpersist(blocking = false)
     }
+  }
 
   private def pipelineBase(s: SparkSession, dir: String): DataFrame =
     pipelineCache.synchronized {
@@ -456,14 +460,21 @@ object MwasPipelineQueries {
     * PickleCompatSpec's round trip against MetadataCondenser.condense on
     * the identical data. `dir` is unused: the corpus is a fixed fixture
     * tree, not scale-factor data. */
-  def pickleMigrateQuery(s: SparkSession, dir: String): DataFrame =
-    graft.sources.PickleCompat.condensedSets(s,
-        new java.io.File("src/test/resources/mwaspkl").getAbsolutePath)
+  def pickleMigrateQuery(s: SparkSession, dir: String): DataFrame = {
+    // resolve the fixture corpus independent of the driver's cwd
+    val corpus = Seq(
+      new java.io.File("src/test/resources/mwaspkl"),
+      new java.io.File("/root/repo/src/test/resources/mwaspkl"))
+      .find(_.isDirectory)
+      .getOrElse(throw new IllegalStateException(
+        "mwaspkl fixture corpus not found (run from the repo root)"))
+    graft.sources.PickleCompat.condensedSets(s, corpus.getAbsolutePath)
       .select(col("bioproject"), col("attributes"), col("values"),
         array_join(col("members"), "; ").as("members"),
         col("n_stored").cast("long").as("n_stored"), col("include"),
         col("n_biosamples").cast("long").as("n_biosamples"), col("set_id"))
       .orderBy(col("bioproject"), col("attributes"), col("values"))
+  }
 
   /** The reference's corpus-profiling pass (main/bioproject_sampling
     * .py:73-81: log-bucketed size histogram + per-bucket sample, printed
@@ -556,7 +567,7 @@ object MwasPipelineQueries {
       System.getProperty("java.io.tmpdir"),
       "graft_stream_mwas_" + Integer.toHexString(dir.hashCode))
     org.apache.commons.io.FileUtils.deleteQuietly(base)
-    val staging = new java.io.File(base, "staging"); staging.mkdirs()
+    base.mkdirs()
     val accumDir = s"$base/accum"
     val resultDir = s"$base/result"
 
@@ -565,18 +576,10 @@ object MwasPipelineQueries {
     // three batch writes are cheap scans of that file
     input(s, dir).write.mode("overwrite").parquet(s"$base/input_full")
     val in = s.read.parquet(s"$base/input_full")
-    (0 until 3).foreach { k =>
-      val tmp = new java.io.File(base, s"_stage_$k")
-      in.filter(pmod(xxhash64(col("run")), lit(3)) === k)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(staging, s"batch_$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      require(dst.setLastModified(1000000L + k * 60000L),
-        s"setLastModified unsupported on ${dst.getAbsolutePath}")
-    }
+    val staging = graft.streaming.StreamingQueries.stageBatches(
+      "graft_stream_mwas_batches_" + Integer.toHexString(dir.hashCode),
+      (0 until 3).map(k =>
+        in.filter(pmod(xxhash64(col("run")), lit(3)) === k)))
 
     val cat = catalog(s, dir)
     val sets = MetadataCondenser.condense(metadataLong(s, dir))

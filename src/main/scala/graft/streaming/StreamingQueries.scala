@@ -29,6 +29,37 @@ case class UserStats(user_id: Long, n: Long, sum: Double, max: Double)
   */
 object StreamingQueries {
 
+  /** Stage pre-split batches as single parquet files with ASCENDING
+    * pinned mtimes, so a `maxFilesPerTrigger=1` file source replays them
+    * as deterministic micro-batches in order. Shared by every multi-batch
+    * streaming harness (append-window, incremental MWAS). Returns the
+    * staging directory. */
+  private[graft] def stageBatches(name: String,
+      batches: Seq[DataFrame]): java.io.File = {
+    val staging = new java.io.File(
+      System.getProperty("java.io.tmpdir"), name)
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    staging.mkdirs()
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      val k = i + 1
+      val tmp = new java.io.File(staging, s"_stage_$k")
+      batch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(staging, s"batch_$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      // mtimes pin the file-source processing order to batch order; an
+      // unsupported filesystem must fail LOUDLY — silently
+      // wall-clock-ordered batches would make watermark advancement (and
+      // so per-batch emission) nondeterministic
+      require(dst.setLastModified(1000000L + k * 60000L),
+        s"setLastModified unsupported on ${dst.getAbsolutePath}; " +
+          "cannot pin deterministic micro-batch order")
+    }
+    staging
+  }
+
   /** Run a streaming transform of the events file source to completion and
     * return the collected sink table.
     *
@@ -201,29 +232,9 @@ object StreamingQueries {
       col("ts").cast("long") < b1,
       col("ts").cast("long") >= b1 && col("ts").cast("long") < b2,
       col("ts").cast("long") >= b2)
-    val staging = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_append_" + Integer.toHexString(dir.hashCode))
-    org.apache.commons.io.FileUtils.deleteQuietly(staging)
-    staging.mkdirs()
-    ranges.zipWithIndex.foreach { case (range, i) =>
-      val k = i + 1
-      val tmp = new java.io.File(staging, s"_stage_$k")
-      ev.filter(range)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(staging, s"batch_$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      // ascending mtimes pin the file-source processing order to time
-      // order; an unsupported filesystem must fail LOUDLY here — silently
-      // wall-clock-ordered batches would make the watermark advancement
-      // (and so the emitted window set per batch) nondeterministic
-      require(dst.setLastModified(1000000L + k * 60000L),
-        s"setLastModified unsupported on ${dst.getAbsolutePath}; " +
-          "cannot pin deterministic batch order for stream_append_window")
-    }
+    val staging = stageBatches(
+      "graft_stream_append_" + Integer.toHexString(dir.hashCode),
+      ranges.map(ev.filter))
     val schema = ev.schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)

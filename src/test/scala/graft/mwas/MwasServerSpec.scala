@@ -62,9 +62,11 @@ class MwasServerSpec extends AnyFunSuite {
       assert(r2.contains("significant"))
       assert(r2.contains(""""significant":1"""))
 
-      // malformed body is a clean 500, not a hung connection
+      // malformed body is a clean 500 (FAILFAST parse), never a silent
+      // zero-row 200
       val (c3, r3) = post(base, "not json")
-      assert(c3 === 500 || r3.contains(""""rows":0"""), s"$c3 $r3")
+      assert(c3 === 500, s"$c3 $r3")
+      assert(r3.contains("error"), r3)
     } finally server.stop(0)
   }
 }

@@ -101,7 +101,15 @@ object MetadataCondenser {
     stored
       .groupBy(col("bioproject"), col("include"), col("members"),
         col("n_stored"), col("n_biosamples"))
-      .agg(sort_array(collect_list(struct(col("attribute"), col("value"))))
+      // ';'→':' in LABELS ONLY (the reference's delimiter guard,
+      // metadata_set_maker.py:68-71) — every GROUPING above ran on the
+      // ORIGINAL values, so two factors that differ only by ;/: keep
+      // their distinct membership vectors and merely collide in label,
+      // exactly like the reference. Replaced BEFORE the sort so the
+      // canonical pair order is over the labels actually emitted.
+      .agg(sort_array(collect_list(struct(
+        translate(col("attribute"), ";", ":").as("attribute"),
+        translate(col("value"), ";", ":").as("value"))))
         .as("pairs"))
       .select(
         col("bioproject"),

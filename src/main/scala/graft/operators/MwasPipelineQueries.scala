@@ -105,8 +105,12 @@ object MwasPipelineQueries {
       |         f.n_biosamples
       |  FROM factors f JOIN allbs a ON f.bioproject = a.bioproject)
       |SELECT bioproject,
-      |       string_agg(attribute, '; ' ORDER BY attribute, value) AS attributes,
-      |       string_agg(value, '; ' ORDER BY attribute, value) AS "values",
+      |       string_agg(replace(attribute, ';', ':'), '; '
+      |         ORDER BY replace(attribute, ';', ':'),
+      |                  replace(value, ';', ':')) AS attributes,
+      |       string_agg(replace(value, ';', ':'), '; '
+      |         ORDER BY replace(attribute, ';', ':'),
+      |                  replace(value, ';', ':')) AS "values",
       |       members, CAST(len(members) AS BIGINT) AS n_stored, include,
       |       n_biosamples
       |FROM stored
@@ -234,8 +238,12 @@ object MwasPipelineQueries {
       |  FROM long GROUP BY 1),
       |sets AS (
       |  SELECT bioproject,
-      |         string_agg(attribute, '; ' ORDER BY attribute, value) AS attributes,
-      |         string_agg(value, '; ' ORDER BY attribute, value) AS vals,
+      |         string_agg(replace(attribute, ';', ':'), '; '
+      |           ORDER BY replace(attribute, ';', ':'),
+      |                    replace(value, ';', ':')) AS attributes,
+      |         string_agg(replace(value, ';', ':'), '; '
+      |           ORDER BY replace(attribute, ';', ':'),
+      |                    replace(value, ';', ':')) AS vals,
       |         members, len(members) AS n_stored, include, n_biosamples
       |  FROM (
       |    SELECT f.bioproject, f.attribute, f.value,

@@ -42,9 +42,13 @@ class CondenserPropertySpec extends Properties("MetadataCondenser") {
             }
           }
       }
-      // r6: merge labels of identical (stored, include)
+      // r6: merge labels of identical (stored, include); r7: the
+      // reference's delimiter guard replaces ';' with ':' in LABELS only
+      // (metadata_set_maker.py:68-71) — grouping ran on original values
       sets.groupBy(_._1).map { case ((stored, include), pairs) =>
-        val sorted = pairs.map(_._2).sorted
+        val sorted = pairs
+          .map(p => (p._2._1.replace(';', ':'), p._2._2.replace(';', ':')))
+          .sorted
         (bp, sorted.map(_._1).mkString("; "),
           sorted.map(_._2).mkString("; "), stored.toList, include)
       }
@@ -60,7 +64,7 @@ class CondenserPropertySpec extends Properties("MetadataCondenser") {
         nAttr <- Gen.choose(1, 3)
         vals <- Gen.sequence[Seq[Seq[String]], Seq[String]](
           (1 to nAttr).map { _ =>
-            Gen.listOfN(nBs, Gen.oneOf("a", "b", "c", "nan"))
+            Gen.listOfN(nBs, Gen.oneOf("a", "b", "c", "nan", "x;y", "x:y"))
           })
       } yield for {
         (attrVals, ai) <- vals.zipWithIndex

@@ -41,7 +41,7 @@ class PickleCompatSpec extends AnyFunSuite {
     val counts = ref.groupBy(col("bioproject")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts === Map("PRJTEST1" -> 12L, "PRJBIG" -> 300L,
-      "PRJWIDE" -> 66000L))
+      "PRJWIDE" -> 66000L, "PRJEDGE" -> 12L))
     // idx is the position in the (sorted) ref list — spot-check both ends
     val big = ref.filter(col("bioproject") === "PRJBIG")
       .orderBy(col("idx")).collect()

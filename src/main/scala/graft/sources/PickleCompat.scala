@@ -252,7 +252,15 @@ object PickleCompat {
       val dt = dtypeCode(st(2))
       val fortran = st(3).asInstanceOf[Boolean]
       val n = shape.product
-      val data: IndexedSeq[Any] = st(4) match {
+      // protocol 2 has no BINBYTES: byte payloads arrive as
+      // _codecs.encode(<latin-1 string>, 'latin1') REDUCE records
+      val payload = st(4) match {
+        case p: PObj if p.cls.module == "_codecs" && p.cls.name == "encode" =>
+          p.args.head.asInstanceOf[String]
+            .getBytes(StandardCharsets.ISO_8859_1)
+        case other => other
+      }
+      val data: IndexedSeq[Any] = payload match {
         case objs: mutable.ArrayBuffer[Any @unchecked] => objs.toIndexedSeq
         case raw: Array[Byte] =>
           val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)

@@ -8,10 +8,14 @@ import graft.etl.MetadataCondenser
 
 /** S4 round trip: fixtures under src/test/resources/mwaspkl were written by
   * the REFERENCE's own converter path (real `pickle.dump` of the
-  * `metadata_to_set_accession` outputs, pandas 2.x, protocol 4) from known
-  * wide frames; `long_form.parquet` holds the SAME data melted to the
-  * condenser's long relation. Reading the pickles must therefore produce
-  * exactly what condensing the long relation produces. */
+  * `metadata_to_set_accession` outputs, pandas 2.x, protocols 2 AND 4 —
+  * protocol 2 encodes ndarray bytes via `_codecs.encode` latin-1 records)
+  * from known wide frames; `long_form.parquet` holds the SAME data melted
+  * to the condenser's long relation. Reading the pickles must therefore
+  * produce exactly what condensing the long relation produces —
+  * including the adversarial PRJEDGE corpus (unicode, emoji, embedded
+  * newlines/tabs, quotes, 400-char values, ;/: label collisions) and the
+  * 66k-row PRJWIDE pickle. */
 class PickleCompatSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
@@ -41,7 +45,7 @@ class PickleCompatSpec extends AnyFunSuite {
     val counts = ref.groupBy(col("bioproject")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts === Map("PRJTEST1" -> 12L, "PRJBIG" -> 300L,
-      "PRJWIDE" -> 66000L, "PRJEDGE" -> 12L))
+      "PRJWIDE" -> 66000L, "PRJEDGE" -> 12L, "PRJPROTO2" -> 10L))
     // idx is the position in the (sorted) ref list — spot-check both ends
     val big = ref.filter(col("bioproject") === "PRJBIG")
       .orderBy(col("idx")).collect()

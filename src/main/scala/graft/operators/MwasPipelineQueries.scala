@@ -97,7 +97,11 @@ object MwasPipelineQueries {
       |  SELECT bioproject, list_sort(list(DISTINCT biosample_id)) AS all_members
       |  FROM long GROUP BY 1),
       |stored AS (
-      |  SELECT f.bioproject, f.attribute, f.value,
+      |  -- labels translated ONCE here (post-grouping, so ;/: variants
+      |  -- kept their distinct membership above)
+      |  SELECT f.bioproject,
+      |         replace(f.attribute, ';', ':') AS attribute,
+      |         replace(f.value, ';', ':') AS value,
       |         f.cnt < f.n_biosamples / 2.0 AS include,
       |         CASE WHEN f.cnt < f.n_biosamples / 2.0 THEN f.members_raw
       |              ELSE list_sort(list_filter(a.all_members,
@@ -105,12 +109,10 @@ object MwasPipelineQueries {
       |         f.n_biosamples
       |  FROM factors f JOIN allbs a ON f.bioproject = a.bioproject)
       |SELECT bioproject,
-      |       string_agg(replace(attribute, ';', ':'), '; '
-      |         ORDER BY replace(attribute, ';', ':'),
-      |                  replace(value, ';', ':')) AS attributes,
-      |       string_agg(replace(value, ';', ':'), '; '
-      |         ORDER BY replace(attribute, ';', ':'),
-      |                  replace(value, ';', ':')) AS "values",
+      |       string_agg(attribute, '; ' ORDER BY attribute, value)
+      |         AS attributes,
+      |       string_agg(value, '; ' ORDER BY attribute, value)
+      |         AS "values",
       |       members, CAST(len(members) AS BIGINT) AS n_stored, include,
       |       n_biosamples
       |FROM stored
@@ -238,15 +240,14 @@ object MwasPipelineQueries {
       |  FROM long GROUP BY 1),
       |sets AS (
       |  SELECT bioproject,
-      |         string_agg(replace(attribute, ';', ':'), '; '
-      |           ORDER BY replace(attribute, ';', ':'),
-      |                    replace(value, ';', ':')) AS attributes,
-      |         string_agg(replace(value, ';', ':'), '; '
-      |           ORDER BY replace(attribute, ';', ':'),
-      |                    replace(value, ';', ':')) AS vals,
+      |         string_agg(attribute, '; ' ORDER BY attribute, value)
+      |           AS attributes,
+      |         string_agg(value, '; ' ORDER BY attribute, value) AS vals,
       |         members, len(members) AS n_stored, include, n_biosamples
       |  FROM (
-      |    SELECT f.bioproject, f.attribute, f.value,
+      |    SELECT f.bioproject,
+      |           replace(f.attribute, ';', ':') AS attribute,
+      |           replace(f.value, ';', ':') AS value,
       |           f.cnt < f.n_biosamples / 2.0 AS include,
       |           CASE WHEN f.cnt < f.n_biosamples / 2.0 THEN f.members_raw
       |                ELSE list_sort(list_filter(a.all_members,

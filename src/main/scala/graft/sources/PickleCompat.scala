@@ -253,11 +253,18 @@ object PickleCompat {
       val fortran = st(3).asInstanceOf[Boolean]
       val n = shape.product
       // protocol 2 has no BINBYTES: byte payloads arrive as
-      // _codecs.encode(<latin-1 string>, 'latin1') REDUCE records
+      // _codecs.encode(<latin-1 string>, 'latin1') REDUCE records. Fail
+      // loudly on any other codec or out-of-range char — getBytes would
+      // silently substitute '?' and decode WRONG numeric data otherwise.
       val payload = st(4) match {
         case p: PObj if p.cls.module == "_codecs" && p.cls.name == "encode" =>
-          p.args.head.asInstanceOf[String]
-            .getBytes(StandardCharsets.ISO_8859_1)
+          val s = p.args.head.asInstanceOf[String]
+          val codec = p.args.lift(1)
+          require(codec.forall(_ == "latin1"),
+            s"ndarray payload encoded with unsupported codec $codec")
+          require(s.forall(_ <= 0xff.toChar),
+            "latin-1 ndarray payload contains chars > U+00FF")
+          s.getBytes(StandardCharsets.ISO_8859_1)
         case other => other
       }
       val data: IndexedSeq[Any] = payload match {

@@ -56,11 +56,40 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // Full per-query detail (name-sorted, 3 decimals) goes to a file: the
+    // harness that captures our stdout keeps only the LAST 2000 chars, so
+    // the printed line below must fit that window together with sbt's
+    // "[success] Total time..." trailer. 85+ queries at 3dp is ~2.2 KB —
+    // it has never fit. The printed line therefore carries the slowest
+    // queries first and stops at a hard byte budget; everything else is
+    // counted in "omitted" and available in BENCH_FULL.json.
+    val fullQs = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    val fw = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+    try fw.println(fullLine) finally fw.close()
+
+    val budget = 1600 // line bytes; leaves headroom in the 2000-char tail
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+    val tailFmt = (omitted: Int) =>
+      s"""},"omitted":$omitted,"detail":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+    val sb = new StringBuilder(head)
+    var kept = 0
+    entries.foreach { e =>
+      val sep = if (kept == 0) 0 else 1
+      if (sb.length + sep + e.length + tailFmt(0).length + 4 <= budget) {
+        if (kept > 0) sb.append(',')
+        sb.append(e); kept += 1
+      }
+    }
+    sb.append(tailFmt(entries.length - kept))
+    println(sb.toString)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/** Word n-gram shingling as one native expression: distinct xxhash64
+  * hashes of every n-word window, sorted ascending.
+  *
+  * This replaces the `transform(sequence(...), i -> concat_ws(" ",
+  * slice(words, i, n)))` + `array_distinct` + `explode` + `xxhash64`
+  * chain used by the shingle-based dedup/decontamination operators.
+  * Spark 4 evaluates array lambdas on InterpretedMutableProjection,
+  * so the HOF chain allocates a
+  * sliced array + a concatenated string per window per row and ran
+  * `text_decontaminate` at 37 s / sf0.1. Here the whole shingling is one
+  * compiled loop: word bytes are materialized once per row, each window
+  * is assembled into a reusable buffer and hashed with the SAME function
+  * `xxhash64` uses (XXH64 over the UTF-8 bytes of
+  * `w(i) + " " + ... + w(i+n-1)`, seed 42) — so downstream joins and
+  * aggregates are value-identical to the old chain, while the oracle can
+  * keep joining on gram STRINGS (equality of hashes == equality of grams
+  * modulo 64-bit collisions, as before).
+  *
+  * The output is sorted + distinct so that [[SortedLongJaccard]] can
+  * compute set overlap by linear merge with zero allocation.
+  */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram_hashes needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(in: Any): Any =
+    NgramHashes.compute(in.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramHashes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object NgramHashes {
+  private val EmptyLongs = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  /** One row's shingling: n-word windows → xxhash64(seed 42) of the
+    * space-joined gram bytes → sorted distinct. Called from generated
+    * code (static forwarder), so it must stay a plain (ArrayData, Int)
+    * signature. */
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val nw = words.numElements()
+    if (nw < n) return EmptyLongs
+    val wb = new Array[Array[Byte]](nw)
+    var i = 0
+    while (i < nw) {
+      val s = words.getUTF8String(i)
+      wb(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    val nGrams = nw - n + 1
+    val hashes = new Array[Long](nGrams)
+    var buf = new Array[Byte](128)
+    var g = 0
+    while (g < nGrams) {
+      var len = n - 1 // single-space separators
+      var j = 0
+      while (j < n) { len += wb(g + j).length; j += 1 }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '.toByte; off += 1 }
+        val w = wb(g + j)
+        System.arraycopy(w, 0, buf, off, w.length)
+        off += w.length
+        j += 1
+      }
+      hashes(g) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      g += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var out = 1
+    var k = 1
+    while (k < nGrams) {
+      if (hashes(k) != hashes(k - 1)) { hashes(out) = hashes(k); out += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (out == nGrams) hashes else java.util.Arrays.copyOf(hashes, out))
+  }
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| of two SORTED DISTINCT `ARRAY<LONG>`
+  * columns (the [[NgramHashes]] output shape) by linear merge — zero
+  * allocation per pair, vs the interpreted `array_intersect` +
+  * `array_union` pair which rebuilds two arrays per candidate. Both
+  * inputs MUST be sorted ascending and duplicate-free; feeding anything
+  * else silently under-counts the intersection. Empty∪empty yields 0.0
+  * (callers filter empty shingle sets out before pairing).
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_long_jaccard expects (ARRAY<BIGINT>, ARRAY<BIGINT>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongJaccard.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedLongJaccard.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object SortedLongJaccard {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+object ShingleOps {
+  /** Column-world entry points. */
+  def ngram_hashes(words: Column, n: Int): Column =
+    bridge.column(NgramHashes(bridge.expression(words), n))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    bridge.column(SortedLongJaccard(bridge.expression(a),
+      bridge.expression(b)))
+}

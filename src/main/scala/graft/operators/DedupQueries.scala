@@ -36,18 +36,19 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Word 3-gram shingle set (distinct), 1-based slice. */
-  private val shingles: Column = {
-    val w = split(col("text"), " ")
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", slice(w, i, lit(3))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word 3-gram shingle set as sorted distinct xxhash64 values — one
+    * compiled loop per row ([[graft.functions.NgramHashes]]) instead of
+    * the interpreted transform/slice/concat_ws/array_distinct chain.
+    * Downstream equality joins and min-aggregates see the exact values
+    * the old `xxhash64(gram_string)` produced. */
+  private val shingles: Column =
+    graft.functions.ShingleOps.ngram_hashes(split(col("text"), " "), 3)
 
+  /** Set Jaccard over the sorted-distinct hash arrays: linear merge,
+    * no per-pair array building. Collision-equivalent to string-set
+    * Jaccard (as the old xxhash64 bucket join already was). */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graft.functions.ShingleOps.sorted_jaccard(a, b)
 
   /** embeddings with double-cast vector and L2 norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -152,10 +153,11 @@ object DedupQueries {
     * 8-byte base hash, not arithmetic mixing — ANSI mode, on by default in
     * Spark 4, rejects the wrapping long multiply a*h+b needs.) */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // sh is already the per-doc distinct xxhash64 shingle set — the
+    // explode feeds the same `h` values the old xxhash64(gram) produced
     val base = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
-    val hashed = base.select(col("doc_id"), explode(col("sh")).as("g"))
-      .withColumn("h", xxhash64(col("g")))
+    val hashed = base.select(col("doc_id"), explode(col("sh")).as("h"))
     val minAggs = (0 until 64).map { k =>
       min(xxhash64(lit(k), col("h"))).as(s"m$k")
     }

@@ -403,21 +403,17 @@ object TextQueries {
     * on doc_id. */
   def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val grams5 = (c: Column) => {
-      val w = split(c, " ")
-      when(size(w) >= 5,
-        array_distinct(transform(sequence(lit(1), size(w) - 4),
-          i => concat_ws(" ", slice(w, i, lit(5))))))
-        .otherwise(array().cast("array<string>"))
-    }
+    // distinct 5-gram hashes per doc in one compiled loop (NgramHashes):
+    // value-identical to the old explode(grams)→xxhash64 chain, which
+    // built every gram via interpreted HOF lambdas and cost 37 s / sf0.1
+    val grams5 = (c: Column) =>
+      graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
     // benchmark grams: hashed, distinct — the small relation
     val bench = d.filter(col("doc_id") % 10 === 0)
-      .select(explode(grams5(col("text"))).as("g"))
-      .select(xxhash64(col("g")).as("gh")).distinct()
+      .select(explode(grams5(col("text"))).as("gh")).distinct()
     // probe: every non-benchmark doc's grams, joined on the hash
     val probe = d.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), explode(grams5(col("text"))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
     val hits = probe.join(broadcast(bench), Seq("gh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     probe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

@@ -79,14 +79,18 @@ object Bench {
       s"""},"omitted":$omitted,"detail":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
     val entries = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+    // strict prefix of the slowest-first ordering: stop at the first entry
+    // that doesn't fit, so the printed set is exactly "the N slowest"
     val sb = new StringBuilder(head)
     var kept = 0
+    var full = false
     entries.foreach { e =>
       val sep = if (kept == 0) 0 else 1
-      if (sb.length + sep + e.length + tailFmt(0).length + 4 <= budget) {
+      if (!full &&
+          sb.length + sep + e.length + tailFmt(0).length + 4 <= budget) {
         if (kept > 0) sb.append(',')
         sb.append(e); kept += 1
-      }
+      } else full = true
     }
     sb.append(tailFmt(entries.length - kept))
     println(sb.toString)

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -43,13 +44,29 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(in: Any): Any =
-    NgramHashes.compute(in.asInstanceOf[ArrayData], n)
+  // null words → empty shingle set, matching the when(...).otherwise(array())
+  // shape this expression replaced: consumers doing size() arithmetic never
+  // see NULL, so the column is non-nullable end to end.
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NgramHashes.emptyLongs()
+    else NgramHashes.compute(v.asInstanceOf[ArrayData], n)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.NgramHashes.compute($c, $n);")
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.NgramHashes.emptyLongs()
+          : graft.functions.NgramHashes.compute(${childGen.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
@@ -57,6 +74,9 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object NgramHashes {
   private val EmptyLongs = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  /** Static forwarder target for generated code (null words → empty set). */
+  def emptyLongs(): ArrayData = EmptyLongs
 
   /** One row's shingling: n-word windows → xxhash64(seed 42) of the
     * space-joined gram bytes → sorted distinct. Called from generated
@@ -117,14 +137,18 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull = false required: compute() reads elements with
+    // getLong, which is undefined over null slots. NgramHashes output
+    // (the intended feeder) is containsNull = false already.
     def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_long_jaccard expects (ARRAY<BIGINT>, ARRAY<BIGINT>), " +
+      s"sorted_long_jaccard expects (ARRAY<BIGINT NOT NULL>, " +
+        s"ARRAY<BIGINT NOT NULL>) sorted distinct, " +
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
 

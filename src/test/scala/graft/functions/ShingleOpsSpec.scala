@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the native shingling expressions: value parity
+  * with the HOF chain they replaced, the null-in/empty-out guarantee,
+  * and the sorted-distinct input gate on the Jaccard merge. */
+class ShingleOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("shingle-ops-spec")
+    .getOrCreate()
+
+  test("ngram_hashes matches xxhash64 over space-joined grams") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps", "a b a b a").toDF("text")
+      .withColumn("words", split(col("text"), " "))
+    // reference chain: every 3-word window, space-joined, xxhash64(seed 42)
+    val expected = df.select(col("text"), explode(sequence(lit(1),
+        greatest(size(col("words")) - 2, lit(0)))).as("i"), col("words"))
+      .select(col("text"),
+        xxhash64(concat_ws(" ",
+          element_at(col("words"), col("i")),
+          element_at(col("words"), col("i") + 1),
+          element_at(col("words"), col("i") + 2))).as("h"))
+      .groupBy("text").agg(sort_array(collect_set(col("h"))).as("hs"))
+    val actual = df.select(col("text"),
+      ShingleOps.ngram_hashes(col("words"), 3).as("hs"))
+    val exp = expected.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1)).toMap
+    actual.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == exp(r.getString(0)))
+    }
+  }
+
+  test("ngram_hashes is non-null for null and short inputs") {
+    import spark.implicits._
+    val df = Seq(Some("one two"), None).toDF("text")
+      .withColumn("words", split(col("text"), " "))
+      .select(ShingleOps.ngram_hashes(col("words"), 3).as("hs"))
+    assert(!df.schema("hs").nullable)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    // both rows: empty array, never NULL (2 words < n=3; null text)
+    rows.foreach(r => assert(!r.isNullAt(0) && r.getSeq[Long](0).isEmpty))
+    // size() arithmetic over the column never sees NULL
+    val sizes = Seq(Some("a b c d"), None).toDF("text")
+      .withColumn("words", split(col("text"), " "))
+      .select(size(ShingleOps.ngram_hashes(col("words"), 3)).as("n"))
+      .collect().map(_.getInt(0)).sorted
+    assert(sizes.toSeq == Seq(0, 2))
+  }
+
+  test("sorted_jaccard computes |A∩B|/|A∪B| on sorted distinct arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L), 2.0 / 6.0),
+      (Array(1L, 2L), Array(1L, 2L), 1.0),
+      (Array.emptyLongArray, Array.emptyLongArray, 0.0))
+      .toDF("a", "b", "want")
+    df.select(ShingleOps.sorted_jaccard(col("a"), col("b")).as("got"),
+        col("want"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("sorted_jaccard rejects nullable-element arrays") {
+    import spark.implicits._
+    val df = Seq((Array[java.lang.Long](1L, null), Array[java.lang.Long](1L)))
+      .toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ShingleOps.sorted_jaccard(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("sorted_long_jaccard") ||
+      err.getMessage.contains("NOT NULL"))
+  }
+}

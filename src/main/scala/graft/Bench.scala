@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * A warm-up pass (flagship query) absorbs JVM/JIT + codegen cache
   * cold-start so per-query numbers reflect steady state, which is what
   * matters at cluster scale.
+  *
+  * Each query is timed as the MEDIAN of `SPARK_GRAFT_BENCH_REPS` (3)
+  * cold-cache-isolated runs: this VM's CPU stalls make single samples
+  * spike 10-50× on unchanged code, and a median is the cheapest
+  * estimator that survives one stall per query. Raw samples are kept in
+  * BENCH_FULL.json for spike forensics.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,21 +46,44 @@ object Bench {
     // optional name filter for local iteration (driver sets no filter)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Median-of-N per query (default 3). This host shows ±20-50% CPU
+    // variance plus occasional 10-50× one-off stalls: every round 2-3
+    // random queries spiked on UNCHANGED code (r4: mwas_results_analyze
+    // 24.5 s, back to 3.5 s in r5; r5: json_ingest 42.8 s vs 0.8 s in
+    // r4). A single sample cannot distinguish a plan regression from a
+    // host stall; the median of 3 collapses one-off stalls while a real
+    // regression still reproduces in ≥2 of 3 runs and moves the median.
+    // All raw samples land in BENCH_FULL.json so outliers stay auditable.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map {
       case (name, fn) =>
-        // isolation: a query must be timed against a cold cache, not
-        // against whatever its predecessor happened to leave persisted
-        spark.catalog.clearCache()
-        graft.operators.MwasPipelineQueries.evict()
-        val t0 = System.nanoTime()
-        try run(fn) catch {
-          case e: Throwable =>
-            errors ::= name
-            System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+        var failed = false
+        val times = (1 to reps).iterator.map { _ =>
+          // isolation: a query must be timed against a cold cache, not
+          // against whatever its predecessor happened to leave persisted
+          spark.catalog.clearCache()
+          graft.operators.MwasPipelineQueries.evict()
+          val t0 = System.nanoTime()
+          try run(fn) catch {
+            case e: Throwable =>
+              failed = true
+              if (!errors.contains(name)) errors ::= name
+              System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.takeWhile(_ => !failed).toVector match {
+          // takeWhile drops the failing sample's time itself; keep a
+          // stable one-element shape so the JSON schema never changes
+          case v if v.nonEmpty => v
+          case _               => Vector(0.0)
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> times
+    }
+    // lower median: with 3 samples the middle one; robust to one stall
+    val results = samples.map { case (name, ts) =>
+      name -> ts.sorted.apply((ts.length - 1) / 2)
     }
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -68,8 +97,12 @@ object Bench {
     // counted in "omitted" and available in BENCH_FULL.json.
     val fullQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val fullSamples = samples.sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"errors":$errs,"sf":"$sfDir"}"""
     val fw = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
     try fw.println(fullLine) finally fw.close()
 
@@ -86,8 +119,10 @@ object Bench {
     var full = false
     entries.foreach { e =>
       val sep = if (kept == 0) 0 else 1
+      // reserve room for the WORST-CASE omitted count (all entries), not
+      // tailFmt(0): a multi-digit count must never blow the byte budget
       if (!full &&
-          sb.length + sep + e.length + tailFmt(0).length + 4 <= budget) {
+          sb.length + sep + e.length + tailFmt(entries.length).length <= budget) {
         if (kept > 0) sb.append(',')
         sb.append(e); kept += 1
       } else full = true

@@ -132,6 +132,13 @@ object NgramHashes {
   * inputs MUST be sorted ascending and duplicate-free; feeding anything
   * else silently under-counts the intersection. Empty∪empty yields 0.0
   * (callers filter empty shingle sets out before pairing).
+  *
+  * Input type is strictly `ARRAY<BIGINT NOT NULL>`: arrays read back from
+  * Parquet default to nullable elements even when no element is null, so
+  * external callers must cast first — e.g.
+  * `col("hs").cast("array<bigint>")` after a `filter(!exists(hs, isnull))`,
+  * or rebuild via [[ShingleOps.ngram_hashes]], whose output already
+  * carries `containsNull = false`.
   */
 case class SortedLongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -383,7 +383,13 @@ object DedupQueries {
 
   // ------------------------------------- A2: LSH-bucketed ANN (scale path)
 
-  /** Random-hyperplane LSH, multi-table: L=8 tables × 6 sign bits. A pair
+  /** Random-hyperplane LSH, multi-table: default L=16 tables × 5 sign
+    * bits, chosen by the recall-vs-budget sweep (tools.AnnSweep,
+    * PLANS.md): 0.82 recall@1 at 41% of a brute-force sweep on the
+    * adversarial no-cluster fixture (uniform noise is LSH's worst case —
+    * recall rises only with the searched fraction; clustered corpora do
+    * far better at the same settings, and at larger N you raise nBits
+    * with log2(N) to hold bucket sizes). A pair
     * is a candidate if it shares a bucket in ANY table (union + distinct);
     * the NN is then exact over candidates only. Hyperplanes are seeded
     * driver-side constants, so the plan is deterministic. The only shuffle
@@ -392,9 +398,8 @@ object DedupQueries {
     * sf0.01). Approximate by construction → no SQL oracle; the
     * [[annLshBucket]] query wraps this relation in a recall@1 gate
     * against [[exactNn]]. */
-  def annLshNn(s: SparkSession, dir: String): DataFrame = {
-    val nTables = 8
-    val nBits = 6
+  def annLshNn(s: SparkSession, dir: String,
+      nTables: Int = 16, nBits: Int = 5): DataFrame = {
     val rnd = new scala.util.Random(7)
     val planes =
       Array.fill(nTables, nBits)(Array.fill(64)(rnd.nextGaussian()))
@@ -402,7 +407,7 @@ object DedupQueries {
     val tables = (0 until nTables).map { t =>
       val bucket = (0 until nBits).map { i =>
         val p = typedLit(planes(t)(i).toSeq)
-        // native dot: 48 sign tests per row would otherwise run as
+        // native dot: L×nBits sign tests per row would otherwise run as
         // interpreted HOF lambdas
         when(dotNative(col("v"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)

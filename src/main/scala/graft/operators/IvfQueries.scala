@@ -21,11 +21,16 @@ import graft.core.Tables
   */
 object IvfQueries {
 
-  private val k = 16
-  private val nprobe = 2
+  // chosen by the recall-vs-budget sweep (tools.AnnSweep, PLANS.md):
+  // 0.81 recall@1 at 41% of a brute-force sweep on the adversarial
+  // no-cluster fixture; clustered corpora do far better at the same
+  // settings. nprobe/k = 1/4 keeps the probed fraction scale-free.
+  private val defaultK = 32
+  private val defaultNprobe = 8
 
   /** Per-vector IVF NN relation (vec_id, n_candidates, nn_id, cosine). */
-  def annIvfNn(s: SparkSession, dir: String): DataFrame = {
+  def annIvfNn(s: SparkSession, dir: String,
+      k: Int = defaultK, nprobe: Int = defaultNprobe): DataFrame = {
     val v = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",

@@ -50,9 +50,21 @@ object CsvIo {
       .select(col("run"), col("group"), col("quantifier_raw"),
         col("reject_reason")), path)
 
-  /** S2: dynamic-width metadata CSV, schema-on-read. */
+  /** S2: dynamic-width metadata CSV, schema-on-read.
+    *
+    * `multiLine` is ON: metadata cells legitimately contain quoted
+    * newlines (the reference's paragraph columns —
+    * main/tests/metadata_set_maker_tests/test_files/TEST_PARAGRAPH--*.csv
+    * exists to cover exactly that), and without it Spark shears such a
+    * row at the embedded newline into two broken rows that pandas parses
+    * correctly. Cost: a multiLine CSV file is read as ONE split (no
+    * intra-file parallelism) — acceptable because per-FILE parallelism is
+    * this source's scale unit anyway (one modest CSV per bioproject,
+    * many thousands of files; the reference sharded per file too,
+    * main/converter.sh:74). */
   def readMetadataCsv(s: SparkSession, path: String): DataFrame =
-    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+    s.read.option("header", "true").option("inferSchema", "true")
+      .option("multiLine", "true").csv(path)
 
   /** S7/S8: header'd CSV sink (the reference accumulates strings and
     * appends files; one declarative write replaces both). */

@@ -1,0 +1,182 @@
+package graft.etl
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CsvIo
+
+/** Golden-corpus tests: the reference's 14 curated pathological metadata
+  * CSVs (main/tests/metadata_set_maker_tests/test_files/, copied into
+  * src/test/resources/metadata_corpus) each run through the real ingest
+  * path — `CsvIo.readMetadataCsv` → `melt` → `condense(idPrefix=SAM)` —
+  * and must satisfy the §5.1 round-trip invariant the reference's own
+  * harness checks (metadata_set_maker_test.py:108-135): reconstructing
+  * every (attribute, value) → biosample cell from the stored minority
+  * side + polarity reproduces exactly the RECOVERABLE cells of the
+  * original frame, where the carve-outs are the reference's own rules —
+  * non-SAM biosample rows (r1, :35), constant / all-unique attributes
+  * (r2, :49), NaN / 'nan' values (r3, :57), singleton factors (r4, :62),
+  * and ';'→':' label mangling (:68-71).
+  *
+  * The recoverable set is computed here with an INDEPENDENT formulation
+  * (window functions over the long relation) so the test does not merely
+  * re-run the condenser's own aggregate+join plan against itself.
+  *
+  * One extra fixture, REPO_AUTHORED_embedded_newline.csv, is authored in
+  * this repo (NOT from the reference): none of the 14 reference files
+  * actually contain a quoted embedded newline (each has exactly
+  * rows+1 physical lines), yet that is the failure mode the reference's
+  * paragraph columns threaten — so this fixture pins the `multiLine`
+  * read path explicitly.
+  */
+class CondenserGoldenCorpusSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("condenser-golden-corpus")
+    .getOrCreate()
+
+  private val corpusDir = new File("src/test/resources/metadata_corpus")
+
+  /** Ingest one corpus file: schema-on-read CSV → drop the file's own
+    * constant `bioproject` column (r2 would erase it anyway, and `melt`
+    * re-derives the grouping key from the filename so every file keeps a
+    * distinct key even when the column is absent) → melt. */
+  private def ingest(f: File): DataFrame = {
+    val wide = CsvIo.readMetadataCsv(spark, f.getPath)
+      .drop("bioproject")
+      .withColumn("bp_tag", lit(f.getName.stripSuffix(".csv")))
+    MetadataCondenser.melt(wide, "bp_tag", "biosample_id")
+  }
+
+  /** The round-trip invariant over an already-melted long relation. */
+  private def assertRoundTrip(long: DataFrame): Long = {
+    val samLong = long.filter(col("biosample_id").startsWith("SAM")).cache()
+    try {
+      val sets = MetadataCondenser.condense(long, idPrefix = Some("SAM"))
+
+      // reconstruct: stored side + polarity → (attribute, value) cells
+      val universe = samLong.groupBy(col("bioproject"))
+        .agg(sort_array(collect_set(col("biosample_id"))).as("all_members"))
+      val reconstructed = sets.join(universe, "bioproject")
+        .withColumn("true_members",
+          when(col("include"), col("members"))
+            .otherwise(array_except(col("all_members"), col("members"))))
+        .select(col("bioproject"),
+          explode(arrays_zip(split(col("attributes"), "; "),
+            split(col("values"), "; "))).as("av"),
+          col("true_members"))
+        .select(col("bioproject"), col("av.0").as("attribute"),
+          col("av.1").as("value"),
+          explode(col("true_members")).as("biosample_id"))
+        .distinct()
+
+      // independent recoverable-cell formulation. Rule mirroring that the
+      // corpus stresses and the simpler CondenserSpec fixture did not:
+      // nd (r2) counts 'nan' STRINGS but not nulls (pandas nunique
+      // semantics, :46) and is computed BEFORE the r3 value filter, while
+      // the factor count (r4) counts distinct biosamples AFTER it.
+      val wAttr = Window.partitionBy(col("bioproject"), col("attribute"))
+      val wFac =
+        Window.partitionBy(col("bioproject"), col("attribute"), col("value"))
+      val nBp = samLong.select(col("bioproject"), col("biosample_id"))
+        .distinct().groupBy(col("bioproject"))
+        .agg(count(lit(1)).as("n_bs"))
+      val recoverable = samLong
+        .withColumn("nd", size(collect_set(col("value")).over(wAttr)))
+        .join(nBp, "bioproject")
+        .filter(col("nd") > 1 && col("nd") < col("n_bs"))
+        .filter(col("value").isNotNull && col("value") =!= "nan")
+        .withColumn("cnt",
+          size(collect_set(col("biosample_id")).over(wFac)))
+        .filter(col("cnt") > 1)
+        .select(col("bioproject"),
+          translate(col("attribute"), ";", ":").as("attribute"),
+          translate(col("value"), ";", ":").as("value"),
+          col("biosample_id"))
+        .distinct()
+
+      val missing = recoverable.exceptAll(reconstructed).count()
+      val phantom = reconstructed.exceptAll(recoverable).count()
+      assert(missing == 0 && phantom == 0,
+        s"round-trip drift: $missing recoverable cells missing, " +
+          s"$phantom phantom cells reconstructed")
+      sets.count()
+    } finally samLong.unpersist()
+  }
+
+  private val corpusFiles = corpusDir.listFiles((_, n) => n.endsWith(".csv"))
+    .toSeq.sortBy(_.getName)
+
+  test("corpus directory is present and complete") {
+    assert(corpusFiles.map(_.getName).count(!_.startsWith("REPO_")) == 14)
+  }
+
+  for (f <- corpusFiles)
+    test(s"round-trips: ${f.getName}") {
+      val nSets = assertRoundTrip(ingest(f))
+      // files the reference documents as degenerate must stay degenerate:
+      // no SAM ids at all (index_error, graceful exit :36-39), a
+      // 2-biosample project where every attribute is constant or
+      // all-unique (TEST_SMALL), and large_but_empty (1413 columns, none
+      // with a reusable factor — the reference emits "No sets were
+      // generated", verified by running metadata_to_set_accession on the
+      // fixture) must all yield zero sets, not crash
+      if (f.getName.startsWith("index_error") ||
+          f.getName.startsWith("TEST_SMALL") ||
+          f.getName.startsWith("large_but_empty"))
+        assert(nSets == 0, s"${f.getName} must condense to zero sets")
+      else assert(nSets > 0, s"${f.getName} unexpectedly produced no sets")
+    }
+
+  test("r1 row removal matches the reference's counts") {
+    // 375_rows_removed: 462 rows, 87 SAM; still_graceful_exit_fails:
+    // 14 rows, 12 SAM (counts from the reference fixtures themselves)
+    def samCount(prefix: String): (Long, Long) = {
+      val f = corpusFiles.find(_.getName.startsWith(prefix)).get
+      val long = ingest(f)
+      val ids = long.select(col("biosample_id")).distinct()
+      (ids.count(), ids.filter(col("biosample_id").startsWith("SAM")).count())
+    }
+    assert(samCount("375_rows_removed") == ((462L, 87L)))
+    assert(samCount("still_graceful_exit_fails") == ((14L, 12L)))
+  }
+
+  test("multiLine read: paragraph fixtures parse without row shear") {
+    // the reference's paragraph file: exactly 210 rows, every id SAM-
+    // prefixed — a sheared parse would split rows and break both counts
+    val para = corpusFiles.find(_.getName.startsWith("TEST_PARAGRAPH")).get
+    val wide = CsvIo.readMetadataCsv(spark, para.getPath)
+    assert(wide.count() == 210)
+    assert(wide.filter(!col("biosample_id").startsWith("SAM")).count() == 0)
+
+    // the repo-authored fixture REALLY embeds newlines: 6 logical rows
+    // over 14 physical lines; the paragraph value must come back with
+    // its '\n' intact, and the whole file must round-trip
+    val nl = corpusFiles.find(_.getName.startsWith("REPO_AUTHORED")).get
+    val wideNl = CsvIo.readMetadataCsv(spark, nl.getPath)
+    assert(wideNl.count() == 6)
+    assert(wideNl.filter(col("paragraph").contains("\n")).count() == 5)
+    val long = ingest(nl)
+    assertRoundTrip(long)
+    // the ';' inside the quoted paragraph is label-mangled to ':' (the
+    // delimiter guard) while the factor still condensed on the ORIGINAL
+    // value; "; " may legitimately appear in `values` only as the
+    // merged-label JOIN delimiter, so check the segments, not the string
+    val sets = MetadataCondenser.condense(long, idPrefix = Some("SAM"))
+    val paraValues = sets
+      .filter(col("attributes").contains("paragraph"))
+      .select(explode(split(col("values"), "; ")).as("v"))
+      .collect().map(_.getString(0))
+    assert(paraValues.nonEmpty)
+    assert(paraValues.forall(!_.contains(";")))
+    assert(paraValues.exists(_.contains("second line: with a semicolon")))
+  }
+}

@@ -20,9 +20,13 @@ class ShingleOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps", "a b a b a").toDF("text")
       .withColumn("words", split(col("text"), " "))
-    // reference chain: every 3-word window, space-joined, xxhash64(seed 42)
-    val expected = df.select(col("text"), explode(sequence(lit(1),
-        greatest(size(col("words")) - 2, lit(0)))).as("i"), col("words"))
+    // reference chain: every 3-word window, space-joined, xxhash64(seed 42).
+    // Guard to >= 3 words: sequence(1, 0) yields [1,0] (descending step),
+    // not [], so the chain is only valid for inputs with at least one gram —
+    // short inputs are covered by the dedicated test below.
+    val expected = df.filter(size(col("words")) >= 3)
+      .select(col("text"), explode(sequence(lit(1),
+        size(col("words")) - 2)).as("i"), col("words"))
       .select(col("text"),
         xxhash64(concat_ws(" ",
           element_at(col("words"), col("i")),

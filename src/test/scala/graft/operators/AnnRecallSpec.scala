@@ -4,11 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Quality gates for the approximate-NN operators: recall@1 against the
-  * exact sweep must clear a floor. The synthetic embeddings are
-  * clusterless uniform noise — the hardest case for LSH/IVF — so the
-  * floors are deliberately conservative (measured: LSH ≈ 0.40, IVF ≈
-  * 0.53 at sf0.01); a regression to near-random (1/n) still fails them
-  * by an order of magnitude. */
+  * exact sweep, asserted as a BAND around the measured value, not a loose
+  * floor — a floor of 0.25 would pass an ANN whose answers are 70% wrong.
+  *
+  * The synthetic embeddings are clusterless 64-dim uniform noise (NN
+  * cosine ≈ 0.37, labels geometrically meaningless — verified by pairwise
+  * cosine profile), the hardest case for LSH/IVF: recall rises only with
+  * the fraction of the corpus actually compared. The defaults were chosen
+  * by the tools.AnnSweep parameter sweep (recorded in PLANS.md) as the
+  * cheapest configs clearing 0.8 recall@1 while still searching a strict
+  * minority (~41%) of a brute-force sweep:
+  *   LSH L=16 tables × 5 bits → measured 0.824 @ sf0.001
+  *   IVF k=32, nprobe=8       → measured 0.808 @ sf0.001
+  * Both operators are seeded (hyperplanes: Random(7); k-means: seed 11),
+  * so ±0.10 around the measured value is generous slack for FP fold-order
+  * drift while still failing any real parameter or plan regression.
+  */
 class AnnRecallSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
@@ -25,15 +36,17 @@ class AnnRecallSpec extends AnyFunSuite {
     (r.getAs[Long]("n_vectors"), r.getAs[Double]("recall_at_1"))
   }
 
-  test("LSH-bucketed ANN clears the recall floor") {
+  test("LSH-bucketed ANN recall@1 stays in the measured band") {
     val (n, rec) = recall(DedupQueries.annLshBucket(spark, dir))
     assert(n > 0)
-    assert(rec >= 0.25, s"LSH recall@1 $rec below floor")
+    assert(rec >= 0.72 && rec <= 0.93,
+      s"LSH recall@1 $rec outside measured band 0.824 ± 0.10")
   }
 
-  test("IVF ANN clears the recall floor") {
+  test("IVF ANN recall@1 stays in the measured band") {
     val (n, rec) = recall(IvfQueries.annIvf(spark, dir))
     assert(n > 0)
-    assert(rec >= 0.30, s"IVF recall@1 $rec below floor")
+    assert(rec >= 0.70 && rec <= 0.91,
+      s"IVF recall@1 $rec outside measured band 0.808 ± 0.10")
   }
 }

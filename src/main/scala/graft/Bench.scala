@@ -105,6 +105,11 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"errors":$errs,"sf":"$sfDir"}"""
     val fw = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
     try fw.println(fullLine) finally fw.close()
+    // append-only per-run history: spikes become machine-detectable by
+    // comparing a query's new median against its own past lines (the
+    // driver's BENCH_r{N}.json keeps only each round's truncated tail)
+    val hw = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
+    try hw.write(fullLine + "\n") finally hw.close()
 
     val budget = 1600 // line bytes; leaves headroom in the 2000-char tail
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""

@@ -1,0 +1,48 @@
+package graft.tools
+
+import scala.io.Source
+import scala.util.matching.Regex
+
+/** Spike detector over BENCH_HISTORY.jsonl (written by graft.Bench):
+  * compares the newest run's per-query medians against the minimum of
+  * all previous lines and prints queries above a ratio threshold
+  * (default 2×, override as arg). Exit 1 if any spike is found, so the
+  * check can gate automation. Zero dependencies — the history lines are
+  * flat `"name":num` maps, parsed with a regex rather than pulling a
+  * JSON library into the main classpath.
+  */
+object BenchDiff {
+  private val entry: Regex = """"([a-z0-9_]+)":([0-9.]+)""".r
+
+  private def queries(line: String): Map[String, Double] = {
+    val start = line.indexOf("\"queries\":{")
+    val end = line.indexOf("}", start)
+    entry.findAllMatchIn(line.substring(start + 11, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val threshold = args.headOption.map(_.toDouble).getOrElse(2.0)
+    val lines = Source.fromFile("BENCH_HISTORY.jsonl").getLines()
+      .filter(_.nonEmpty).toVector
+    require(lines.size >= 2,
+      s"need >= 2 history lines to diff, have ${lines.size}")
+    val past = lines.init.map(queries)
+    val cur = queries(lines.last)
+    val spikes = cur.toSeq.flatMap { case (name, now) =>
+      val hist = past.flatMap(_.get(name))
+      if (hist.isEmpty) None
+      else {
+        val best = hist.min
+        // floor tiny denominators: a 0.2 s query doubling is noise
+        if (now > threshold * math.max(best, 0.5))
+          Some((name, now, best)) else None
+      }
+    }.sortBy { case (_, now, best) => -(now / best) }
+    spikes.foreach { case (name, now, best) =>
+      println(f"[benchdiff] SPIKE $name%-24s now=$now%7.2f best=$best%7.2f x${now / best}%.1f")
+    }
+    if (spikes.isEmpty) println(s"[benchdiff] no query above ${threshold}x its historical best")
+    else sys.exit(1)
+  }
+}

@@ -45,13 +45,25 @@ class CondenserGoldenCorpusSpec extends AnyFunSuite {
 
   private val corpusDir = new File("src/test/resources/metadata_corpus")
 
-  /** Ingest one corpus file: schema-on-read CSV → drop the file's own
-    * constant `bioproject` column (r2 would erase it anyway, and `melt`
-    * re-derives the grouping key from the filename so every file keeps a
-    * distinct key even when the column is absent) → melt. */
-  private def ingest(f: File): DataFrame = {
-    val wide = CsvIo.readMetadataCsv(spark, f.getPath)
-      .drop("bioproject")
+  /** The melt key comes from the filename, so a file's own `bioproject`
+    * column stays an ORDINARY attribute — it must: dup_ex_PRJEB66656
+    * exists precisely because its bioproject column is NOT constant
+    * (rows of a second project are mixed in), and the reference derives
+    * a real set from it. Renamed (not dropped) to dodge the name
+    * collision with melt's output key; [[restoreFileBp]] maps the label
+    * back for comparisons. */
+  private val fileBpAttr = "bioproject_file_attr"
+
+  private def restoreFileBp(attribute: org.apache.spark.sql.Column) =
+    when(attribute === fileBpAttr, lit("bioproject")).otherwise(attribute)
+
+  /** Ingest one corpus file: schema-on-read CSV → melt. */
+  private def ingest(f: File): DataFrame = ingestWide(
+    CsvIo.readMetadataCsv(spark, f.getPath), f)
+
+  private def ingestWide(raw: DataFrame, f: File): DataFrame = {
+    val wide = (if (raw.columns.contains("bioproject"))
+        raw.withColumnRenamed("bioproject", fileBpAttr) else raw)
       .withColumn("bp_tag", lit(f.getName.stripSuffix(".csv")))
     MetadataCondenser.melt(wide, "bp_tag", "biosample_id")
   }
@@ -148,6 +160,54 @@ class CondenserGoldenCorpusSpec extends AnyFunSuite {
     assert(samCount("375_rows_removed") == ((462L, 87L)))
     assert(samCount("still_graceful_exit_fails") == ((14L, 12L)))
   }
+
+  // ---------------------------------------------------------------------
+  // Cross-engine golden oracle: the reference's OWN metadata_to_set_maker
+  // output, not a formulation of this repo. For 5 corpus files the
+  // reference's metadata_to_set_accession was run (pandas, dtype=str so
+  // both engines see the same raw strings) and its sets exploded to
+  // true-side (attribute, value, biosample_id) cells — polarity and row-
+  // index lists resolved through its biosamples_ref exactly as its own
+  // reconstruction harness does. The condenser must reproduce the cell
+  // set EXACTLY. This is stronger than the round-trip above: a rule
+  // misread shared by condenser and recoverable-formulation would pass
+  // the round-trip but fail here.
+  for (f <- corpusFiles
+      if new File(s"src/test/resources/metadata_corpus_expected/" +
+        f.getName.stripSuffix(".csv") + ".expected.csv").exists())
+    test(s"matches the reference engine's sets: ${f.getName}") {
+      // no inferSchema: the oracle fixed dtype=str on the pandas side, so
+      // the engines compare on identical raw strings (melt casts to
+      // string anyway; the production inferSchema path is covered by the
+      // round-trip tests above)
+      val long = ingestWide(spark.read.option("header", "true")
+        .option("multiLine", "true").csv(f.getPath), f).cache()
+      try {
+        val sets = MetadataCondenser.condense(long, idPrefix = Some("SAM"))
+        val universe = long.filter(col("biosample_id").startsWith("SAM"))
+          .groupBy(col("bioproject"))
+          .agg(sort_array(collect_set(col("biosample_id"))).as("all_members"))
+        val mine = sets.join(universe, "bioproject")
+          .withColumn("true_members",
+            when(col("include"), col("members"))
+              .otherwise(array_except(col("all_members"), col("members"))))
+          .select(explode(arrays_zip(split(col("attributes"), "; "),
+            split(col("values"), "; "))).as("av"), col("true_members"))
+          .select(restoreFileBp(col("av.0")).as("attribute"),
+            col("av.1").as("value"),
+            explode(col("true_members")).as("biosample_id"))
+          .distinct()
+        val expected = spark.read.option("header", "true")
+          .option("multiLine", "true")
+          .csv(s"src/test/resources/metadata_corpus_expected/" +
+            f.getName.stripSuffix(".csv") + ".expected.csv")
+        val missing = expected.exceptAll(mine).count()
+        val phantom = mine.exceptAll(expected).count()
+        assert(missing == 0 && phantom == 0,
+          s"cell drift vs the reference engine: $missing cells the " +
+            s"reference derived are missing, $phantom cells are phantom")
+      } finally long.unpersist()
+    }
 
   test("multiLine read: paragraph fixtures parse without row shear") {
     // the reference's paragraph file: exactly 210 rows, every id SAM-

@@ -58,8 +58,16 @@ object MetadataCondenser {
     // the per-bioproject side broadcasts.
     val nBs = filtered.groupBy(col("bioproject"))
       .agg(countDistinct(col("biosample_id")).cast("int").as("n_biosamples"))
+    // nd treats the literal string 'nan' as MISSING, exactly like the
+    // reference: pandas converts "nan" cells to NaN at read time
+    // (default na_values) and nunique() excludes NaN — so a column that
+    // is constant-except-'nan' has nunique 1 and is dropped whole. The
+    // cross-engine golden oracle (TEST_LARGE fixture: status = 'live'
+    // ×295 + 'nan' ×3) caught the over-counting variant emitting sets
+    // the reference never produces.
     val nd = filtered.groupBy(col("bioproject"), col("attribute"))
-      .agg(countDistinct(col("value")).cast("int").as("nd"))
+      .agg(countDistinct(when(col("value") =!= "nan", col("value")))
+        .cast("int").as("nd"))
 
     val withStats = filtered
       .join(broadcast(nBs), Seq("bioproject"))

@@ -82,7 +82,10 @@ object MwasPipelineQueries {
       |  SELECT l.bioproject, l.attribute
       |  FROM long l JOIN bp ON l.bioproject = bp.bioproject
       |  GROUP BY 1, 2, bp.n
-      |  HAVING count(DISTINCT l.value) > 1 AND count(DISTINCT l.value) < bp.n),
+      |  -- 'nan' literals are missing values (pandas read-time NaN): they
+      |  -- never count toward an attribute's distinct values
+      |  HAVING count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) > 1
+      |     AND count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) < bp.n),
       |factors AS (
       |  SELECT l.bioproject, l.attribute, l.value, bp.n AS n_biosamples,
       |         list_sort(list(DISTINCT l.biosample_id)) AS members_raw,
@@ -224,7 +227,10 @@ object MwasPipelineQueries {
       |  SELECT l.bioproject, l.attribute
       |  FROM long l JOIN bp ON l.bioproject = bp.bioproject
       |  GROUP BY 1, 2, bp.n
-      |  HAVING count(DISTINCT l.value) > 1 AND count(DISTINCT l.value) < bp.n),
+      |  -- 'nan' literals are missing values (pandas read-time NaN): they
+      |  -- never count toward an attribute's distinct values
+      |  HAVING count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) > 1
+      |     AND count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) < bp.n),
       |factors AS (
       |  SELECT l.bioproject, l.attribute, l.value, bp.n AS n_biosamples,
       |         list_sort(list(DISTINCT l.biosample_id)) AS members_raw,

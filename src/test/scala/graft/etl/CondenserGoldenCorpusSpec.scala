@@ -102,7 +102,10 @@ class CondenserGoldenCorpusSpec extends AnyFunSuite {
         .distinct().groupBy(col("bioproject"))
         .agg(count(lit(1)).as("n_bs"))
       val recoverable = samLong
-        .withColumn("nd", size(collect_set(col("value")).over(wAttr)))
+        // 'nan' literals are missing (pandas read-time NaN): they count
+        // toward neither nd nor the factors
+        .withColumn("nd", size(collect_set(
+          when(col("value") =!= "nan", col("value"))).over(wAttr)))
         .join(nBp, "bioproject")
         .filter(col("nd") > 1 && col("nd") < col("n_bs"))
         .filter(col("value").isNotNull && col("value") =!= "nan")

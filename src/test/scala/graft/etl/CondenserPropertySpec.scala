@@ -28,7 +28,9 @@ class CondenserPropertySpec extends Properties("MetadataCondenser") {
       val n = universe.size
       val byAttr = bpRows.groupBy(_._3)
       val sets = byAttr.toSeq.flatMap { case (attr, aRows) =>
-        val nd = aRows.map(_._4).distinct.size
+        // 'nan' is a read-time missing value: excluded from nd (pandas
+        // nunique semantics), exactly as in the condenser's r2
+        val nd = aRows.map(_._4).filter(_ != "nan").distinct.size
         if (nd <= 1 || nd >= n) Nil // r2
         else aRows.filter(_._4 != "nan") // r3
           .groupBy(_._4).toSeq.flatMap { case (value, vRows) =>

@@ -37,14 +37,15 @@ object IvfQueries {
         sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
     val ml = v.withColumn("features", array_to_vector(col("v")))
 
-    // random init, few iterations: k-means|| init alone is ~5 distributed
-    // passes, and the quantizer only needs centroids good enough to
-    // partition space — recall is gated by nprobe, not centroid polish
-    // (AnnRecallSpec's band re-measured under these settings). At real
-    // scale the fit runs ONCE offline on a sample and the centroids ship
-    // as literals; only assignment is per-row work.
+    // k-means|| init, 5 Lloyd iterations: a random-init variant was
+    // measured (AnnSweep) and dropped recall@1 at the default nprobe
+    // from 0.81 to 0.71 — the quantizer's cell balance IS the recall
+    // lever, so the init passes earn their cost; halving the Lloyd
+    // iterations from 10 loses nothing measurable. At real scale the
+    // fit runs ONCE offline on a sample and the centroids ship as
+    // literals; only assignment is per-row work.
     val model = new KMeans().setK(k).setSeed(11).setMaxIter(5)
-      .setInitMode("random").setFeaturesCol("features").fit(ml)
+      .setFeaturesCol("features").fit(ml)
     val assigned = model.transform(ml)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("prediction").as("cell"))

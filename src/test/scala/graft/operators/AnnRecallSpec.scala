@@ -15,7 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * cheapest configs clearing 0.8 recall@1 while still searching a strict
   * minority (~41%) of a brute-force sweep:
   *   LSH L=16 tables × 5 bits → measured 0.824 @ sf0.001
-  *   IVF k=32, nprobe=8       → measured 0.808 @ sf0.001
+  *   IVF k=32, nprobe=8       → measured 0.816 @ sf0.001 (k-means||
+  *     init, 5 Lloyd iterations; a random-init fit measured 0.708 and
+  *     was rejected — see IvfQueries)
   * Both operators are seeded (hyperplanes: Random(7); k-means: seed 11),
   * so ±0.10 around the measured value is generous slack for FP fold-order
   * drift while still failing any real parameter or plan regression.
@@ -46,7 +48,7 @@ class AnnRecallSpec extends AnyFunSuite {
   test("IVF ANN recall@1 stays in the measured band") {
     val (n, rec) = recall(IvfQueries.annIvf(spark, dir))
     assert(n > 0)
-    assert(rec >= 0.70 && rec <= 0.91,
-      s"IVF recall@1 $rec outside measured band 0.808 ± 0.10")
+    assert(rec >= 0.71 && rec <= 0.92,
+      s"IVF recall@1 $rec outside measured band 0.816 ± 0.10")
   }
 }

@@ -2,14 +2,15 @@ package graft.extensions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, WelchTTest}
+import graft.functions.{DotProduct, NgramHashes, SortedLongJaccard, WelchTTest}
 
 /** Session extension registering the engine's custom expressions as SQL
-  * functions, so `spark.sql("SELECT welch_t(...)")` /
-  * `spark.sql("SELECT dot_product(...)")` work for SQL-only users
-  * (activate with
+  * functions — `welch_t`, `dot_product`, `ngram_hashes`,
+  * `sorted_jaccard` — so SQL-only users reach the statistical and
+  * dedup primitives from `spark.sql` (activate with
   * `.config("spark.sql.extensions", classOf[GraftExtensions].getName)`
   * or `.withExtensions`).
   *
@@ -32,6 +33,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"dot_product takes 2 arguments, got ${args.length}")
         DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          s"ngram_hashes takes (words, n), got ${args.length} arguments")
+        // n shapes the compiled loop, so it must be a literal — a column
+        // n would need a different (slower) expression entirely
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"ngram_hashes(words, n): n must be an INT literal, got $other")
+        }
+        NgramHashes(args(0), n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedLongJaccard].getName,
+        "sorted_jaccard"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          s"sorted_jaccard takes 2 arguments, got ${args.length}")
+        SortedLongJaccard(args(0), args(1))
       }))
   }
 }

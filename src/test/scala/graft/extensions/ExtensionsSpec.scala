@@ -43,6 +43,20 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("2 arguments") ||
         err.getMessage.toLowerCase.contains("invalid"))
+
+      // the dedup primitives compose in pure SQL: 3-gram shingles of
+      // "a b c d" = {abc, bcd}, of "b c d e" = {bcd, cde} → J = 1/3
+      val j = spark.sql(
+        "SELECT sorted_jaccard(ngram_hashes(split('a b c d', ' '), 3), " +
+          "ngram_hashes(split('b c d e', ' '), 3)) AS j").head().getDouble(0)
+      assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+      // n must be a literal (it shapes the compiled loop)
+      val nerr = intercept[Exception] {
+        spark.sql("SELECT ngram_hashes(split('a b', ' '), 1 + 2) AS h")
+          .head()
+      }
+      assert(nerr.getMessage.contains("INT literal") ||
+        nerr.getMessage.toLowerCase.contains("invalid"))
     } finally spark.stop()
   }
 }

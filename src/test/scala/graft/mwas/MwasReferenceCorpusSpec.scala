@@ -120,6 +120,56 @@ class MwasReferenceCorpusSpec extends AnyFunSuite {
       .csv(s"$dir/out/per_bioproject")
     assert(per.select(col("bioproject")).distinct()
       .as[String].collect().toSet === outProjects)
+
+    // value-level spot check: recompute mean_rpm_true for EVERY output
+    // row with an independent formulation (raw input ⋈ catalog, per-
+    // biosample rpm averaging, virtual zeros as coalesce-to-0 over the
+    // full true side) and require agreement to 1e-6. None of Pipeline's
+    // code is reused below.
+    val rpmPerBs = spark.read.parquet(catalogPath)
+      .join(routed.filter(col("reject_reason").isNull)
+        .select(col("run"), col("group"), col("quantifier")),
+        Seq("run"), "left_outer")
+      .na.fill(Map("quantifier" -> 0.0))
+      .withColumn("rpm", col("quantifier") * lit(1e6) /
+        when(col("spots") === 0 || col("spots").isNull, lit(1e6))
+          .otherwise(col("spots")))
+      .filter(col("group").isNotNull)
+      .groupBy(col("bio_project").as("bioproject"), col("group"),
+        col("bio_sample").as("member"))
+      .agg(avg(col("rpm")).as("rpm"))
+    val uni = PickleCompat.biosampleRef(spark, pklDir)
+      .groupBy(col("bioproject"))
+      .agg(collect_set(col("biosample_id")).as("all_bs"))
+    val trueMembers = sets.join(uni, "bioproject")
+      .select(col("bioproject"),
+        regexp_replace(col("attributes"), ",", " ").as("metadata_field"),
+        regexp_replace(col("values"), ",", " ").as("metadata_value"),
+        explode(when(col("include"), col("members"))
+          .otherwise(array_except(col("all_bs"), col("members"))))
+          .as("member"))
+    val recomputed = combined
+      .select(col("bioproject"), col("group"), col("metadata_field"),
+        col("metadata_value"), col("num_true").cast("long").as("num_true"),
+        col("mean_rpm_true").cast("double").as("mean_rpm_true"))
+      .join(trueMembers,
+        Seq("bioproject", "metadata_field", "metadata_value"))
+      .join(rpmPerBs, Seq("bioproject", "group", "member"), "left_outer")
+      .groupBy(col("bioproject"), col("group"), col("metadata_field"),
+        col("metadata_value"), col("num_true"), col("mean_rpm_true"))
+      .agg(sum(coalesce(col("rpm"), lit(0.0))).as("sum_rpm"),
+        count(lit(1)).as("n_members"))
+    val rc = recomputed.collect()
+    assert(rc.length.toLong === n,
+      "every combined row must resolve to exactly one set's true side")
+    rc.foreach { r =>
+      assert(r.getAs[Long]("n_members") === r.getAs[Long]("num_true"))
+      val expectedMean = r.getAs[Double]("sum_rpm") / r.getAs[Long]("num_true")
+      assert(math.abs(r.getAs[Double]("mean_rpm_true") - expectedMean) < 1e-6,
+        s"mean_rpm_true drift on ${r.getAs[String]("bioproject")}/" +
+          s"${r.getAs[String]("group")}: got " +
+          s"${r.getAs[Double]("mean_rpm_true")}, expected $expectedMean")
+    }
     sets.unpersist()
   }
 }

@@ -42,6 +42,40 @@ class ShingleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_hashes matches the HOF chain on a randomized corpus") {
+    import spark.implicits._
+    // seeded generator: word counts 0..12, words drawn from a pool that
+    // includes unicode, punctuation-bearing and repeated tokens (repeats
+    // make duplicate grams, exercising the distinct), plus hand-picked
+    // edge rows
+    val rnd = new scala.util.Random(99)
+    val pool = Vector("a", "b", "cat", "Σ", "naïve", "x;y", "…", "b", "a")
+    val gen = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(13)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(" ")
+    }
+    val edge = Seq("", "one", "one two", "a a a a a a", "Σ Σ Σ Σ")
+    for (n <- Seq(2, 3, 5)) {
+      val df = (gen ++ edge).zipWithIndex.toDF("text", "id")
+        .withColumn("words", split(col("text"), " "))
+      val expected = df.filter(size(col("words")) >= n)
+        .select(col("id"), explode(sequence(lit(1),
+          size(col("words")) - (n - 1))).as("i"), col("words"))
+        .select(col("id"), xxhash64(concat_ws(" ",
+          (0 until n).map(k => element_at(col("words"), col("i") + k)): _*))
+          .as("h"))
+        .groupBy("id").agg(sort_array(collect_set(col("h"))).as("hs"))
+      val exp = expected.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      df.select(col("id"), ShingleOps.ngram_hashes(col("words"), n).as("hs"))
+        .collect().foreach { r =>
+          val want = exp.getOrElse(r.getInt(0), Seq.empty[Long])
+          assert(r.getSeq[Long](1) == want,
+            s"n=$n id=${r.getInt(0)} drift")
+        }
+    }
+  }
+
   test("ngram_hashes is non-null for null and short inputs") {
     import spark.implicits._
     val df = Seq(Some("one two"), None).toDF("text")

@@ -468,7 +468,21 @@ object DedupQueries {
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
     val edges0 = jaccardPairs(s, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = connectedComponents(edges0)
+      .select(col("u").as("doc_id"), col("v").as("component"))
+    docs(s, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("keep", col("doc_id") === col("component"))
+      .orderBy(col("doc_id"))
+  }
 
+  /** The alternating-star rounds over an undirected (u, v) edge list;
+    * returns the converged (u → component-min) mapping (singletons
+    * absent — callers left-join and coalesce). Shared by the text and
+    * embedding clustering operators; the pair SOURCE is the pluggable
+    * part, the contraction is identical. */
+  private def connectedComponents(edges0: DataFrame): DataFrame = {
     // large-star: every neighbor v > u re-points to m = min(Γ(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -515,16 +529,65 @@ object DedupQueries {
     // graph that needs more deserves investigation, not a wrong answer.
     require(converged,
       s"connected components did not converge within $rounds rounds")
-
-    // after convergence every edge is (node → its component's min id);
-    // singletons are their own component
-    val comp = edges.select(col("u").as("doc_id"), col("v").as("component"))
-    docs(s, dir).select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left_outer")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
-      .withColumn("keep", col("doc_id") === col("component"))
-      .orderBy(col("doc_id"))
+    // after convergence every edge is (node → its component's min id)
+    edges
   }
+
+  /** D5b: embedding near-dup CLUSTERING — the keep-one-per-cluster
+    * operator over the cosine near-dup graph (cos ≥ 0.45, the same
+    * threshold [[dedupEmbeddingNn]] flags). Pair derivation is the
+    * chunked broadcast sweep with the threshold applied MAP-SIDE, so
+    * the shuffle carries only the sparse near-dup edge list, never the
+    * dense pair matrix; the contraction is the shared star-rounds. At
+    * 100 TB the exact pair source swaps for the LSH candidate relation
+    * ([[annLshNn]] pairs ≥ τ) — the clustering stage is unchanged. */
+  def dedupEmbComponents(s: SparkSession, dir: String): DataFrame = {
+    val nBlocks = 4
+    val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val edges = (0 until nBlocks).map { k =>
+      val block = v.filter(pmod(col("vec_id"), lit(nBlocks)) === k)
+        .select(col("vec_id").as("nb_id"), col("v").as("vb"),
+          col("nrm").as("nrmb"))
+      v.join(broadcast(block), col("vec_id") < col("nb_id"))
+        .filter(dotNative(col("v"), col("vb")) /
+          (col("nrm") * col("nrmb")) >= 0.45)
+        .select(col("vec_id").as("u"), col("nb_id").as("v"))
+    }.reduce(_ union _)
+    val comp = connectedComponents(edges)
+      .select(col("u").as("vec_id"), col("v").as("component"))
+    vecs(s, dir).select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .withColumn("keep", col("vec_id") === col("component"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Same recursive-CTE closure as [[dedupComponentsSql]], over the
+    * cosine pair graph. */
+  val dedupEmbComponentsSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |           x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+      |      / (a.nrm * b.nrm) >= 0.45),
+      |sym AS (SELECT pa AS a, pb AS b FROM pairs
+      |        UNION ALL SELECT pb, pa FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |  WHERE s.b <> r.a)
+      |SELECT v.vec_id,
+      |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
+      |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) = v.vec_id AS keep
+      |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+      |GROUP BY v.vec_id
+      |ORDER BY v.vec_id""".stripMargin
 
   /** Transitive closure by recursive CTE — feasible at oracle scale, and
     * exactly the semantics the star rounds converge to. */
@@ -560,6 +623,8 @@ object DedupQueries {
       ("dedup_minhash_lsh", dedupMinhashLsh _, Some(dedupMinhashLshSql)),
       ("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
       ("dedup_embedding_nn", dedupEmbeddingNn _, Some(dedupEmbeddingNnSql)),
+      ("dedup_emb_components", dedupEmbComponents _,
+        Some(dedupEmbComponentsSql)),
       ("ann_cosine_topk", annCosineTopk _, Some(annCosineTopkSql)),
       ("ann_lsh_bucket", annLshBucket _, None))
 }

@@ -92,9 +92,10 @@ class CondenserGoldenCorpusSpec extends AnyFunSuite {
 
       // independent recoverable-cell formulation. Rule mirroring that the
       // corpus stresses and the simpler CondenserSpec fixture did not:
-      // nd (r2) counts 'nan' STRINGS but not nulls (pandas nunique
-      // semantics, :46) and is computed BEFORE the r3 value filter, while
-      // the factor count (r4) counts distinct biosamples AFTER it.
+      // nd (r2) excludes nulls AND 'nan' literals (pandas converts the
+      // literal to NaN at read time and nunique() excludes NaN, :46) and
+      // is computed BEFORE the r3 value filter, while the factor count
+      // (r4) counts distinct biosamples AFTER it.
       val wAttr = Window.partitionBy(col("bioproject"), col("attribute"))
       val wFac =
         Window.partitionBy(col("bioproject"), col("attribute"), col("value"))

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's "set maker" (main/metadata_set_maker.py:13-110) as a
@@ -17,13 +17,34 @@ import org.apache.spark.sql.functions._
   * Rules reproduced (cites into main/metadata_set_maker.py):
   *   r1 biosample filter (`startswith('SAM')`, :35) — caller-supplied prefix;
   *   r2 drop attributes with nunique <= 1 or == n_biosamples (:46-50);
-  *   r3 skip NaN/'nan' factor values (:57);
+  *   r3 skip NaN factor values — any [[PandasNaValues]] literal (:57);
   *   r4 skip singleton factors (count == 1, :62-63);
   *   r5 minority-side storage with `include` polarity (count < n/2, :64,74,94);
   *   r6 dedup identical membership vectors across (attribute, value) pairs,
   *      merging labels with '; ' (:89-94).
   */
 object MetadataCondenser {
+
+  /** pandas' default `na_values` (pandas `STR_NA_VALUES`,
+    * pandas/_libs/parsers.pyx): cells the reference NEVER sees as values,
+    * because `read_csv` converts every one of them to NaN before
+    * metadata_set_maker.py runs — even under dtype=str — and `nunique()`
+    * / the r3 skip exclude NaN (main/metadata_set_maker.py:46,57). The
+    * single source of truth for "missing": the condenser rules, the
+    * DuckDB pipeline oracles, and the independent test formulations all
+    * derive from this constant so the four can never drift apart. */
+  val PandasNaValues: Seq[String] = Seq(
+    "-1.#IND", "1.#QNAN", "1.#IND", "-1.#QNAN", "#N/A N/A", "#N/A",
+    "N/A", "n/a", "NA", "<NA>", "#NA", "NULL", "null", "NaN", "-NaN",
+    "nan", "-nan", "None", "")
+
+  /** True when the cell is readable: not NULL and not a pandas NA
+    * literal. */
+  def isPresent(c: Column): Column =
+    c.isNotNull && !c.isin(PandasNaValues: _*)
+
+  /** [[PandasNaValues]] as a SQL IN-list (no member contains a quote). */
+  val sqlNaList: String = PandasNaValues.map("'" + _ + "'").mkString(", ")
 
   /** Melt a wide per-bioproject metadata frame into the long relation.
     * Spark-native `unpivot`; every value is cast to string (the reference
@@ -58,15 +79,15 @@ object MetadataCondenser {
     // the per-bioproject side broadcasts.
     val nBs = filtered.groupBy(col("bioproject"))
       .agg(countDistinct(col("biosample_id")).cast("int").as("n_biosamples"))
-    // nd treats the literal string 'nan' as MISSING, exactly like the
-    // reference: pandas converts "nan" cells to NaN at read time
-    // (default na_values) and nunique() excludes NaN — so a column that
-    // is constant-except-'nan' has nunique 1 and is dropped whole. The
-    // cross-engine golden oracle (TEST_LARGE fixture: status = 'live'
-    // ×295 + 'nan' ×3) caught the over-counting variant emitting sets
-    // the reference never produces.
+    // nd treats every pandas NA literal ('nan', 'NA', 'None', …) as
+    // MISSING, exactly like the reference: pandas converts those cells to
+    // NaN at read time (default na_values) and nunique() excludes NaN —
+    // so a column that is constant-except-NA has nunique 1 and is dropped
+    // whole. The cross-engine golden oracle (TEST_LARGE fixture: status =
+    // 'live' ×295 + 'nan' ×3) caught the over-counting variant emitting
+    // sets the reference never produces.
     val nd = filtered.groupBy(col("bioproject"), col("attribute"))
-      .agg(countDistinct(when(col("value") =!= "nan", col("value")))
+      .agg(countDistinct(when(isPresent(col("value")), col("value")))
         .cast("int").as("nd"))
 
     val withStats = filtered
@@ -74,9 +95,10 @@ object MetadataCondenser {
       .join(nd, Seq("bioproject", "attribute"))
       // r2: constant or all-unique attributes carry no contrast
       .filter(col("nd") > 1 && col("nd") < col("n_biosamples"))
-      // r3: the reference skips both real NaN and the string 'nan' pandas
-      // round-trips produce (tests :117-124)
-      .filter(col("value").isNotNull && col("value") =!= "nan")
+      // r3: the reference skips real NaN, i.e. every cell pandas read as
+      // missing — including string round-trip artifacts like 'nan'
+      // (tests :117-124)
+      .filter(isPresent(col("value")))
 
     // per-bioproject biosample universe (the sorted ref list, :25,109);
     // broadcastable — one row per bioproject

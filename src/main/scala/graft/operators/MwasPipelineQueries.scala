@@ -67,7 +67,7 @@ object MwasPipelineQueries {
   /** Inner oracle relation with `members` still an ARRAY — reused by
     * set-expand, which unnests it. */
   val condenseArraySql: String =
-    """WITH long AS (
+    s"""WITH long AS (
       |  SELECT 'BP' || (c_custkey % 20) AS bioproject,
       |         'BS' || c_custkey AS biosample_id,
       |         'mktsegment' AS attribute, c_mktsegment AS value
@@ -82,10 +82,11 @@ object MwasPipelineQueries {
       |  SELECT l.bioproject, l.attribute
       |  FROM long l JOIN bp ON l.bioproject = bp.bioproject
       |  GROUP BY 1, 2, bp.n
-      |  -- 'nan' literals are missing values (pandas read-time NaN): they
-      |  -- never count toward an attribute's distinct values
-      |  HAVING count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) > 1
-      |     AND count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) < bp.n),
+      |  -- pandas NA literals ('nan', 'NA', 'None', …) are missing values
+      |  -- (read-time NaN): they never count toward an attribute's
+      |  -- distinct values; the list interpolates from PandasNaValues
+      |  HAVING count(DISTINCT CASE WHEN l.value NOT IN (${MetadataCondenser.sqlNaList}) THEN l.value END) > 1
+      |     AND count(DISTINCT CASE WHEN l.value NOT IN (${MetadataCondenser.sqlNaList}) THEN l.value END) < bp.n),
       |factors AS (
       |  SELECT l.bioproject, l.attribute, l.value, bp.n AS n_biosamples,
       |         list_sort(list(DISTINCT l.biosample_id)) AS members_raw,
@@ -93,7 +94,7 @@ object MwasPipelineQueries {
       |  FROM long l
       |  JOIN attr_ok a ON l.bioproject = a.bioproject AND l.attribute = a.attribute
       |  JOIN bp ON l.bioproject = bp.bioproject
-      |  WHERE l.value IS NOT NULL AND l.value <> 'nan'
+      |  WHERE l.value IS NOT NULL AND l.value NOT IN (${MetadataCondenser.sqlNaList})
       |  GROUP BY 1, 2, 3, 4
       |  HAVING count(DISTINCT l.biosample_id) > 1),
       |allbs AS (
@@ -200,7 +201,7 @@ object MwasPipelineQueries {
         col("metadata_value"))
 
   val pipelineStatsSql: String =
-    """WITH catalog AS (
+    s"""WITH catalog AS (
       |  SELECT 'R' || o_orderkey AS run, 'BS' || o_custkey AS bio_sample,
       |         'BP' || (o_custkey % 20) AS bio_project,
       |         o_totalprice AS spots
@@ -227,10 +228,11 @@ object MwasPipelineQueries {
       |  SELECT l.bioproject, l.attribute
       |  FROM long l JOIN bp ON l.bioproject = bp.bioproject
       |  GROUP BY 1, 2, bp.n
-      |  -- 'nan' literals are missing values (pandas read-time NaN): they
-      |  -- never count toward an attribute's distinct values
-      |  HAVING count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) > 1
-      |     AND count(DISTINCT CASE WHEN l.value <> 'nan' THEN l.value END) < bp.n),
+      |  -- pandas NA literals ('nan', 'NA', 'None', …) are missing values
+      |  -- (read-time NaN): they never count toward an attribute's
+      |  -- distinct values; the list interpolates from PandasNaValues
+      |  HAVING count(DISTINCT CASE WHEN l.value NOT IN (${MetadataCondenser.sqlNaList}) THEN l.value END) > 1
+      |     AND count(DISTINCT CASE WHEN l.value NOT IN (${MetadataCondenser.sqlNaList}) THEN l.value END) < bp.n),
       |factors AS (
       |  SELECT l.bioproject, l.attribute, l.value, bp.n AS n_biosamples,
       |         list_sort(list(DISTINCT l.biosample_id)) AS members_raw,
@@ -238,7 +240,7 @@ object MwasPipelineQueries {
       |  FROM long l
       |  JOIN attr_ok a ON l.bioproject = a.bioproject AND l.attribute = a.attribute
       |  JOIN bp ON l.bioproject = bp.bioproject
-      |  WHERE l.value IS NOT NULL AND l.value <> 'nan'
+      |  WHERE l.value IS NOT NULL AND l.value NOT IN (${MetadataCondenser.sqlNaList})
       |  GROUP BY 1, 2, 3, 4
       |  HAVING count(DISTINCT l.biosample_id) > 1),
       |allbs AS (

@@ -92,10 +92,14 @@ class CondenserGoldenCorpusSpec extends AnyFunSuite {
 
       // independent recoverable-cell formulation. Rule mirroring that the
       // corpus stresses and the simpler CondenserSpec fixture did not:
-      // nd (r2) excludes nulls AND 'nan' literals (pandas converts the
-      // literal to NaN at read time and nunique() excludes NaN, :46) and
-      // is computed BEFORE the r3 value filter, while the factor count
-      // (r4) counts distinct biosamples AFTER it.
+      // nd (r2) excludes nulls AND pandas NA literals ('nan', 'NA',
+      // 'None', … — pandas converts them to NaN at read time and
+      // nunique() excludes NaN, :46) and is computed BEFORE the r3 value
+      // filter, while the factor count (r4) counts distinct biosamples
+      // AFTER it. The formulation (windows, not aggregate+join) is
+      // independent; only the NA LIST is shared, so the two cannot drift
+      // on which literals count as missing.
+      val na = MetadataCondenser.PandasNaValues
       val wAttr = Window.partitionBy(col("bioproject"), col("attribute"))
       val wFac =
         Window.partitionBy(col("bioproject"), col("attribute"), col("value"))
@@ -103,13 +107,13 @@ class CondenserGoldenCorpusSpec extends AnyFunSuite {
         .distinct().groupBy(col("bioproject"))
         .agg(count(lit(1)).as("n_bs"))
       val recoverable = samLong
-        // 'nan' literals are missing (pandas read-time NaN): they count
+        // NA literals are missing (pandas read-time NaN): they count
         // toward neither nd nor the factors
         .withColumn("nd", size(collect_set(
-          when(col("value") =!= "nan", col("value"))).over(wAttr)))
+          when(!col("value").isin(na: _*), col("value"))).over(wAttr)))
         .join(nBp, "bioproject")
         .filter(col("nd") > 1 && col("nd") < col("n_bs"))
-        .filter(col("value").isNotNull && col("value") =!= "nan")
+        .filter(col("value").isNotNull && !col("value").isin(na: _*))
         .withColumn("cnt",
           size(collect_set(col("biosample_id")).over(wFac)))
         .filter(col("cnt") > 1)

@@ -27,12 +27,14 @@ class CondenserPropertySpec extends Properties("MetadataCondenser") {
       val universe = bpRows.map(_._2).distinct.sorted
       val n = universe.size
       val byAttr = bpRows.groupBy(_._3)
+      val na = MetadataCondenser.PandasNaValues.toSet
       val sets = byAttr.toSeq.flatMap { case (attr, aRows) =>
-        // 'nan' is a read-time missing value: excluded from nd (pandas
-        // nunique semantics), exactly as in the condenser's r2
-        val nd = aRows.map(_._4).filter(_ != "nan").distinct.size
+        // pandas NA literals ('nan', 'NA', 'None', …) are read-time
+        // missing values: excluded from nd (pandas nunique semantics),
+        // exactly as in the condenser's r2
+        val nd = aRows.map(_._4).filterNot(na).distinct.size
         if (nd <= 1 || nd >= n) Nil // r2
-        else aRows.filter(_._4 != "nan") // r3
+        else aRows.filterNot(r => na(r._4)) // r3
           .groupBy(_._4).toSeq.flatMap { case (value, vRows) =>
             val members = vRows.map(_._2).distinct.sorted
             if (members.size <= 1) Nil // r4
@@ -66,7 +68,8 @@ class CondenserPropertySpec extends Properties("MetadataCondenser") {
         nAttr <- Gen.choose(1, 3)
         vals <- Gen.sequence[Seq[Seq[String]], Seq[String]](
           (1 to nAttr).map { _ =>
-            Gen.listOfN(nBs, Gen.oneOf("a", "b", "c", "nan", "x;y", "x:y"))
+            Gen.listOfN(nBs,
+              Gen.oneOf("a", "b", "c", "nan", "None", "NA", "x;y", "x:y"))
           })
       } yield for {
         (attrVals, ai) <- vals.zipWithIndex

@@ -25,28 +25,32 @@ class CondenserSpec extends AnyFunSuite {
     import spark.implicits._
     // bp1: tissue has {liver×3, brain×2, nan}; status constant (dropped);
     // id_col all-unique (dropped); rare has a singleton 'x' (skipped) and
-    // y×2 which duplicates brain's membership → label-merged set.
+    // y×2 which duplicates brain's membership → label-merged set; na_col
+    // is constant-except-NA-literals ('None'/'NA' are pandas read-time
+    // NaN, like 'nan') → nunique 1 → dropped whole (r2).
     val wide = Seq(
-      ("bp1", "s1", "liver", "ok", "u1", "z"),
-      ("bp1", "s2", "liver", "ok", "u2", "z"),
-      ("bp1", "s3", "liver", "ok", "u3", "z"),
-      ("bp1", "s4", "brain", "ok", "u4", "y"),
-      ("bp1", "s5", "brain", "ok", "u5", "y"),
-      ("bp1", "s6", "nan", "ok", "u6", "x"),
-      ("bp2", "t1", "a", "ok", "v1", "m"),
-      ("bp2", "t2", "a", "ok", "v2", "m"),
-      ("bp2", "t3", "b", "ok", "v3", "n"),
-      ("bp2", "t4", "b", "ok", "v4", "n"))
+      ("bp1", "s1", "liver", "ok", "u1", "z", "live"),
+      ("bp1", "s2", "liver", "ok", "u2", "z", "live"),
+      ("bp1", "s3", "liver", "ok", "u3", "z", "live"),
+      ("bp1", "s4", "brain", "ok", "u4", "y", "live"),
+      ("bp1", "s5", "brain", "ok", "u5", "y", "None"),
+      ("bp1", "s6", "nan", "ok", "u6", "x", "NA"),
+      ("bp2", "t1", "a", "ok", "v1", "m", "live"),
+      ("bp2", "t2", "a", "ok", "v2", "m", "live"),
+      ("bp2", "t3", "b", "ok", "v3", "n", "live"),
+      ("bp2", "t4", "b", "ok", "v4", "n", "live"))
       .toDF("bioproject", "biosample_id", "tissue", "status", "id_col",
-        "rare")
+        "rare", "na_col")
 
     val long = MetadataCondenser.melt(wide, "bioproject", "biosample_id")
     val sets = MetadataCondenser.condense(long).cache()
 
-    // r2: constant (status) and all-unique (id_col) attributes are gone
+    // r2: constant (status), all-unique (id_col), and constant-except-NA
+    // (na_col) attributes are gone
     val attrs = sets.select(explode(split(col("attributes"), "; ")))
       .distinct().as[String].collect().toSet
-    assert(!attrs.contains("status") && !attrs.contains("id_col"))
+    assert(!attrs.contains("status") && !attrs.contains("id_col") &&
+      !attrs.contains("na_col"))
 
     // r3/r4: no 'nan' value, no singleton 'x' factor
     val values = sets.select(explode(split(col("values"), "; ")))
@@ -92,7 +96,8 @@ class CondenserSpec extends AnyFunSuite {
     val nBp = long.select("bioproject", "biosample_id").distinct()
       .groupBy("bioproject").count().withColumnRenamed("count", "n_bs")
     val recoverable = long
-      .filter(col("value").isNotNull && col("value") =!= "nan")
+      .filter(col("value").isNotNull &&
+        !col("value").isin(MetadataCondenser.PandasNaValues: _*))
       .join(nBp, "bioproject")
       .withColumn("nd", size(collect_set(col("value")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bioproject",

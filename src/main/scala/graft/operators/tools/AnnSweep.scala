@@ -1,5 +1,6 @@
-// lives in graft.operators to reach the package-private exactNn sweep
-// baseline; it is a dev tool, not part of the operator surface
+// lives in graft.operators.tools (a sub-package of graft.operators) to
+// reach the package-private exactNn sweep baseline; it is a dev tool,
+// not part of the operator surface
 package graft.operators.tools
 
 import org.apache.spark.sql.SparkSession

@@ -17,16 +17,23 @@ object BenchDiff {
   private def queries(line: String): Map[String, Double] = {
     val start = line.indexOf("\"queries\":{")
     val end = line.indexOf("}", start)
+    require(start >= 0 && end > start,
+      s"malformed history line (no \"queries\" map): ${line.take(120)}")
     entry.findAllMatchIn(line.substring(start + 11, end))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   def main(args: Array[String]): Unit = {
     val threshold = args.headOption.map(_.toDouble).getOrElse(2.0)
-    val lines = Source.fromFile("BENCH_HISTORY.jsonl").getLines()
+    val all = Source.fromFile("BENCH_HISTORY.jsonl").getLines()
       .filter(_.nonEmpty).toVector
+    require(all.nonEmpty, "BENCH_HISTORY.jsonl is empty")
+    // compare same-SF lines only: a sf0.001 line's medians are not a
+    // baseline for a sf0.1 run
+    val sfTag = """"sf":"[^"]*"""".r.findFirstIn(all.last).getOrElse("")
+    val lines = all.filter(_.contains(sfTag))
     require(lines.size >= 2,
-      s"need >= 2 history lines to diff, have ${lines.size}")
+      s"need >= 2 history lines at $sfTag to diff, have ${lines.size}")
     val past = lines.init.map(queries)
     val cur = queries(lines.last)
     val spikes = cur.toSeq.flatMap { case (name, now) =>

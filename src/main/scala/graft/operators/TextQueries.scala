@@ -448,9 +448,142 @@ object TextQueries {
       |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------ T8: span-level (C4-style) boilerplate scan
+
+  /** Corpus-wide duplicated-span detection — the C4/fineweb "any
+    * three-sentence span seen before is boilerplate" rule, adapted to this
+    * newline-free corpus as fixed 10-word chunks: a chunk whose exact text
+    * occurs more than once ANYWHERE in the corpus is flagged, and each doc
+    * reports its flagged fraction. This is the dedup family's span-level
+    * member: exact dedup keys whole docs, MinHash keys near-whole docs,
+    * this keys repeated SPANS inside otherwise-distinct docs (the shape
+    * template boilerplate actually takes).
+    *
+    * Chunk reassembly is ten conditional `max` aggregates over the slot
+    * index — NOT `collect_list` (order-nondeterministic after a shuffle)
+    * and NOT `transform(sequence(…), slice(…))` (interpreted per element
+    * in Spark 4) — so the whole reassembly stays in codegen'd hash-agg.
+    * The corpus-wide frequency join keys on md5(chunk) (32 hex chars, not
+    * the raw span — the shuffle payload trick C4 itself uses); both sides
+    * are corpus-sized, so it is a plain shuffle join that scales with the
+    * corpus, never all-pairs. */
+  def textChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunked = docs(s, dir)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+      .withColumn("chunk", (col("pos") / 10).cast("int"))
+      .withColumn("slot", col("pos") % 10)
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(concat_ws(" ", (0 until 10).map(k =>
+        max(when(col("slot") === k, col("w")))): _*)).as("h"))
+    val freq = chunked.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    chunked.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_chunks"), 6)
+          .as("boiler_frac"),
+        // integer comparison, not a float threshold: engines can never
+        // disagree on >= of two longs
+        (col("n_boiler") * 2 >= col("n_chunks")).as("mostly_boiler"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textChunkDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         CAST(generate_subscripts(string_split(text, ' '), 1)
+      |           AS BIGINT) - 1 AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, pos // 10 AS chunk,
+      |         md5(string_agg(w, ' ' ORDER BY pos)) AS h
+      |  FROM w GROUP BY 1, 2),
+      |freq AS (SELECT h, count(*) AS n_occ FROM ch GROUP BY 1)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_boiler,
+      |       round(CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / count(*), 6) AS boiler_frac,
+      |       sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) * 2 >= count(*)
+      |         AS mostly_boiler
+      |FROM ch JOIN freq USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- T9: tf-idf keyword extract
+
+  /** Per-document top-3 keywords by tf-idf (linear idf N/df, not
+    * ln(N/df): the score is then ONE IEEE division of two exact integer
+    * products, bit-identical across engines, so the cross-engine rank
+    * order — the thing the oracle hashes — can never drift on a libm ulp;
+    * swapping in log-idf is a one-line change). Ties break on the term.
+    *
+    * Shape: one explode → (doc, term) counts with map-side combine; doc
+    * length and document frequency are two reaggregations of that SAME
+    * relation (no second scan of the corpus); N arrives as a broadcast
+    * 1-row aggregate, never a driver-side collect. The final top-k is a
+    * doc_id-partitioned window — per-doc state is the doc's own vocabulary,
+    * nothing global. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_words"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("cnt") * col("n_docs")).cast("double") /
+          (col("n_words") * col("df")))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("cnt"),
+        col("df"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val textTfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |cnts AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tf GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words
+      |       FROM cnts GROUP BY 1),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |          FROM cnts GROUP BY 1),
+      |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |      FROM documents),
+      |scored AS (
+      |  SELECT c.doc_id, c.term, c.cnt, f.df,
+      |         CAST(c.cnt * n.n_docs AS DOUBLE) / (d.n_words * f.df)
+      |           AS score
+      |  FROM cnts c JOIN dl d USING (doc_id)
+      |              JOIN dfreq f USING (term), n),
+      |ranked AS (
+      |  SELECT doc_id, term, cnt, df, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, term) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, cnt, df, round(score, 6) AS score
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("text_tokens", textTokens _, Some(textTokensSql)),
+      ("text_chunk_dedup", textChunkDedup _, Some(textChunkDedupSql)),
+      ("text_tfidf", textTfidf _, Some(textTfidfSql)),
       ("text_decontaminate", textDecontaminate _, Some(textDecontaminateSql)),
       ("text_repetition", textRepetition _, Some(textRepetitionSql)),
       ("text_quality", textQuality _, Some(textQualitySql)),

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Events
+
+/** Storage-format round-trips beyond parquet: the reference's data moves
+  * through CSV and pickles only (SURVEY §2.2), but a Spark-native engine
+  * inherits the built-in columnar/row formats for free and a user
+  * switching over will reach for them — so their write→read→query paths
+  * are exercised as first-class oracled queries. Each query writes a
+  * testdata slice in the target format, reads it back, and aggregates;
+  * the DuckDB oracle computes the same aggregate from the ORIGINAL
+  * parquet, so a pass proves the round-trip was lossless, not merely
+  * self-consistent.
+  */
+object FormatQueries {
+
+  private def tmp(name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), name).getAbsolutePath
+
+  /** ORC, written Hive-partitioned by event_type. The read-back filter is
+    * on the PARTITION column, so the scan must prune directories — the
+    * 100 TB posture for any low-cardinality routing key (the plan shows
+    * the pruned partition filter, no row-level event_type predicate
+    * left). */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_orc_events")
+    // core.Events, not Tables: the raw scan needs the nanos-timestamp
+    // legacy conf, and relying on an earlier query having set it would be
+    // run-order-dependent
+    Events(s, dir)
+      .write.mode("overwrite").partitionBy("event_type").orc(out)
+    s.read.orc(out)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 4) AS sum_value,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** JSON-lines, read back with an EXPLICIT schema — never inference,
+    * which at scale is a full extra pass over the data before the real
+    * one (`spark.read.json` without a schema samples every file). The
+    * nested `props` JSON string survives the write's escaping and is
+    * parsed back out with get_json_object, covering the
+    * string-inside-JSON round-trip the naive path corrupts. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_jsonl_events")
+    Events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .json(out)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 4) AS sum_value,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+      |         6) AS avg_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)),
+      ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)))
+}

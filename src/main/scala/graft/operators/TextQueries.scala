@@ -579,11 +579,61 @@ object TextQueries {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ------------------------------------------- T10: GPT-style seq packing
+
+  /** Sequence packing — the step between a filtered corpus and a training
+    * run: documents are concatenated per shard and cut into fixed
+    * token-budget sequences (GPT-style packing splits docs across
+    * sequence boundaries; the doc's START offset decides its sequence).
+    * Emits per (source, seq_id): docs starting there, their token mass,
+    * and the first doc — the manifest a loader materializes batches from.
+    *
+    * The running offset is a window over (source, doc_id) — `source` is
+    * the packing shard, so no GLOBAL ordering exists anywhere; a skewed
+    * shard at 100 TB gets salted into sub-shards first (each sub-shard
+    * packs independently, exactly like adding workers to a loader). */
+  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(words).cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", (col("start_off") / budget).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val textPackSequencesSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS start_off
+      |  FROM t)
+      |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |       min(doc_id) AS first_doc
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("text_tokens", textTokens _, Some(textTokensSql)),
       ("text_chunk_dedup", textChunkDedup _, Some(textChunkDedupSql)),
       ("text_tfidf", textTfidf _, Some(textTfidfSql)),
+      ("text_pack_sequences", textPackSequences _,
+        Some(textPackSequencesSql)),
       ("text_decontaminate", textDecontaminate _, Some(textDecontaminateSql)),
       ("text_repetition", textRepetition _, Some(textRepetitionSql)),
       ("text_quality", textQuality _, Some(textQualitySql)),

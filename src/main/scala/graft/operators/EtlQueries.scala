@@ -258,9 +258,72 @@ object EtlQueries {
       |FROM orders WHERE o_orderkey % 7 = 0
       |ORDER BY run""".stripMargin
 
+  /** Latest-wins merge (MERGE INTO / CDC upsert) — the corpus-refresh
+    * shape every long-lived training dataset needs: a base snapshot plus
+    * a change feed, merged so each key keeps its highest-version row.
+    * Both relations derive deterministically from `orders` (the feed
+    * re-prices every 5th order and adds NEW orders keyed past the base
+    * range), so the oracle recomputes the merge from scratch.
+    *
+    * Shape: union → one shuffle on the merge key → per-key max-version
+    * pick via row_number (WindowGroupLimit turns it into a streaming
+    * top-1, no full sort of the group) → rollup. At scale this is the
+    * standard pre-Delta/Iceberg merge: cost is one exchange of base+feed,
+    * never a join of base against itself. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val base = o.select(col("o_orderkey").as("key"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").as("price"), lit(1L).as("version"))
+    // the feed: re-price every 5th existing order, and append brand-new
+    // keys beyond the base key range
+    val repriced = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("key"), col("o_orderpriority")
+        .as("priority"),
+        round(col("o_totalprice") * 1.1, 2).as("price"), lit(2L).as("version"))
+    val inserts = o.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("key"),
+        col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("price"), lit(2L).as("version"))
+    val byKey = Window.partitionBy(col("key"))
+      .orderBy(col("version").desc)
+    base.unionByName(repriced).unionByName(inserts)
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("version") === 2, 1L).otherwise(0L)).as("n_changed"),
+        round(sum(col("price")), 4).as("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey AS key, o_orderpriority AS priority,
+      |         o_totalprice AS price, 1 AS version
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority,
+      |         round(o_totalprice * 1.1, 2), 2
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice, 2
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY key
+      |      ORDER BY version DESC) AS rn
+      |    FROM merged) WHERE rn = 1)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_changed,
+      |       round(sum(price), 4) AS total_price
+      |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("etl_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
+      ("etl_merge_upsert", mergeUpsert _, Some(mergeUpsertSql)),
       ("etl_rejects_report", rejectsReport _, Some(rejectsReportSql)),
       ("etl_csv_condense", csvCondense _,
         Some(MwasPipelineQueries.condenseSql)),

@@ -105,6 +105,9 @@ object Bench {
     // more and the better of the two medians is kept. A real plan
     // regression reproduces in BOTH passes and keeps its slow number; a
     // window artifact vanishes. No history file → no second chance.
+    // Any parse/IO failure here degrades to "no second chance" — by the
+    // time this runs the full measurement loop has completed, and a
+    // corrupt history byte must not discard ~95 s of results
     val histBest: Map[String, Double] = try {
       val src = scala.io.Source.fromFile("BENCH_HISTORY.jsonl")
       // same-SF lines only: a local sf0.001 run's medians must never
@@ -116,10 +119,11 @@ object Bench {
         if (start < 0 || end <= start) Iterator.empty[(String, Double)]
         else """"([a-z0-9_]+)":([0-9.]+)""".r
           .findAllMatchIn(line.substring(start + 11, end))
-          .map(m => m.group(1) -> m.group(2).toDouble)
+          .flatMap(m => scala.util.Try(
+            m.group(1) -> m.group(2).toDouble).toOption)
       }.toVector.groupMapReduce(_._1)(_._2)(math.min)
       finally src.close()
-    } catch { case _: java.io.FileNotFoundException => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
     val samples = firstPass.map { case (name, ts) =>
       val m1 = median(ts)
@@ -128,10 +132,16 @@ object Bench {
       if (!suspect) name -> ts
       else {
         val ts2 = timeQuery(name, SparkEntry.queries(name))
+        // a FAILED rerun contributes nothing: its placeholder 0.0 would
+        // otherwise win the min-of-medians and poison the history line
+        // (the failure itself stays visible via "errors" + exit 1)
+        val rerunFailed = errors.contains(name)
         System.err.println(
           f"BENCH RERUN $name: first median $m1%.2f s (historical best " +
-            f"${histBest(name)}%.2f s), second ${median(ts2)}%.2f s")
-        name -> (ts ++ ts2)
+            f"${histBest(name)}%.2f s), second " +
+            (if (rerunFailed) "FAILED (discarded)"
+             else f"${median(ts2)}%.2f s"))
+        name -> (if (rerunFailed) ts else ts ++ ts2)
       }
     }
     val results = samples.map { case (name, ts) =>

@@ -281,8 +281,12 @@ object EtlQueries {
       .select(col("o_orderkey").as("key"), col("o_orderpriority")
         .as("priority"),
         round(col("o_totalprice") * 1.1, 2).as("price"), lit(2L).as("version"))
+    // new keys are NEGATIVE so they can never collide with a real
+    // orderkey at ANY scale factor (a fixed positive offset would
+    // collide once orderkeys grow past it, leaving two version-2 rows
+    // whose row_number tie-break is nondeterministic)
     val inserts = o.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("key"),
+      .select((-col("o_orderkey") - 1L).as("key"),
         col("o_orderpriority").as("priority"),
         col("o_totalprice").as("price"), lit(2L).as("version"))
     val byKey = Window.partitionBy(col("key"))
@@ -307,7 +311,7 @@ object EtlQueries {
       |         round(o_totalprice * 1.1, 2), 2
       |  FROM orders WHERE o_orderkey % 5 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice, 2
+      |  SELECT -o_orderkey - 1, o_orderpriority, o_totalprice, 2
       |  FROM orders WHERE o_orderkey % 7 = 0),
       |latest AS (
       |  SELECT * FROM (

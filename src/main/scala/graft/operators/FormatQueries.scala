@@ -17,8 +17,14 @@ import graft.core.Events
   */
 object FormatQueries {
 
-  private def tmp(name: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"), name).getAbsolutePath
+  // per-JVM unique temp dirs, REUSED across a run's bench reps: a fixed
+  // name would race two concurrent JVMs (one overwrite deletes files the
+  // other is mid-read), while a fresh dir per call would leak one copy
+  // of the data per rep
+  private lazy val orcDir =
+    java.nio.file.Files.createTempDirectory("graft_orc_events").toString
+  private lazy val jsonlDir =
+    java.nio.file.Files.createTempDirectory("graft_jsonl_events").toString
 
   /** ORC, written Hive-partitioned by event_type. The read-back filter is
     * on the PARTITION column, so the scan must prune directories — the
@@ -26,7 +32,7 @@ object FormatQueries {
     * the pruned partition filter, no row-level event_type predicate
     * left). */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft_orc_events")
+    val out = orcDir
     // core.Events, not Tables: the raw scan needs the nanos-timestamp
     // legacy conf, and relying on an earlier query having set it would be
     // run-order-dependent
@@ -58,7 +64,7 @@ object FormatQueries {
     * parsed back out with get_json_object, covering the
     * string-inside-JSON round-trip the naive path corrupts. */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft_jsonl_events")
+    val out = jsonlDir
     Events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("props"))

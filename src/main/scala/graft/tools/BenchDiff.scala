@@ -29,8 +29,11 @@ object BenchDiff {
       .filter(_.nonEmpty).toVector
     require(all.nonEmpty, "BENCH_HISTORY.jsonl is empty")
     // compare same-SF lines only: a sf0.001 line's medians are not a
-    // baseline for a sf0.1 run
-    val sfTag = """"sf":"[^"]*"""".r.findFirstIn(all.last).getOrElse("")
+    // baseline for a sf0.1 run. Fail loudly on a tagless newest line —
+    // an empty fallback would silently keep EVERY line and mix SFs
+    val sfTag = """"sf":"[^"]*"""".r.findFirstIn(all.last)
+      .getOrElse(sys.error(
+        s"newest history line has no sf tag: ${all.last.take(120)}"))
     val lines = all.filter(_.contains(sfTag))
     require(lines.size >= 2,
       s"need >= 2 history lines at $sfTag to diff, have ${lines.size}")

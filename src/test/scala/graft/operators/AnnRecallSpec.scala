@@ -46,14 +46,18 @@ class AnnRecallSpec extends AnyFunSuite {
 
   /** (n_vectors, recall@1, mean n_candidates/(n-1)) from the per-vector
     * NN relation — the budget is computed on the SAME relation the
-    * recall summary consumes. */
-  private def gate(nn: org.apache.spark.sql.DataFrame)
+    * recall summary consumes (persisted, so the expensive candidate
+    * generation executes once, not once per consumer). */
+  private def gate(nnDf: org.apache.spark.sql.DataFrame)
       : (Long, Double, Double) = {
-    val s = AnnRecall.summarize(nn,
-      DedupQueries.exactNn(spark, dir)).collect().head
-    val n = s.getAs[Long]("n_vectors")
-    val meanCand = nn.agg(avg(col("n_candidates"))).head().getDouble(0)
-    (n, s.getAs[Double]("recall_at_1"), meanCand / (n - 1))
+    val nn = nnDf.persist()
+    try {
+      val s = AnnRecall.summarize(nn,
+        DedupQueries.exactNn(spark, dir)).collect().head
+      val n = s.getAs[Long]("n_vectors")
+      val meanCand = nn.agg(avg(col("n_candidates"))).head().getDouble(0)
+      (n, s.getAs[Double]("recall_at_1"), meanCand / (n - 1))
+    } finally nn.unpersist()
   }
 
   test("LSH ANN: recall@1 above floor, candidate budget a strict minority") {

@@ -125,6 +125,12 @@ object Bench {
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+    // (name, firstMedian, rerunMedian) for every successful second-chance
+    // re-measurement: tagged into the history line so tools.BenchDiff can
+    // tell a one-round host-window artifact from a query that needs
+    // healing round after round (an intermittent regression the
+    // better-of-two policy would otherwise silently keep discarding)
+    var rerunTags = List.empty[(String, Double, Double)]
     val samples = firstPass.map { case (name, ts) =>
       val m1 = median(ts)
       val suspect = !errors.contains(name) &&
@@ -141,6 +147,7 @@ object Bench {
             f"${histBest(name)}%.2f s), second " +
             (if (rerunFailed) "FAILED (discarded)"
              else f"${median(ts2)}%.2f s"))
+        if (!rerunFailed) rerunTags ::= ((name, m1, median(ts2)))
         name -> (if (rerunFailed) ts else ts ++ ts2)
       }
     }
@@ -165,8 +172,13 @@ object Bench {
       .map { case (k, ts) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    // both medians per rerun query, so history readers can audit the
+    // better-of-two choice without re-deriving it from raw samples
+    val fullReruns = rerunTags.sortBy(_._1)
+      .map { case (k, m1, m2) => "\"" + k + f"""\":[$m1%.3f,$m2%.3f]""" }
+      .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"reruns":$fullReruns,"errors":$errs,"sf":"$sfDir"}"""
     val fw = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
     try fw.println(fullLine) finally fw.close()
     // append-only per-run history: spikes become machine-detectable by

@@ -1,0 +1,45 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** Scratch directories that clean themselves up on JVM exit.
+  *
+  * Query operators that exercise a write→read round-trip (CSV, ORC,
+  * JSONL, catalog export) need a scratch dir that is (a) unique per JVM
+  * — a fixed name would race two concurrent JVMs, one overwrite deleting
+  * files the other is mid-read — and (b) reused across a run's bench
+  * reps, so three timed reps don't strand three copies of the data.
+  * Before r8 these dirs were never deleted, leaking one copy of the
+  * slice per bench/test JVM into /tmp (ADVICE r7); a single shutdown
+  * hook per dir removes the tree when the JVM exits.
+  */
+object TempDirs {
+
+  /** Create a unique temp directory removed on JVM exit. */
+  def create(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    p.toString
+  }
+
+  // fixed-name staging dirs (streaming batch replays) are re-registered
+  // on every bench rep; dedupe so a 3-rep run adds one hook, not three
+  private val registered = new java.util.concurrent.ConcurrentHashMap[Path, Boolean]()
+
+  /** Register an existing directory for removal on JVM exit (idempotent
+    * per path). For fixed-name scratch dirs that are deliberately reused
+    * within a run. */
+  def cleanOnExit(path: Path): Unit =
+    if (registered.putIfAbsent(path, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(path)))
+
+  /** Depth-first recursive delete; tolerates files already gone. */
+  def deleteTree(root: Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+}

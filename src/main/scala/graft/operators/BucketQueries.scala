@@ -40,20 +40,30 @@ object BucketQueries {
   }
 
   /** The join over the bucketed tables (factored out so the spec can
-    * inspect its physical plan). */
+    * inspect its physical plan).
+    *
+    * Revenue sums products of two 2-decimal quantities — every addend is
+    * exactly on the 1e-4 grid, so summing in DECIMAL is exact and
+    * order-independent. Summing in DOUBLE and rounding to 4 is NOT: at
+    * sf0.1 the ~6e9 sum carries ulp-level (≈2e-6) order-dependent error,
+    * and Spark's and DuckDB's sums landed on adjacent 1e-4 grid points
+    * (…8477 vs …8476) — caught by the tightened selfcheck in r8. */
   def joinPlan(s: SparkSession): DataFrame =
     s.table("b_orders")
       .join(s.table("b_lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("revenue"))
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+      |         AS revenue
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

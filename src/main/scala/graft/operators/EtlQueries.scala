@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,7 +14,7 @@ import graft.sources.CsvIo
 object EtlQueries {
 
   private def tmpDir(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString
+    graft.core.TempDirs.create(s"graft_$tag")
 
   /** S1+S7 round-trip: derive the MWAS user input from orders/lineitem,
     * write it through the CSV sink, re-read through the positional
@@ -38,6 +36,8 @@ object EtlQueries {
     CsvIo.writeCsv(input, path)
     CsvIo.readUserInput(s, path)
       .groupBy(col("group"))
+      // round-half-way audit (r8): quantifier sums l_quantity, which is
+      // integer-valued — the double sum is exact, round(·,4) is identity
       .agg(count(lit(1)).as("n"), round(sum(col("quantifier")), 4).as("total"))
       .orderBy(col("group"))
   }
@@ -117,14 +117,22 @@ object EtlQueries {
       .withColumn("k",
         from_json(col("props"), lit("k INT")).getField("k"))
       .groupBy((col("k") % 10).cast("long").as("k_bucket"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      // round(avg(value), 6) via the exact-integer-numerator recipe (see
+      // hashSample): sum·10⁶ is an exact BIGINT through the decimal sum,
+      // so both engines divide the same integers and round at 0 decimals
+      .agg(count(lit(1)).as("n"),
+        (round((sum(col("value").cast("decimal(18,2)")) * 1000000)
+          .cast("long").cast("double") / count(lit(1))) / 1000000.0)
+          .as("avg_value"))
       .withColumn("as_json",
         to_json(struct(col("k_bucket"), col("n"))))
       .orderBy(col("k_bucket"))
 
   val jsonIngestSql: String =
     """SELECT k_bucket, CAST(count(*) AS BIGINT) AS n,
-      |       round(avg(value), 6) AS avg_value,
+      |       round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |           * 1000000 AS BIGINT) AS DOUBLE) / count(*)) / 1000000.0
+      |         AS avg_value,
       |       '{"k_bucket":' || k_bucket || ',"n":' || count(*) || '}'
       |         AS as_json
       |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10
@@ -140,13 +148,25 @@ object EtlQueries {
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
         .isin("0", "1"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4)
-        .as("avg_price"))
+      // round(avg(price), 4), computed so the two engines CANNOT diverge
+      // (plain round(avg,4) straddled a 1e-4 boundary at sf0.001 — the
+      // engines' different summation orders produce different avg
+      // doubles): the numerator sum·10⁴ is an exact BIGINT via the
+      // decimal sum, the single division of exact integers is correctly
+      // rounded hence bit-identical, and the round is to ZERO decimals —
+      // safe cross-engine because k+0.5 is exactly representable in
+      // binary, unlike the k+5·10⁻ⁿ half-way points round(·,n≥1) trips on
+      .agg(count(lit(1)).as("n"),
+        (round((sum(col("o_totalprice").cast("decimal(18,2)")) * 10000)
+          .cast("long").cast("double") / count(lit(1))) / 10000.0)
+          .as("avg_price"))
       .orderBy(col("o_orderpriority"))
 
   val hashSampleSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-      |       round(avg(o_totalprice), 4) AS avg_price
+      |       round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |           * 10000 AS BIGINT) AS DOUBLE) / count(*)) / 10000.0
+      |         AS avg_price
       |FROM orders
       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -165,14 +185,19 @@ object EtlQueries {
     Tables(s, dir, "orders")
       .filter(bucket < rate)
       .groupBy(col("o_orderpriority"))
+      // exact-integer-numerator avg as in hashSample above
       .agg(count(lit(1)).as("n_sampled"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"))
+        (round((sum(col("o_totalprice").cast("decimal(18,2)")) * 10000)
+          .cast("long").cast("double") / count(lit(1))) / 10000.0)
+          .as("avg_price"))
       .orderBy(col("o_orderpriority"))
   }
 
   val stratifiedSampleSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
-      |       round(avg(o_totalprice), 4) AS avg_price
+      |       round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |           * 10000 AS BIGINT) AS DOUBLE) / count(*)) / 10000.0
+      |         AS avg_price
       |FROM orders
       |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))::INT
       |      < CASE o_orderpriority WHEN '1-URGENT' THEN 3
@@ -181,11 +206,15 @@ object EtlQueries {
 
   /** One ANSI SQL text, executed VERBATIM by both engines: Spark runs it
     * through `spark.sql` over registered views, DuckDB runs it as the
-    * oracle — proving the SQL entry point, not just the DataFrame API. */
+    * oracle — proving the SQL entry point, not just the DataFrame API.
+    * revenue sums a 2-decimal quantity in DECIMAL (r8 hazard sweep):
+    * exact and summation-order-independent, so the identical SQL text
+    * cannot diverge between the two engines' float-sum orders. */
   val sqlInterfaceSql: String =
     """SELECT n.n_name, o.o_orderpriority,
       |       CAST(count(*) AS BIGINT) AS n_orders,
-      |       round(sum(o.o_totalprice), 4) AS revenue
+      |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -217,15 +246,19 @@ object EtlQueries {
       .select(concat(lit("R"), col("o_orderkey")).as("run"))
     graft.sources.JdbcCatalog.fromParquet(s, path, runs)
       .groupBy(col("bio_project"))
-      .agg(count(lit(1)).as("n_runs"), round(sum(col("spots")), 4)
-        .as("total_spots"))
+      // spots is 2-decimal: DECIMAL sum is exact and order-independent
+      // (r8 hazard sweep — the bucketed_join sf0.1 straddle class)
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("spots").cast("decimal(18,2)")).cast("double")
+          .as("total_spots"))
       .orderBy(col("bio_project"))
   }
 
   val catalogSemiSql: String =
     """SELECT 'BP' || (o_custkey % 20) AS bio_project,
       |       CAST(count(*) AS BIGINT) AS n_runs,
-      |       round(sum(o_totalprice), 4) AS total_spots
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS total_spots
       |FROM orders WHERE o_orderkey % 5 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -276,11 +309,20 @@ object EtlQueries {
       col("o_orderpriority").as("priority"),
       col("o_totalprice").as("price"), lit(1L).as("version"))
     // the feed: re-price every 5th existing order, and append brand-new
-    // keys beyond the base key range
+    // keys beyond the base key range.
+    // The reprice is decimal-exact by construction: prices are true
+    // 2-decimal quantities, so cast DOUBLE→DECIMAL(18,2) recovers the
+    // exact cents in both engines, DECIMAL(18,2) × DECIMAL(2,1) is exact,
+    // and decimal round HALF_UP agrees between Spark and DuckDB. Rounding
+    // the DOUBLE product instead provably diverges at half-way points
+    // (Spark rounds the shortest decimal repr, DuckDB the binary value —
+    // 6 rows differed by one cent at sf0.01).
     val repriced = o.filter(col("o_orderkey") % 5 === 0)
       .select(col("o_orderkey").as("key"), col("o_orderpriority")
         .as("priority"),
-        round(col("o_totalprice") * 1.1, 2).as("price"), lit(2L).as("version"))
+        round(col("o_totalprice").cast("decimal(18,2)") *
+          lit(new java.math.BigDecimal("1.1")), 2)
+          .cast("double").as("price"), lit(2L).as("version"))
     // new keys are NEGATIVE so they can never collide with a real
     // orderkey at ANY scale factor (a fixed positive offset would
     // collide once orderkeys grow past it, leaving two version-2 rows
@@ -297,7 +339,11 @@ object EtlQueries {
       .groupBy(col("priority"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("version") === 2, 1L).otherwise(0L)).as("n_changed"),
-        round(sum(col("price")), 4).as("total_price"))
+        // every price is a 2-decimal quantity (see repriced above), so
+        // summing in DECIMAL is exact and order-independent — no
+        // float-summation drift between Spark's partial aggs and DuckDB
+        sum(col("price").cast("decimal(18,2)"))
+          .cast("double").as("total_price"))
       .orderBy(col("priority"))
   }
 
@@ -308,7 +354,8 @@ object EtlQueries {
       |  FROM orders
       |  UNION ALL
       |  SELECT o_orderkey, o_orderpriority,
-      |         round(o_totalprice * 1.1, 2), 2
+      |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+      |           AS DOUBLE), 2
       |  FROM orders WHERE o_orderkey % 5 = 0
       |  UNION ALL
       |  SELECT -o_orderkey - 1, o_orderpriority, o_totalprice, 2
@@ -321,7 +368,8 @@ object EtlQueries {
       |SELECT priority, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_changed,
-      |       round(sum(price), 4) AS total_price
+      |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS total_price
       |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =

@@ -17,14 +17,10 @@ import graft.core.Events
   */
 object FormatQueries {
 
-  // per-JVM unique temp dirs, REUSED across a run's bench reps: a fixed
-  // name would race two concurrent JVMs (one overwrite deletes files the
-  // other is mid-read), while a fresh dir per call would leak one copy
-  // of the data per rep
-  private lazy val orcDir =
-    java.nio.file.Files.createTempDirectory("graft_orc_events").toString
-  private lazy val jsonlDir =
-    java.nio.file.Files.createTempDirectory("graft_jsonl_events").toString
+  // per-JVM unique scratch dirs, reused across bench reps, removed on
+  // JVM exit — see core.TempDirs for the race/leak rationale
+  private lazy val orcDir = graft.core.TempDirs.create("graft_orc_events")
+  private lazy val jsonlDir = graft.core.TempDirs.create("graft_jsonl_events")
 
   /** ORC, written Hive-partitioned by event_type. The read-back filter is
     * on the PARTITION column, so the scan must prune directories — the
@@ -41,8 +37,11 @@ object FormatQueries {
     s.read.orc(out)
       .filter(col("event_type").isin("click", "view"))
       .groupBy(col("event_type"))
+      // value is 2-decimal: DECIMAL sum is exact and order-independent
+      // (r8 hazard sweep — the bucketed_join sf0.1 straddle class)
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("sum_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"),
         countDistinct(col("user_id")).as("n_users"),
         min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"))
@@ -51,7 +50,8 @@ object FormatQueries {
 
   val orcRoundtripSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |       round(sum(value), 4) AS sum_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_value,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
       |       min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events WHERE event_type IN ('click', 'view')
@@ -76,15 +76,22 @@ object FormatQueries {
       .select(col("event_type"), col("value"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
+      // decimal sum as in orcRoundtrip. avg_k is safe as written: both
+      // engines sum the BIGINT k exactly, so the division sees identical
+      // operands and round(·,6) rounds the identical double (divergence
+      // would need a shortest-repr half-way hit, measure ~1e-10 — unlike
+      // the avg-of-drifting-double-sum class fixed in EtlQueries)
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("sum_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"),
         round(avg(col("k")), 6).as("avg_k"))
       .orderBy(col("event_type"))
   }
 
   val jsonlRoundtripSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |       round(sum(value), 4) AS sum_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_value,
       |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
       |         6) AS avg_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin

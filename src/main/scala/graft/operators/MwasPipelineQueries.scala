@@ -585,6 +585,7 @@ object MwasPipelineQueries {
       "graft_stream_mwas_" + Integer.toHexString(dir.hashCode))
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
+    graft.core.TempDirs.cleanOnExit(base.toPath)
     val accumDir = s"$base/accum"
     val resultDir = s"$base/result"
 
@@ -598,8 +599,15 @@ object MwasPipelineQueries {
       (0 until 3).map(k =>
         in.filter(pmod(xxhash64(col("run")), lit(3)) === k)))
 
-    val cat = catalog(s, dir)
-    val sets = MetadataCondenser.condense(metadataLong(s, dir))
+    // the catalog and condensed metadata sets are IDENTICAL for all three
+    // micro-batches (only the accumulated user input grows) — persist them
+    // for the stream's lifetime so the condenser's shuffle runs once, not
+    // once per increment. Scoped strictly inside this query (unpersisted
+    // before returning), so Bench's cold-cache rep isolation is untouched;
+    // at scale this is the natural shape anyway — a long-running
+    // incremental job pins its slowly-changing dimensions
+    val cat = catalog(s, dir).persist()
+    val sets = MetadataCondenser.condense(metadataLong(s, dir)).persist()
     val src = s.readStream.schema(in.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
     val q = src.writeStream
@@ -617,7 +625,11 @@ object MwasPipelineQueries {
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      sets.unpersist(blocking = false)
+      cat.unpersist(blocking = false)
+    }
 
     s.read.parquet(resultDir)
       .select(col("bioproject"), col("group"), col("metadata_field"),

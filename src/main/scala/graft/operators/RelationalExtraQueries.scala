@@ -107,7 +107,10 @@ object RelationalExtraQueries {
 
   /** GROUPING SETS finer than A9's rollup/cube: two hand-picked sets plus
     * `grouping()` markers to disambiguate the null grain — via the SQL
-    * form, which is the only public Spark surface for arbitrary sets. */
+    * form, which is the only public Spark surface for arbitrary sets.
+    * `total` sums 2-decimal prices in DECIMAL (r8 hazard sweep): the
+    * grand-total grains sum the most rows, i.e. carry the largest
+    * order-dependent float drift — decimal is exact at every grain. */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
     s.sql("""
@@ -115,7 +118,8 @@ object RelationalExtraQueries {
              CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
              CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
              CAST(count(*) AS BIGINT) AS n,
-             round(sum(o_totalprice), 2) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
       FROM orders_gs
       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                               (o_orderpriority, o_orderstatus))
@@ -127,7 +131,8 @@ object RelationalExtraQueries {
       |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
       |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
       |       CAST(count(*) AS BIGINT) AS n,
-      |       round(sum(o_totalprice), 2) AS total
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
       |                        (o_orderpriority, o_orderstatus))

@@ -63,7 +63,14 @@ object RelationalQueries {
 
   /** Q3 — multi-way equi join + aggregate. `nation` is broadcast (25 rows);
     * customer/orders/lineitem shuffle on their join keys and AQE picks
-    * broadcast for the surviving small sides at low SF. */
+    * broadcast for the surviving small sides at low SF.
+    *
+    * `rev` sums exact 1e-4-grid products (2-dec × 2-dec), so the sum is
+    * done in DECIMAL: exact and summation-order-independent on both
+    * engines. The DOUBLE sum drifted ~3e-7 between Spark's partial aggs
+    * and DuckDB at sf0.01 — harmless until it straddles whatever grid
+    * the compare normalizes to (bucketed_join hit exactly that at
+    * sf0.1), so the class is eliminated rather than tolerated. */
   def q3(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
@@ -73,12 +80,16 @@ object RelationalQueries {
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)")))
+        .cast("double").as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
   }
 
   val q3Sql: String =
-    """SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+    """SELECT n.n_name,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS rev
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -335,15 +346,24 @@ object RelationalQueries {
   /** Q18 — math + conditional expressions (SURVEY F2/F13 shapes). */
   /** (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
     * ORDER BY tiebreaks on the raw value columns to stay total across
-    * engines. */
+    * engines.
+    *
+    * `chg` multiplies three 2-decimal quantities — the exact product lies
+    * on the 1e-6 decimal grid, so round(·, 2) CAN hit an exact half-way
+    * point, where Spark (shortest-decimal-repr HALF_UP) and DuckDB
+    * (binary round) provably diverge — the etl_merge_upsert failure
+    * class. Doing the arithmetic in DECIMAL on both sides keeps the
+    * product exact and the HALF_UP round identical across engines. */
   def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_quantity"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax")), 2).as("chg"),
+        round(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)")) *
+          (lit(1) + col("l_tax").cast("decimal(3,2)")), 2)
+          .cast("double").as("chg"),
         log2(greatest(col("l_quantity"), lit(1.0))).as("lg"),
         abs(col("l_discount") - 0.05).as("ab"),
         when(col("l_quantity") > 30, "big").otherwise("small").as("cls"))
@@ -354,7 +374,9 @@ object RelationalQueries {
 
   val q18Sql: String =
     """SELECT l_orderkey,
-      | round(l_extendedprice * (1-l_discount) * (1+l_tax), 2) AS chg,
+      | CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+      |   * (1 - CAST(l_discount AS DECIMAL(3,2)))
+      |   * (1 + CAST(l_tax AS DECIMAL(3,2))), 2) AS DOUBLE) AS chg,
       | log2(greatest(l_quantity, 1)) AS lg,
       | abs(l_discount - 0.05) AS ab,
       | CASE WHEN l_quantity > 30 THEN 'big' ELSE 'small' END AS cls

@@ -49,6 +49,9 @@ object SkewQueries {
       nSalts = 16)
       .groupBy(col("skew_key"))
       .agg(count(lit(1)).as("n"),
+        // round-half-way audit: l_quantity and factor are both
+        // integer-valued, so the product and its sum are exact integers
+        // in double — round(·, 4) is the identity, no cross-engine hazard
         round(sum(col("l_quantity") * col("factor")), 4).as("weighted"))
       .orderBy(col("skew_key"))
   }

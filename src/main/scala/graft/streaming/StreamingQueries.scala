@@ -40,6 +40,7 @@ object StreamingQueries {
       System.getProperty("java.io.tmpdir"), name)
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     staging.mkdirs()
+    graft.core.TempDirs.cleanOnExit(staging.toPath)
     batches.zipWithIndex.foreach { case (batch, i) =>
       val k = i + 1
       val tmp = new java.io.File(staging, s"_stage_$k")

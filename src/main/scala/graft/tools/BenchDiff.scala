@@ -10,18 +10,77 @@ import scala.util.matching.Regex
   * check can gate automation. Zero dependencies — the history lines are
   * flat `"name":num` maps, parsed with a regex rather than pulling a
   * JSON library into the main classpath.
+  *
+  * Spike criterion (r8): `now > threshold × best AND now − best >
+  * MinDelta (0.2 s)`. The previous flat `max(best, 0.5)` floor made the
+  * detector blind to every query running under ~0.5 s — 60+ of the
+  * suite's 92 — so a 0.2 s → 0.45 s hot-path regression passed silently.
+  * The relative test keeps scheduler jitter (±50 ms on this VM) from
+  * flagging sub-0.1 s queries; the absolute delta keeps a doubling from
+  * 0.01 s to 0.02 s (pure noise) out, while a genuine 0.25 s climb on a
+  * 0.2 s query is now visible.
+  *
+  * Flaky detection (r8): Bench tags each second-chance re-measurement in
+  * its history line (`"reruns":{name:[m1,m2]}`). A query rerun-healed in
+  * ONE round is a host-window artifact; the SAME query needing a rerun
+  * in 2+ same-SF rounds is an intermittent regression the better-of-two
+  * policy would otherwise keep discarding — printed as FLAKY (warning,
+  * not exit-1: the kept medians are real measurements; the flag tells
+  * the builder to look at the raw samples in BENCH_FULL.json).
   */
 object BenchDiff {
-  private val entry: Regex = """"([a-z0-9_]+)":([0-9.]+)""".r
+  /** A spike must clear BOTH a ratio and an absolute delta. */
+  val MinDelta = 0.2
 
-  private def queries(line: String): Map[String, Double] = {
-    val start = line.indexOf("\"queries\":{")
+  // value is either a bare number (queries map) or a [m1,m2] pair
+  // (reruns map); the alternation keeps `[0-9.]+` from swallowing the
+  // comma that separates adjacent entries
+  private val entry: Regex = """"([a-z0-9_]+)":(\[[0-9.,]+\]|[0-9.]+)""".r
+
+  private def section(line: String, key: String): Map[String, String] = {
+    val tag = "\"" + key + "\":{"
+    val start = line.indexOf(tag)
+    if (start < 0) return Map.empty
     val end = line.indexOf("}", start)
-    require(start >= 0 && end > start,
-      s"malformed history line (no \"queries\" map): ${line.take(120)}")
-    entry.findAllMatchIn(line.substring(start + 11, end))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    require(end > start,
+      s"malformed history line (unterminated $key map): ${line.take(120)}")
+    entry.findAllMatchIn(line.substring(start + tag.length, end))
+      .map(m => m.group(1) -> m.group(2)).toMap
   }
+
+  private[tools] def queries(line: String): Map[String, Double] = {
+    val m = section(line, "queries")
+    require(m.nonEmpty,
+      s"malformed history line (no \"queries\" map): ${line.take(120)}")
+    m.map { case (k, v) => k -> v.toDouble }
+  }
+
+  /** Names tagged as second-chance reruns in a history line (empty for
+    * pre-r8 lines, which carried no `reruns` map). */
+  private[tools] def reruns(line: String): Set[String] =
+    section(line, "reruns").keySet
+
+  /** Pure spike criterion over same-SF history lines (newest last):
+    * (name, now, best) for every query whose newest median exceeds
+    * `threshold × best` AND `best + MinDelta`. */
+  private[tools] def spikes(lines: Vector[String], threshold: Double)
+      : Seq[(String, Double, Double)] = {
+    val past = lines.init.map(queries)
+    queries(lines.last).toSeq.flatMap { case (name, now) =>
+      val hist = past.flatMap(_.get(name))
+      if (hist.isEmpty) None
+      else {
+        val best = hist.min
+        if (now > threshold * best && now - best > MinDelta)
+          Some((name, now, best)) else None
+      }
+    }.sortBy { case (_, now, best) => -(now / best) }
+  }
+
+  /** Queries rerun-tagged in >= 2 of the given lines. */
+  private[tools] def flaky(lines: Vector[String]): Seq[String] =
+    lines.flatMap(reruns).groupBy(identity)
+      .collect { case (n, hits) if hits.size >= 2 => n }.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val threshold = args.headOption.map(_.toDouble).getOrElse(2.0)
@@ -37,22 +96,16 @@ object BenchDiff {
     val lines = all.filter(_.contains(sfTag))
     require(lines.size >= 2,
       s"need >= 2 history lines at $sfTag to diff, have ${lines.size}")
-    val past = lines.init.map(queries)
-    val cur = queries(lines.last)
-    val spikes = cur.toSeq.flatMap { case (name, now) =>
-      val hist = past.flatMap(_.get(name))
-      if (hist.isEmpty) None
-      else {
-        val best = hist.min
-        // floor tiny denominators: a 0.2 s query doubling is noise
-        if (now > threshold * math.max(best, 0.5))
-          Some((name, now, best)) else None
-      }
-    }.sortBy { case (_, now, best) => -(now / best) }
-    spikes.foreach { case (name, now, best) =>
+    val found = spikes(lines, threshold)
+    found.foreach { case (name, now, best) =>
       println(f"[benchdiff] SPIKE $name%-24s now=$now%7.2f best=$best%7.2f x${now / best}%.1f")
     }
-    if (spikes.isEmpty) println(s"[benchdiff] no query above ${threshold}x its historical best")
+    flaky(lines).foreach { name =>
+      println(s"[benchdiff] FLAKY $name rerun-tagged in 2+ rounds — " +
+        "intermittent regression? see raw samples in BENCH_FULL.json")
+    }
+    if (found.isEmpty)
+      println(s"[benchdiff] no query above ${threshold}x+${MinDelta}s its historical best")
     else sys.exit(1)
   }
 }

@@ -20,7 +20,7 @@ class MwasCliSpec extends AnyFunSuite {
 
   test("CSV in -> per-bioproject + combined CSV out, flags applied") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_cli").toString
+    val dir = graft.core.TempDirs.create("graft_cli")
 
     // positional user CSV (any header names — S1 is positional)
     val csv = s"$dir/input.csv"

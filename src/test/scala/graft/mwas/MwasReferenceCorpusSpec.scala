@@ -1,6 +1,5 @@
 package graft.mwas
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -37,7 +36,7 @@ class MwasReferenceCorpusSpec extends AnyFunSuite {
 
   test("reference input + migrated pickles -> 18-column MWAS output") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_refcorpus").toString
+    val dir = graft.core.TempDirs.create("graft_refcorpus")
     val inputCsv = "src/test/resources/reference_corpus/test_file_1.csv"
     val pklDir = "src/test/resources/mwaspkl"
 

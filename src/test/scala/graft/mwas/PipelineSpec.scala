@@ -1,6 +1,5 @@
 package graft.mwas
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -48,7 +47,7 @@ class PipelineSpec extends AnyFunSuite {
       (math.log(2.0 / 5.0) / math.log(2.0))) < 1e-9)
 
     // S7: per-bioproject partitioned CSV sink round-trips
-    val dir = Files.createTempDirectory("graft_sink").toString
+    val dir = graft.core.TempDirs.create("graft_sink")
     Pipeline.writePerBioproject(out, dir)
     val back = spark.read.option("header", "true").csv(dir)
     assert(back.count() === 1)

@@ -55,6 +55,9 @@ class AnnRecallSpec extends AnyFunSuite {
       val s = AnnRecall.summarize(nn,
         DedupQueries.exactNn(spark, dir)).collect().head
       val n = s.getAs[Long]("n_vectors")
+      // n = 1 would make the budget denominator 0 (NaN/Inf instead of a
+      // clear failure); the callers' later n > 0 asserts run too late
+      assert(n > 1, s"degenerate fixture: $n vector(s), budget undefined")
       val meanCand = nn.agg(avg(col("n_candidates"))).head().getDouble(0)
       (n, s.getAs[Double]("recall_at_1"), meanCand / (n - 1))
     } finally nn.unpersist()

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -20,7 +19,7 @@ class CsvIoSpec extends AnyFunSuite {
 
   test("readUserInput drops bad rows; the rejects report captures them") {
     import spark.implicits._
-    val in = Files.createTempDirectory("graft_csvio_in").toString
+    val in = graft.core.TempDirs.create("graft_csvio_in")
     Seq(
       ("R1", "g1", "1.5"),
       ("R2", "g1", "oops"),   // non-numeric → rejected
@@ -35,7 +34,7 @@ class CsvIoSpec extends AnyFunSuite {
     assert(good.filter(col("run").isin("R2", "R4")).count() === 0)
 
     val routed = CsvIo.readUserInputRouted(spark, in)
-    val report = Files.createTempDirectory("graft_csvio_rep").toString
+    val report = graft.core.TempDirs.create("graft_csvio_rep")
     CsvIo.writeRejectsReport(routed, report)
     val back = spark.read.option("header", "true").csv(report)
     assert(back.count() === 2)

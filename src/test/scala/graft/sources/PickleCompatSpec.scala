@@ -75,7 +75,7 @@ class PickleCompatSpec extends AnyFunSuite {
   test("migrated sets drive the MWAS pipeline end to end (the adoption " +
       "path: old pickle corpus -> parquet -> unchanged engine)") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_migrate").toString
+    val out = graft.core.TempDirs.create("graft_migrate")
     PickleCompat.condensedSets(spark, fixtures)
       .write.mode("overwrite").parquet(s"$out/metadata_sets")
     val sets = spark.read.parquet(s"$out/metadata_sets")

@@ -18,6 +18,44 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 REL_TOL = 1e-6
 
 
+def short_decimals(f):
+    """Fractional digits in the shortest repr of f, or None if f is not a
+    "short" decimal (exponent form, or more than 6 fractional digits).
+
+    A float the query has passed through round(x, n) — every rounded
+    column in the suite uses n <= 6 — is the double nearest an n-decimal
+    value, so its shortest repr has <= n fractional digits. A genuinely
+    unrounded float prints ~17 SIGNIFICANT digits, which at any magnitude
+    above ~1e11 could still be <= 6 FRACTIONAL digits, but no unrounded
+    column in the suite reaches that; at the common 1e8-sum magnitude an
+    unrounded value prints 8-9 fractional digits and correctly falls to
+    the REL_TOL branch. This lets eq() compare rounded columns at ulp
+    strictness — the way the driver's hash does — while keeping REL_TOL
+    for the unrounded ones. (Added after etl_merge_upsert: a one-cent
+    rounding divergence is 1e-10 relative on a ~1e8 sum, invisible to
+    REL_TOL but fatal to the driver's hash_match.)"""
+    s = repr(f)
+    if "e" in s or "E" in s:
+        return None
+    if "." not in s:
+        return 0
+    frac = s.split(".")[1]
+    return len(frac) if len(frac) <= 6 else None
+
+
+def ulp_eq(fa, fb):
+    """Rounded-column compare: equal to within a few ulps.
+
+    Two engines rounding the SAME exact decimal can land on doubles a few
+    ulps apart (Spark rounds via BigDecimal → nearest double; DuckDB
+    multiplies/divides by 10^n), so bit-exact is too strict — q3's
+    round(sum, 4) at ~1.5e8 magnitude differs by 1 ulp and still
+    hash-matches for the driver. A REAL half-way divergence differs by
+    10^-n, astronomically larger than an ulp at any magnitude where the
+    n-decimal grid is finer than the double grid."""
+    return abs(fa - fb) <= 8 * math.ulp(max(abs(fa), abs(fb), 1e-300))
+
+
 def norm_cell(v):
     import numpy as np
     if isinstance(v, np.ndarray):
@@ -46,6 +84,12 @@ def eq(a, b):
             return str(a) == str(b)
         if math.isinf(fa) or math.isinf(fb):
             return fa == fb
+        if short_decimals(fa) is not None and short_decimals(fb) is not None:
+            # both sides are short decimals → the query rounded them:
+            # ulp-level compare, not REL_TOL (a one-cent divergence is
+            # 1e-10 relative on a 1e8 sum — invisible to REL_TOL, fatal
+            # to the driver's hash)
+            return ulp_eq(fa, fb)
         return abs(fa - fb) <= REL_TOL * max(1.0, abs(fa), abs(fb))
     # timestamps/dates: compare str forms (duckdb vs pyarrow types differ)
     if type(a) is not type(b):

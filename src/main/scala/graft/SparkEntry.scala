@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BucketQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, RelationalExtraQueries, RelationalQueries, SkewQueries, TextQueries, TypeQueries}
+import graft.operators.{BucketQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, RelationalExtraQueries, RelationalQueries, SkewQueries, TextCorpusQueries, TextQueries, TypeQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -20,7 +20,7 @@ object SparkEntry {
       DedupQueries.all ++ TextQueries.all ++ StreamingQueries.all ++
       MultimodalQueries.all ++ EtlQueries.all ++ SkewQueries.all ++
       TypeQueries.all ++ RelationalExtraQueries.all ++ BucketQueries.all ++
-      IvfQueries.all ++ FormatQueries.all
+      IvfQueries.all ++ FormatQueries.all ++ TextCorpusQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-level training-data operators over `documents` — the two-pass
+  * shapes a pretraining loader runs ahead of tokenization: build a
+  * corpus artifact (vocabulary / per-source budget), then apply it back
+  * to every document. Both passes stay distributed: the corpus artifact
+  * is either top-K-small (broadcast) or a per-partition window — never a
+  * driver-side collect.
+  *
+  * Reference scope note: the reference has no corpus pass at all (its
+  * unit of work is one bioproject, old/mwas_rfam.py:214-260); these are
+  * the engine-native extensions the build plan calls for alongside the
+  * dedup/quality suite.
+  */
+object TextCorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val words = split(col("text"), " ")
+
+  /** Vocabulary build + per-document OOV rate.
+    *
+    * Pass 1 aggregates (doc_id, word) counts — the combiner collapses
+    * the token stream before any shuffle — then reduces to the corpus
+    * top-50 by total count (ties broken by word, so the cutoff is total
+    * and both engines pick the identical vocabulary). Pass 2 is a
+    * BROADCAST left join of the per-doc counts against the 50-row
+    * vocab: the token-shaped side never reshuffles for membership.
+    * oov_rate is one IEEE division of exact integers — identical double
+    * on both engines (the `Q` class in NOTES_r8, no drifting-sum
+    * amplification), then round(·,6).
+    *
+    * At 100 TB: word counts are the canonical map-side-combine agg; the
+    * vocab stays K rows regardless of corpus size; the join back is a
+    * broadcast, so cost is one shuffle of (doc_id, word) pairs. */
+  def textVocabOov(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+    // a vocab+apply op is inherently two passes over the token stream
+    // (the artifact must exist before it can be applied); each branch
+    // gets its natural aggregation key so neither pays for the other's
+    val vocab = toks
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(50)
+      .select(col("w"), lit(1).as("in_vocab"))
+    val perDocWord = toks
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    perDocWord
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_words"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val textVocabOovSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |dw AS (
+      |  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, sum(c) AS cnt FROM dw GROUP BY 1)
+      |  ORDER BY cnt DESC, w LIMIT 50)
+      |SELECT d.doc_id,
+      |       CAST(sum(d.c) AS BIGINT) AS n_words,
+      |       CAST(sum(CASE WHEN v.w IS NULL THEN d.c ELSE 0 END)
+      |         AS BIGINT) AS n_oov,
+      |       round(CAST(sum(CASE WHEN v.w IS NULL THEN d.c ELSE 0 END)
+      |           AS DOUBLE) / sum(d.c), 6) AS oov_rate
+      |FROM dw d LEFT JOIN vocab v ON d.w = v.w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Token-budget mixture sampling: per source, take documents in a
+    * deterministic pseudo-random order (md5 of doc_id — both engines
+    * produce the identical hex, so the "shuffle" is reproducible on any
+    * cluster) until the source's token budget is spent. A document may
+    * straddle the boundary (kept iff its START offset is inside the
+    * budget — same convention as textPackSequences), so every source
+    * with any data contributes at least one document.
+    *
+    * This is the loader-side mixture op: cap each domain at a token
+    * budget instead of a document count, so verbose domains can't
+    * swamp the mix. The running offset is a window per source — the
+    * packing-shard story from textPackSequences applies unchanged at
+    * 100 TB (skewed sources get salted into sub-shards that sample
+    * independently). */
+  def textTokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs_total"),
+        sum(when(col("start_off") < budget, 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("start_off") < budget, col("n_tokens"))
+          .otherwise(0L)).as("n_tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val textTokenBudgetSampleSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY h, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS start_off
+      |  FROM t)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs_total,
+      |       CAST(sum(CASE WHEN start_off < 1000 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_docs_kept,
+      |       CAST(sum(CASE WHEN start_off < 1000 THEN n_tokens ELSE 0 END)
+      |         AS BIGINT) AS n_tokens_kept
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("text_vocab_oov", textVocabOov _, Some(textVocabOovSql)),
+      ("text_token_budget_sample", textTokenBudgetSample _,
+        Some(textTokenBudgetSampleSql)))
+}

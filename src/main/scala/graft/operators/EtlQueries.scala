@@ -118,11 +118,12 @@ object EtlQueries {
         from_json(col("props"), lit("k INT")).getField("k"))
       .groupBy((col("k") % 10).cast("long").as("k_bucket"))
       // round(avg(value), 6) via the exact-integer-numerator recipe (see
-      // hashSample): sum·10⁶ is an exact BIGINT through the decimal sum,
-      // so both engines divide the same integers and round at 0 decimals
+      // hashSample): sum·10⁶ is an exact BIGINT through the long-cents
+      // sum, so both engines divide the same integers and round at 0
+      // decimals
       .agg(count(lit(1)).as("n"),
-        (round((sum(col("value").cast("decimal(18,2)")) * 1000000)
-          .cast("long").cast("double") / count(lit(1))) / 1000000.0)
+        (round((sum(round(col("value") * 100).cast("long")) * 10000)
+          .cast("double") / count(lit(1))) / 1000000.0)
           .as("avg_value"))
       .withColumn("as_json",
         to_json(struct(col("k_bucket"), col("n"))))
@@ -130,8 +131,8 @@ object EtlQueries {
 
   val jsonIngestSql: String =
     """SELECT k_bucket, CAST(count(*) AS BIGINT) AS n,
-      |       round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
-      |           * 1000000 AS BIGINT) AS DOUBLE) / count(*)) / 1000000.0
+      |       round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |           * 10000 AS DOUBLE) / count(*)) / 1000000.0
       |         AS avg_value,
       |       '{"k_bucket":' || k_bucket || ',"n":' || count(*) || '}'
       |         AS as_json
@@ -152,20 +153,22 @@ object EtlQueries {
       // (plain round(avg,4) straddled a 1e-4 boundary at sf0.001 — the
       // engines' different summation orders produce different avg
       // doubles): the numerator sum·10⁴ is an exact BIGINT via the
-      // decimal sum, the single division of exact integers is correctly
-      // rounded hence bit-identical, and the round is to ZERO decimals —
+      // long-cents sum (round(x*100) to integer is cross-engine safe —
+      // the true value IS an integer ± ulps, never near k+0.5), the
+      // single division of exact integers is correctly rounded hence
+      // bit-identical, and the round is to ZERO decimals —
       // safe cross-engine because k+0.5 is exactly representable in
       // binary, unlike the k+5·10⁻ⁿ half-way points round(·,n≥1) trips on
       .agg(count(lit(1)).as("n"),
-        (round((sum(col("o_totalprice").cast("decimal(18,2)")) * 10000)
-          .cast("long").cast("double") / count(lit(1))) / 10000.0)
+        (round((sum(round(col("o_totalprice") * 100).cast("long")) * 100)
+          .cast("double") / count(lit(1))) / 10000.0)
           .as("avg_price"))
       .orderBy(col("o_orderpriority"))
 
   val hashSampleSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-      |       round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-      |           * 10000 AS BIGINT) AS DOUBLE) / count(*)) / 10000.0
+      |       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |           * 100 AS DOUBLE) / count(*)) / 10000.0
       |         AS avg_price
       |FROM orders
       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
@@ -187,16 +190,16 @@ object EtlQueries {
       .groupBy(col("o_orderpriority"))
       // exact-integer-numerator avg as in hashSample above
       .agg(count(lit(1)).as("n_sampled"),
-        (round((sum(col("o_totalprice").cast("decimal(18,2)")) * 10000)
-          .cast("long").cast("double") / count(lit(1))) / 10000.0)
+        (round((sum(round(col("o_totalprice") * 100).cast("long")) * 100)
+          .cast("double") / count(lit(1))) / 10000.0)
           .as("avg_price"))
       .orderBy(col("o_orderpriority"))
   }
 
   val stratifiedSampleSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
-      |       round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-      |           * 10000 AS BIGINT) AS DOUBLE) / count(*)) / 10000.0
+      |       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |           * 100 AS DOUBLE) / count(*)) / 10000.0
       |         AS avg_price
       |FROM orders
       |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))::INT
@@ -207,14 +210,15 @@ object EtlQueries {
   /** One ANSI SQL text, executed VERBATIM by both engines: Spark runs it
     * through `spark.sql` over registered views, DuckDB runs it as the
     * oracle — proving the SQL entry point, not just the DataFrame API.
-    * revenue sums a 2-decimal quantity in DECIMAL (r8 hazard sweep):
-    * exact and summation-order-independent, so the identical SQL text
-    * cannot diverge between the two engines' float-sum orders. */
+    * revenue sums a 2-decimal quantity as exact long cents (r8 hazard
+    * sweep — see RelationalExtraQueries.groupingSets for why long-cents
+    * beats a DECIMAL sum here): order-independent, so the identical SQL
+    * text cannot diverge between the two engines' float-sum orders. */
   val sqlInterfaceSql: String =
     """SELECT n.n_name, o.o_orderpriority,
       |       CAST(count(*) AS BIGINT) AS n_orders,
-      |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-      |         AS revenue
+      |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+      |         AS DOUBLE) / 100.0 AS revenue
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -246,19 +250,21 @@ object EtlQueries {
       .select(concat(lit("R"), col("o_orderkey")).as("run"))
     graft.sources.JdbcCatalog.fromParquet(s, path, runs)
       .groupBy(col("bio_project"))
-      // spots is 2-decimal: DECIMAL sum is exact and order-independent
-      // (r8 hazard sweep — the bucketed_join sf0.1 straddle class)
+      // spots is 2-decimal: exact long-cents sum, order-independent
+      // (r8 hazard sweep — the bucketed_join sf0.1 straddle class;
+      // long-cents over a DECIMAL sum for the codegen fast path, see
+      // RelationalExtraQueries.groupingSets)
       .agg(count(lit(1)).as("n_runs"),
-        sum(col("spots").cast("decimal(18,2)")).cast("double")
-          .as("total_spots"))
+        (sum(round(col("spots") * 100).cast("long")).cast("double") /
+          100.0).as("total_spots"))
       .orderBy(col("bio_project"))
   }
 
   val catalogSemiSql: String =
     """SELECT 'BP' || (o_custkey % 20) AS bio_project,
       |       CAST(count(*) AS BIGINT) AS n_runs,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-      |         AS total_spots
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |         AS DOUBLE) / 100.0 AS total_spots
       |FROM orders WHERE o_orderkey % 5 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -37,11 +37,13 @@ object FormatQueries {
     s.read.orc(out)
       .filter(col("event_type").isin("click", "view"))
       .groupBy(col("event_type"))
-      // value is 2-decimal: DECIMAL sum is exact and order-independent
-      // (r8 hazard sweep — the bucketed_join sf0.1 straddle class)
+      // value is 2-decimal: exact long-cents sum, order-independent
+      // (r8 hazard sweep — the bucketed_join sf0.1 straddle class;
+      // long-cents for the codegen fast path, see
+      // RelationalExtraQueries.groupingSets)
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("sum_value"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") /
+          100.0).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"),
         min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"))
@@ -50,8 +52,8 @@ object FormatQueries {
 
   val orcRoundtripSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-      |         AS sum_value,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS sum_value,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
       |       min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events WHERE event_type IN ('click', 'view')
@@ -82,16 +84,16 @@ object FormatQueries {
       // would need a shortest-repr half-way hit, measure ~1e-10 — unlike
       // the avg-of-drifting-double-sum class fixed in EtlQueries)
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("sum_value"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") /
+          100.0).as("sum_value"),
         round(avg(col("k")), 6).as("avg_k"))
       .orderBy(col("event_type"))
   }
 
   val jsonlRoundtripSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-      |         AS sum_value,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS sum_value,
       |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
       |         6) AS avg_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin

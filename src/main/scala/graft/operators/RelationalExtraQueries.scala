@@ -108,19 +108,30 @@ object RelationalExtraQueries {
   /** GROUPING SETS finer than A9's rollup/cube: two hand-picked sets plus
     * `grouping()` markers to disambiguate the null grain — via the SQL
     * form, which is the only public Spark surface for arbitrary sets.
-    * `total` sums 2-decimal prices in DECIMAL (r8 hazard sweep): the
+    * `total` sums 2-decimal prices as LONG CENTS (r8 hazard sweep): the
     * grand-total grains sum the most rows, i.e. carry the largest
-    * order-dependent float drift — decimal is exact at every grain. */
+    * order-dependent float drift, so the double sum must go — but a
+    * DECIMAL sum here cost ~1.8× (three grouping sets triple the
+    * aggregation work and Spark's >18-digit decimal accumulation leaves
+    * the long fast path). round(x*100) to INTEGER is cross-engine safe
+    * (the true value is an integer ± ulps, never near k+0.5), the long
+    * sum is exact and stays in codegen, and /100.0 of the same exact
+    * integer is the identical double on both engines. */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    // cents computed in a subquery BELOW the grouping: GROUPING SETS
+    // expands every input row once per set (Expand, 3× here), so an
+    // expression inside sum() would be re-evaluated per replica —
+    // projected first, the Expand replicates a ready long instead
     s.sql("""
       SELECT o_orderpriority, o_orderstatus,
              CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
              CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total
-      FROM orders_gs
+             CAST(sum(cents) AS DOUBLE) / 100.0 AS total
+      FROM (SELECT o_orderpriority, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders_gs)
       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                               (o_orderpriority, o_orderstatus))
       ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""")
@@ -131,9 +142,10 @@ object RelationalExtraQueries {
       |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
       |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
       |       CAST(count(*) AS BIGINT) AS n,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-      |         AS total
-      |FROM orders
+      |       CAST(sum(cents) AS DOUBLE) / 100.0 AS total
+      |FROM (SELECT o_orderpriority, o_orderstatus,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
       |                        (o_orderpriority, o_orderstatus))
       |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""".stripMargin

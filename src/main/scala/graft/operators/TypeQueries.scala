@@ -15,14 +15,17 @@ object TypeQueries {
 
   /** groupBy().pivot() with an explicit value list (explicit so the plan
     * needs no extra distinct-values job and the output schema is stable).
-    * Cell sums run in DECIMAL (r8 hazard sweep): 2-decimal prices sum
-    * exactly and order-independently, so a pivot cell can never straddle
-    * a round grid between the engines' different summation orders. */
+    * Cell sums are exact long cents (r8 hazard sweep): order-independent,
+    * so a pivot cell can never straddle a round grid between the engines'
+    * different summation orders — and the long sum stays in codegen
+    * (see RelationalExtraQueries.groupingSets for the decimal-vs-cents
+    * trade). */
   def pivotQuery(s: SparkSession, dir: String): DataFrame = {
     val p = Tables(s, dir, "orders")
       .groupBy((col("o_custkey") % 10).cast("long").as("bucket"))
       .pivot("o_orderpriority", priorities)
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .cast("double") / 100.0)
     priorities.zipWithIndex.foldLeft(p) { case (df, (v, i)) =>
       df.withColumnRenamed(v, s"p${i + 1}")
     }.orderBy(col("bucket"))
@@ -30,11 +33,11 @@ object TypeQueries {
 
   val pivotSql: String =
     """SELECT o_custkey % 10 AS bucket,
-      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1,
-      |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p2,
-      |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3,
-      |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4,
-      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p1,
+      |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p2,
+      |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p3,
+      |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p4,
+      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p5
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** MapType: build a priority→count map per bucket with

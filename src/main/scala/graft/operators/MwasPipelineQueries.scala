@@ -345,7 +345,15 @@ object MwasPipelineQueries {
           .otherwise(0L)).as("n_route_t"),
         sum(when(least(col("num_true"), col("num_false")) >= 4, 1L)
           .otherwise(0L)).as("n_route_perm"),
-        round(avg(abs(col("test_statistic"))), 6).as("avg_abs_stat"),
+        // mean |t| via the exact-integer-numerator recipe (NOTES_r8
+        // class N): the per-row statistics are bit-identical across
+        // engines (q23_welch is hash-green), so round(|t|·10⁶) to
+        // INTEGER is identical too — round(avg(·),6) of a plain double
+        // sum is the avg-of-reordered-sums class that straddled
+        // hash_sample at sf0.001
+        (round(sum(round(abs(col("test_statistic")) * 1000000)
+          .cast("long")).cast("double") / count(lit(1))) / 1000000.0)
+          .as("avg_abs_stat"),
         sum(when(col("mean_rpm_true") > col("mean_rpm_false"), 1L)
           .otherwise(0L)).as("n_true_gt"),
         sum(when(col("mean_rpm_true") < col("mean_rpm_false"), 1L)
@@ -361,7 +369,9 @@ object MwasPipelineQueries {
        |    AS BIGINT) AS n_route_t,
        |  CAST(sum(CASE WHEN least(num_true, num_false) >= 4 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_route_perm,
-       |  round(avg(abs(test_statistic)), 6) AS avg_abs_stat,
+       |  round(CAST(sum(CAST(round(abs(test_statistic) * 1000000)
+       |      AS BIGINT)) AS DOUBLE) / count(*)) / 1000000.0
+       |    AS avg_abs_stat,
        |  CAST(sum(CASE WHEN mean_rpm_true > mean_rpm_false THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_true_gt,
        |  CAST(sum(CASE WHEN mean_rpm_true < mean_rpm_false THEN 1 ELSE 0 END)

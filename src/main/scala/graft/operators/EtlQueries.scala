@@ -16,24 +16,28 @@ object EtlQueries {
   private def tmpDir(tag: String): String =
     graft.core.TempDirs.create(s"graft_$tag")
 
-  /** S1+S7 round-trip: derive the MWAS user input from orders/lineitem,
-    * write it through the CSV sink, re-read through the positional
-    * schema-checked reader, aggregate. The oracle recomputes from the base
-    * tables — so any drift in the CSV write→read path (quoting, dtype
-    * parsing, header handling) breaks the hash match. */
-  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  /** The derived MWAS user input both CSV round-trips write and re-read. */
+  private def userInputDf(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
     val qty = Tables(s, dir, "lineitem").groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("quantifier"))
-    val input = o.filter(col("o_orderkey") % 3 =!= 0)
+    o.filter(col("o_orderkey") % 3 =!= 0)
       .join(qty, o("o_orderkey") === qty("l_orderkey"), "left_outer")
       .na.fill(Map("quantifier" -> 0.0))
       .select(
         concat(lit("R"), col("o_orderkey")).as("run"),
         col("o_orderpriority").as("group"),
         col("quantifier"))
+  }
+
+  /** S1+S7 round-trip: derive the MWAS user input from orders/lineitem,
+    * write it through the CSV sink, re-read through the positional
+    * schema-checked reader, aggregate. The oracle recomputes from the base
+    * tables — so any drift in the CSV write→read path (quoting, dtype
+    * parsing, header handling) breaks the hash match. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir("csv_roundtrip")
-    CsvIo.writeCsv(input, path)
+    CsvIo.writeCsv(userInputDf(s, dir), path)
     CsvIo.readUserInput(s, path)
       .groupBy(col("group"))
       // round-half-way audit (r8): quantifier sums l_quantity, which is
@@ -45,6 +49,40 @@ object EtlQueries {
   val csvRoundtripSql: String =
     """SELECT o_orderpriority AS "group", CAST(count(*) AS BIGINT) AS n,
       |       round(sum(coalesce(q.quantifier, 0)), 4) AS total
+      |FROM orders o LEFT JOIN (
+      |  SELECT l_orderkey, sum(l_quantity) AS quantifier
+      |  FROM lineitem GROUP BY 1) q ON o.o_orderkey = q.l_orderkey
+      |WHERE o_orderkey % 3 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S1+S7 through GZIP: production user CSVs arrive compressed. The
+    * writer emits one .csv.gz per partition and the reader decompresses
+    * by extension — both transparent in Spark. The at-scale caveat this
+    * query exists to pin down: gzip is NOT SPLITTABLE, so each .gz file
+    * is exactly one read task — parallelism is the FILE COUNT, which the
+    * partitioned writer preserves (many modest files, never one giant
+    * archive; the same reason the reference shards per bioproject file).
+    * The aggregate adds min/max run so the string column must also
+    * survive the compressed round-trip byte-for-byte. */
+  def csvGzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("csv_gzip")
+    userInputDf(s, dir).write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip").csv(path)
+    CsvIo.readUserInput(s, path)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        // integer-valued sum — exact in double, round is identity
+        round(sum(col("quantifier")), 4).as("total"),
+        min(col("run")).as("first_run"),
+        max(col("run")).as("last_run"))
+      .orderBy(col("group"))
+  }
+
+  val csvGzipRoundtripSql: String =
+    """SELECT o_orderpriority AS "group", CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(coalesce(q.quantifier, 0)), 4) AS total,
+      |       min('R' || o_orderkey) AS first_run,
+      |       max('R' || o_orderkey) AS last_run
       |FROM orders o LEFT JOIN (
       |  SELECT l_orderkey, sum(l_quantity) AS quantifier
       |  FROM lineitem GROUP BY 1) q ON o.o_orderkey = q.l_orderkey
@@ -381,6 +419,7 @@ object EtlQueries {
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("etl_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
+      ("etl_csv_gzip", csvGzipRoundtrip _, Some(csvGzipRoundtripSql)),
       ("etl_merge_upsert", mergeUpsert _, Some(mergeUpsertSql)),
       ("etl_rejects_report", rejectsReport _, Some(rejectsReportSql)),
       ("etl_csv_condense", csvCondense _,

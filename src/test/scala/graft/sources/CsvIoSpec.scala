@@ -43,4 +43,24 @@ class CsvIoSpec extends AnyFunSuite {
     assert(reasons("R2") === "non_numeric_quantifier")
     assert(reasons("R4") === "missing_quantifier")
   }
+
+  test("gzip CSV sink really compresses; the positional reader reads it back") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_csvio_gz")
+    Seq(("R1", "g1", "1.5"), ("R2", "g2", "2.5"))
+      .toDF("a", "b", "c")
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip").csv(dir)
+    // the etl_csv_gzip oracle only proves VALUES survive; this pins that
+    // the files really are gzip (a silently-ignored codec option would
+    // leave plain CSV and make the round-trip claim vacuous)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".csv.gz")),
+      s"expected .csv.gz parts, got ${parts.toSeq}")
+    val back = CsvIo.readUserInput(spark, dir)
+    assert(back.count() === 2)
+    assert(back.filter(col("run") === "R2").select(col("quantifier"))
+      .as[Double].head() === 2.5)
+  }
 }

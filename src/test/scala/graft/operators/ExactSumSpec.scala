@@ -29,10 +29,17 @@ class ExactSumSpec extends Properties("LongCents") {
     }
 
   property("0-decimal round convention matches across engines") =
-    // values AT half-way round away from zero identically under
-    // Math.round (Spark) and C++ std::round (DuckDB) for positives;
-    // near-half values land on the right side — the k+0.5 hazard that
-    // breaks round(·, n>=1) does not exist at the integer grid
+    // Two distinct safety arguments, kept precise:
+    // (a) the CENTS conversions never reach a half-way at all — the
+    //     true value is an integer ± ulps regardless of sign, so the
+    //     engines' half-way conventions are unreachable;
+    // (b) the avg NUMERATOR divisions (N/n) CAN be exactly k+0.5, and
+    //     there Spark's HALF_UP and DuckDB's std::round agree (away
+    //     from zero) for the POSITIVE values this suite produces
+    //     (verified: every cents-summed column is >= 0 at all SFs).
+    //     For negative half-way values Spark SQL round (HALF_UP, away
+    //     from zero) and java Math.round (toward +inf) differ — do NOT
+    //     model Spark SQL round with Math.round if negatives appear.
     Prop.all(
       Prop(Math.round(2.5) == 3L),
       Prop(Math.round(3.5) == 4L),

@@ -6,13 +6,14 @@ import java.util.Comparator
 /** Scratch directories that clean themselves up on JVM exit.
   *
   * Query operators that exercise a write→read round-trip (CSV, ORC,
-  * JSONL, catalog export) need a scratch dir that is (a) unique per JVM
-  * — a fixed name would race two concurrent JVMs, one overwrite deleting
-  * files the other is mid-read — and (b) reused across a run's bench
-  * reps, so three timed reps don't strand three copies of the data.
-  * Before r8 these dirs were never deleted, leaking one copy of the
-  * slice per bench/test JVM into /tmp (ADVICE r7); a single shutdown
-  * hook per dir removes the tree when the JVM exits.
+  * JSONL, catalog export) need a scratch dir that is unique per use —
+  * a fixed name would race two concurrent JVMs, one overwrite deleting
+  * files the other is mid-read. Some callers reuse one dir per JVM
+  * (FormatQueries' lazy vals), others take a fresh dir per invocation
+  * (EtlQueries — the write is part of the timed query either way);
+  * both previously leaked every dir forever (ADVICE r7: one stranded
+  * copy of the data slice per dir, ~35 accumulated in /tmp). A
+  * shutdown hook per dir removes the tree when the JVM exits.
   */
 object TempDirs {
 

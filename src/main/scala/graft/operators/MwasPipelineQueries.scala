@@ -169,14 +169,114 @@ object MwasPipelineQueries {
       }
     }
 
-  /** The flagship: condenser output feeding the single-plan MWAS pipeline.
-    * The Welch/fold-change numeric columns are oracled by mwas_pipeline_sql
-    * below; p_value (t-CDF) has no SQL equivalent so this full version is
-    * rows-only. */
-  def pipelineQuery(s: SparkSession, dir: String): DataFrame =
-    pipelineBase(s, dir)
+  /** The flagship: condenser output feeding the single-plan MWAS pipeline —
+    * the reference's full 18-column output (main/mwas_general.py:92-94),
+    * DuckDB-oracled on every deterministic cell since round 9.
+    *
+    * The pipeline itself runs UNMASKED (default config, real permutation
+    * kernel, real p-values, real listings — [[graft.mwas.Pipeline.run]]
+    * returns the true output relation); only this driver-facing projection
+    * masks, identically on both engines, the three cells no SQL engine can
+    * recompute: on permutation-routed rows the p-value is a seeded
+    * Monte-Carlo / exact-enumeration resample (p → NULL, status → the
+    * route name, the p-gated biosample listings → NULL). Everything else —
+    * num/mean/sd on all rows, the test statistic on all rows (Welch t and
+    * the permutation route's mean-difference statistic are both closed
+    * form), fold-change with its ±∞ sentinels, and on WELCH rows the
+    * t-CDF p-value ([[TCdfSql]]), the significance flag, and the capped,
+    * polarity-swapped biosample listings — is hash-compared. At the
+    * gate SF every side is ≥ the permutation cutoff, so the masked cells
+    * are exactly the permutation resamples; at sf0.001 the Welch route
+    * carries 459/474 rows, significant ones included, exercising p/status/
+    * listing comparison end to end. */
+  def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    val isT = col("status").startsWith("t_test")
+    pipelineBase(s, dir).select(
+      col("bioproject"), col("group"), col("metadata_field"),
+      col("metadata_value"),
+      when(isT, col("status")).otherwise(lit("permutation_test")).as("status"),
+      col("runtime_seconds"), col("memory_usage_bytes"),
+      col("num_true"), col("num_false"),
+      col("mean_rpm_true"), col("mean_rpm_false"),
+      col("sd_rpm_true"), col("sd_rpm_false"),
+      col("fold_change"), col("test_statistic"),
+      when(isT, col("p_value")).otherwise(lit(null).cast("double"))
+        .as("p_value"),
+      when(isT, col("true_biosamples")).otherwise(lit(null).cast("string"))
+        .as("true_biosamples"),
+      when(isT, col("false_biosamples")).otherwise(lit(null).cast("string"))
+        .as("false_biosamples"))
       .orderBy(col("bioproject"), col("group"), col("metadata_field"),
         col("metadata_value"))
+  }
+
+  /** Full-output oracle: [[pipelineCoreSql]] + the engine's exact routing
+    * predicate (min side < 4, pooled > 20000, value-collection cap —
+    * Pipeline.run's `isTTest`), Welch t/df with WelchTTest.compute's
+    * guards, the continued-fraction t-CDF for p on Welch rows, and the
+    * status/listing assembly mirroring Pipeline.run's output stage
+    * (reference main/mwas_general.py:424-434) cell for cell — including
+    * the null-p quirk: `when(!significant, "")` SKIPS on null p, so a
+    * Welch row with a null statistic still lists its biosamples. */
+  val pipelineFullSql: String = {
+    val keys = Seq("bioproject", "grp", "attributes", "vals")
+    s"""WITH RECURSIVE $pipelineCoreSql,
+      |routed AS (
+      |  SELECT *,
+      |    (least(num_true, num_false) < 4 OR num_true + num_false > 20000
+      |     OR nonzeros > 100000) AS is_t,
+      |    sd_t*sd_t/num_true + sd_f*sd_f/num_false AS se2
+      |  FROM testable),
+      |tdf_in AS (
+      |  SELECT bioproject, grp, attributes, vals,
+      |    CASE WHEN se2 > 0 THEN (mean_t - mean_f)/sqrt(se2) END AS t,
+      |    CASE WHEN se2 > 0 THEN se2*se2 /
+      |      (pow(sd_t*sd_t/num_true, 2)/(num_true-1)
+      |       + pow(sd_f*sd_f/num_false, 2)/(num_false-1)) END AS df
+      |  FROM routed WHERE is_t),
+      |${TCdfSql.fragment(keys)},
+      |fullout AS (
+      |  SELECT r.*, ti.t AS welch_t, tp.p_cf,
+      |    CASE WHEN r.is_t THEN ti.t ELSE r.mean_t - r.mean_f END
+      |      AS test_statistic,
+      |    CASE WHEN r.mean_t = 0 AND r.mean_f = 0 THEN CAST(0.0 AS DOUBLE)
+      |         WHEN r.mean_f = 0 THEN CAST('infinity' AS DOUBLE)
+      |         WHEN r.mean_t = 0 THEN CAST('-infinity' AS DOUBLE)
+      |         ELSE log2(r.mean_t/r.mean_f) END AS fold_change,
+      |    coalesce(tp.p_cf < 0.005, false) AS significant
+      |  FROM routed r
+      |  LEFT JOIN tdf_in ti USING (${keys.mkString(", ")})
+      |  LEFT JOIN tcdf_p tp USING (${keys.mkString(", ")}))
+      |SELECT bioproject, grp AS "group",
+      |  replace(attributes, ',', ' ') AS metadata_field,
+      |  replace(vals, ',', ' ') AS metadata_value,
+      |  CASE WHEN NOT is_t THEN 'permutation_test'
+      |       WHEN significant THEN 't_test; significant'
+      |       ELSE 't_test' END AS status,
+      |  CAST(0.0 AS DOUBLE) AS runtime_seconds,
+      |  CAST(0 AS BIGINT) AS memory_usage_bytes,
+      |  num_true, num_false,
+      |  mean_t AS mean_rpm_true, mean_f AS mean_rpm_false,
+      |  sd_t AS sd_rpm_true, sd_f AS sd_rpm_false,
+      |  fold_change, test_statistic,
+      |  CASE WHEN is_t THEN p_cf END AS p_value,
+      |  CASE WHEN NOT is_t THEN NULL
+      |       WHEN p_cf IS NOT NULL AND p_cf >= 0.005 THEN ''
+      |       WHEN num_true < 1000 THEN array_to_string(
+      |         CASE WHEN include THEN members
+      |              ELSE list_filter(all_bs,
+      |                     m -> NOT list_contains(members, m)) END, '; ')
+      |       ELSE 'too many biosamples to list' END AS true_biosamples,
+      |  CASE WHEN NOT is_t THEN NULL
+      |       WHEN p_cf IS NOT NULL AND p_cf >= 0.005 THEN ''
+      |       WHEN num_false < 1000 THEN array_to_string(
+      |         CASE WHEN include THEN list_filter(all_bs,
+      |                     m -> NOT list_contains(members, m))
+      |              ELSE members END, '; ')
+      |       ELSE 'too many biosamples to list' END AS false_biosamples
+      |FROM fullout
+      |ORDER BY bioproject, "group", metadata_field, metadata_value""".stripMargin
+  }
 
   /** The closed-form pipeline relation for consumers that never read the
     * permutation p-value: statClosedForm skips value collection and the
@@ -200,8 +300,18 @@ object MwasPipelineQueries {
       .orderBy(col("bioproject"), col("group"), col("metadata_field"),
         col("metadata_value"))
 
-  val pipelineStatsSql: String =
-    s"""WITH catalog AS (
+  /** Shared CTE chain (no leading WITH): user CSV + catalog + condenser +
+    * the pipeline's algebraic contrast statistics, ending in `testable` —
+    * one row per surviving contrast with the side stats AND the set
+    * bookkeeping (include, members, catalog biosample universe, nonzero
+    * count) that the full-output oracle needs for status/listing columns.
+    * [[pipelineStatsSql]] and [[pipelineFullSql]] are two suffixes over
+    * this one prefix, so the engines-vs-oracle semantics can't drift
+    * between the stats slice and the full output. */
+  // lazy: referenced by pipelineFullSql, which is declared earlier in the
+  // file — a strict val would interpolate as "null" there (init order)
+  private lazy val pipelineCoreSql: String =
+    s"""catalog AS (
       |  SELECT 'R' || o_orderkey AS run, 'BS' || o_custkey AS bio_sample,
       |         'BP' || (o_custkey % 20) AS bio_project,
       |         o_totalprice AS spots
@@ -275,7 +385,8 @@ object MwasPipelineQueries {
       |  FROM bs_rpm GROUP BY 1, 2
       |  HAVING sum(CASE WHEN rpm <> 0 THEN 1 ELSE 0 END) >= 3),
       |bp_universe AS (
-      |  SELECT bio_project, count(DISTINCT bio_sample) AS n_cat
+      |  SELECT bio_project, count(DISTINCT bio_sample) AS n_cat,
+      |         list_sort(list(DISTINCT bio_sample)) AS all_bs
       |  FROM catalog GROUP BY 1),
       |member AS (
       |  SELECT s.bioproject, s.attributes, s.vals, u.m AS bio_sample
@@ -288,6 +399,7 @@ object MwasPipelineQueries {
       |  GROUP BY 1, 2, 3, 4),
       |contrasts AS (
       |  SELECT s.bioproject, a.grp, s.attributes, s.vals, s.include,
+      |         s.members, a.nonzeros, u.all_bs,
       |         s.n_stored, u.n_cat, a.sum_all, a.sumsq_all,
       |         coalesce(st.sum_stored, 0) AS sum_stored,
       |         coalesce(st.sumsq_stored, 0) AS sumsq_stored
@@ -297,7 +409,8 @@ object MwasPipelineQueries {
       |  LEFT JOIN stored_stats st ON st.bioproject = s.bioproject
       |    AND st.grp = a.grp AND st.attributes = s.attributes AND st.vals = s.vals),
       |sides AS (
-      |  SELECT bioproject, grp, attributes, vals,
+      |  SELECT bioproject, grp, attributes, vals, include, members,
+      |    nonzeros, all_bs,
       |    CAST(CASE WHEN include THEN n_stored ELSE n_cat - n_stored END AS BIGINT) AS num_true,
       |    CAST(CASE WHEN include THEN n_cat - n_stored ELSE n_stored END AS BIGINT) AS num_false,
       |    CASE WHEN include THEN sum_stored ELSE sum_all - sum_stored END AS sum_t,
@@ -306,12 +419,18 @@ object MwasPipelineQueries {
       |    CASE WHEN include THEN sumsq_all - sumsq_stored ELSE sumsq_stored END AS sumsq_f
       |  FROM contrasts),
       |stats AS (
-      |  SELECT bioproject, grp, attributes, vals, num_true, num_false,
+      |  SELECT bioproject, grp, attributes, vals, include, members,
+      |    nonzeros, all_bs, num_true, num_false,
       |    sum_t / num_true AS mean_t, sum_f / num_false AS mean_f,
       |    sqrt(greatest(sumsq_t / num_true - (sum_t / num_true) * (sum_t / num_true), 0)) AS sd_t,
       |    sqrt(greatest(sumsq_f / num_false - (sum_f / num_false) * (sum_f / num_false), 0)) AS sd_f
       |  FROM sides
-      |  WHERE num_true >= 2 AND num_false >= 2)
+      |  WHERE num_true >= 2 AND num_false >= 2),
+      |testable AS (
+      |  SELECT * FROM stats WHERE NOT (mean_t = 0 AND mean_f = 0))""".stripMargin
+
+  val pipelineStatsSql: String =
+    s"""WITH $pipelineCoreSql
       |SELECT bioproject, grp AS "group",
       |  replace(attributes, ',', ' ') AS metadata_field,
       |  replace(vals, ',', ' ') AS metadata_value,
@@ -323,8 +442,7 @@ object MwasPipelineQueries {
       |         THEN (mean_t - mean_f) / sqrt(sd_t*sd_t/num_true + sd_f*sd_f/num_false)
       |         ELSE NULL END
       |  ELSE mean_t - mean_f END AS test_statistic
-      |FROM stats
-      |WHERE NOT (mean_t = 0 AND mean_f = 0)
+      |FROM testable
       |ORDER BY bioproject, "group", metadata_field, metadata_value""".stripMargin
 
   /** The reference's post-processing summary pass
@@ -656,7 +774,7 @@ object MwasPipelineQueries {
       ("stream_mwas", streamMwasQuery _, Some(pipelineTSql)),
       ("mwas_condense", condenseQuery _, Some(condenseSql)),
       ("mwas_pipeline_stats", pipelineStatsQuery _, Some(pipelineStatsSql)),
-      ("mwas_pipeline_full", pipelineQuery _, None),
+      ("mwas_pipeline_full", pipelineQuery _, Some(pipelineFullSql)),
       ("mwas_results_analyze", resultsAnalyzeQuery _,
         Some(resultsAnalyzeSql)),
       ("mwas_set_expand", setExpandQuery _, Some(setExpandSql)),

@@ -93,14 +93,47 @@ object MwasQueries {
       |FROM s ORDER BY bucket""".stripMargin
 
   /** Q23 full — adds the t-CDF p-value and the reference's log2 fold change
-    * sentinels (main/mwas_general.py:325-336). Rows-only check (no SQL t-CDF);
-    * the t/df columns are already oracled by q23. */
+    * sentinels (main/mwas_general.py:325-336). Fully oracled since round 9:
+    * the p-value's DuckDB side is the regularized-incomplete-beta continued
+    * fraction ([[TCdfSql]]) — both engines compute the same special
+    * function independently, agreeing to ≤ 1e-11 absolute on this data. */
   def q23Full(s: SparkSession, dir: String): DataFrame =
     welchContrast(s, dir).select(
       col("bucket"), col("n_t"), col("n_f"),
       col("w.t").as("t"), col("w.df").as("df"), col("w.p").as("p"),
       log2FoldChange(col("m_t"), col("m_f")).as("log2_fc"))
       .orderBy(col("bucket"))
+
+  val q23FullSql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT l_suppkey % 50 AS bucket,
+       |    count(*) FILTER (WHERE l_returnflag = 'R') AS n_t,
+       |    count(*) FILTER (WHERE l_returnflag <> 'R') AS n_f,
+       |    avg(l_quantity) FILTER (WHERE l_returnflag = 'R') AS m_t,
+       |    avg(l_quantity) FILTER (WHERE l_returnflag <> 'R') AS m_f,
+       |    stddev_samp(l_quantity) FILTER (WHERE l_returnflag = 'R') AS s_t,
+       |    stddev_samp(l_quantity) FILTER (WHERE l_returnflag <> 'R') AS s_f
+       |  FROM lineitem GROUP BY 1),
+       |s2 AS (
+       |  -- WelchTTest.compute's guards mirrored: NULL t/df when the pooled
+       |  -- standard error is not strictly positive
+       |  SELECT bucket, n_t, n_f, m_t, m_f,
+       |    CASE WHEN (s_t*s_t/n_t + s_f*s_f/n_f) > 0
+       |         THEN (m_t - m_f) / sqrt(s_t*s_t/n_t + s_f*s_f/n_f) END AS t,
+       |    CASE WHEN (s_t*s_t/n_t + s_f*s_f/n_f) > 0
+       |         THEN pow(s_t*s_t/n_t + s_f*s_f/n_f, 2) /
+       |              (pow(s_t*s_t/n_t, 2)/(n_t-1)
+       |               + pow(s_f*s_f/n_f, 2)/(n_f-1)) END AS df
+       |  FROM s),
+       |tdf_in AS (SELECT bucket, t, df FROM s2),
+       |${TCdfSql.fragment(Seq("bucket"))}
+       |SELECT s2.bucket, s2.n_t, s2.n_f, s2.t, s2.df, tp.p_cf AS p,
+       |  CASE WHEN s2.m_t = 0 AND s2.m_f = 0 THEN CAST(0.0 AS DOUBLE)
+       |       WHEN s2.m_f = 0 THEN CAST('infinity' AS DOUBLE)
+       |       WHEN s2.m_t = 0 THEN CAST('-infinity' AS DOUBLE)
+       |       ELSE log2(s2.m_t/s2.m_f) END AS log2_fc
+       |FROM s2 LEFT JOIN tcdf_p tp USING (bucket)
+       |ORDER BY s2.bucket""".stripMargin
 
   /** Permutation test over small contrast groups (reference routes big
     * groups to permutation with 10k resamples, main/mwas_general.py:404-419;
@@ -125,6 +158,6 @@ object MwasQueries {
     Seq(
       ("q22_mwas_rpm", q22 _, Some(q22Sql)),
       ("q23_welch", q23 _, Some(q23Sql)),
-      ("q23_welch_full", q23Full _, None),
+      ("q23_welch_full", q23Full _, Some(q23FullSql)),
       ("q23_permutation", q23Perm _, None))
 }

@@ -100,8 +100,10 @@ object Bench {
     // query running inside it, and the median follows. Those queries are
     // recognizable against this repo's append-only run history: after the
     // main pass — by which time the window has usually moved on — any
-    // query whose median exceeds 2× its best historical median (floored
-    // at 0.5 s, same criterion as tools.BenchDiff) is re-measured once
+    // query whose median exceeds 2× its best historical median AND by
+    // more than BenchDiff.MinDelta absolute (the same spike criterion
+    // tools.BenchDiff applies after the fact, so every run BenchDiff
+    // would flag got its second chance here first) is re-measured once
     // more and the better of the two medians is kept. A real plan
     // regression reproduces in BOTH passes and keeps its slow number; a
     // window artifact vanishes. No history file → no second chance.
@@ -134,7 +136,8 @@ object Bench {
     val samples = firstPass.map { case (name, ts) =>
       val m1 = median(ts)
       val suspect = !errors.contains(name) &&
-        histBest.get(name).exists(b => m1 > 2.0 * math.max(b, 0.5))
+        histBest.get(name).exists(b =>
+          m1 > 2.0 * b && m1 - b > graft.tools.BenchDiff.MinDelta)
       if (!suspect) name -> ts
       else {
         val ts2 = timeQuery(name, SparkEntry.queries(name))

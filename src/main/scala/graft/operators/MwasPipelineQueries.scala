@@ -708,9 +708,12 @@ object MwasPipelineQueries {
     * bioprojects a batch touches. */
   def streamMwasQuery(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // pid-scoped like StreamingQueries.stageBatches: a fixed name would
+    // let a concurrently-exiting peer JVM delete this dir mid-stream
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_mwas_" + Integer.toHexString(dir.hashCode))
+      "graft_stream_mwas_" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
     graft.core.TempDirs.cleanOnExit(base.toPath)

@@ -36,8 +36,15 @@ object StreamingQueries {
     * staging directory. */
   private[graft] def stageBatches(name: String,
       batches: Seq[DataFrame]): java.io.File = {
+    // per-JVM suffix: with a FIXED name, two concurrent JVMs running the
+    // suite would share one staging dir, and the first to exit would
+    // delete it (cleanOnExit) out from under the peer mid-stream; the
+    // pid scopes both the create-time wipe and the exit-hook delete to
+    // this process. Crash leftovers die at the next same-pid reuse or
+    // tmpdir cleanup — the usual trade for crash-only debris.
     val staging = new java.io.File(
-      System.getProperty("java.io.tmpdir"), name)
+      System.getProperty("java.io.tmpdir"),
+      s"${name}_${ProcessHandle.current().pid()}")
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     staging.mkdirs()
     graft.core.TempDirs.cleanOnExit(staging.toPath)

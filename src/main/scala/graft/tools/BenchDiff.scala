@@ -23,14 +23,20 @@ import scala.util.matching.Regex
   * Flaky detection (r8): Bench tags each second-chance re-measurement in
   * its history line (`"reruns":{name:[m1,m2]}`). A query rerun-healed in
   * ONE round is a host-window artifact; the SAME query needing a rerun
-  * in 2+ same-SF rounds is an intermittent regression the better-of-two
-  * policy would otherwise keep discarding — printed as FLAKY (warning,
-  * not exit-1: the kept medians are real measurements; the flag tells
-  * the builder to look at the raw samples in BENCH_FULL.json).
+  * in 2+ of the trailing [[FlakyWindow]] same-SF rounds is an
+  * intermittent regression the better-of-two policy would otherwise keep
+  * discarding — printed as FLAKY (warning, not exit-1: the kept medians
+  * are real measurements; the flag tells the builder to look at the raw
+  * samples in BENCH_FULL.json). The window is recency-bounded (r9): tags
+  * accumulate in the append-only history forever, so an unwindowed count
+  * would keep branding a long-since-healed query FLAKY indefinitely.
   */
 object BenchDiff {
   /** A spike must clear BOTH a ratio and an absolute delta. */
   val MinDelta = 0.2
+
+  /** Flaky counting looks only at this many trailing same-SF lines. */
+  val FlakyWindow = 5
 
   // value is either a bare number (queries map) or a [m1,m2] pair
   // (reruns map); the alternation keeps `[0-9.]+` from swallowing the
@@ -77,9 +83,10 @@ object BenchDiff {
     }.sortBy { case (_, now, best) => -(now / best) }
   }
 
-  /** Queries rerun-tagged in >= 2 of the given lines. */
+  /** Queries rerun-tagged in >= 2 of the trailing [[FlakyWindow]] lines
+    * (older tags age out, so a healed query stops warning). */
   private[tools] def flaky(lines: Vector[String]): Seq[String] =
-    lines.flatMap(reruns).groupBy(identity)
+    lines.takeRight(FlakyWindow).flatMap(reruns).groupBy(identity)
       .collect { case (n, hits) if hits.size >= 2 => n }.toSeq.sorted
 
   def main(args: Array[String]): Unit = {

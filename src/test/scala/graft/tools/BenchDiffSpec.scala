@@ -55,4 +55,14 @@ class BenchDiffSpec extends AnyFunSuite {
     // "a" healed in two separate rounds -> intermittent; "b" only once
     assert(BenchDiff.flaky(hist) == Seq("a"))
   }
+
+  test("flaky tags age out: 2 rerun rounds older than the window no " +
+      "longer warn") {
+    val ancient = Vector(
+      line("a" -> 0.3)("a" -> "[1.200,0.300]"),
+      line("a" -> 0.3)("a" -> "[0.900,0.300]"))
+    val quiet = Vector.fill(BenchDiff.FlakyWindow)(line("a" -> 0.3)())
+    assert(BenchDiff.flaky(ancient) == Seq("a"))
+    assert(BenchDiff.flaky(ancient ++ quiet).isEmpty)
+  }
 }

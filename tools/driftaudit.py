@@ -44,6 +44,20 @@ def main(sf_dir, out_dir, threshold=1e-6):
             print(f"{name}: ROWCOUNT got={len(got)} exp={len(exp)}")
             flagged += 1
             continue
+        # the row-aligned diff assumes both dumps share a TOTAL,
+        # engine-identical order. Self-check (r9): when the non-float
+        # identity tuple duplicates, that totality can't be verified from
+        # the dump alone (it may still hold via float tiebreakers the
+        # projection dropped — q18 does exactly that), so any drift
+        # reported on such a query is annotated as possible row
+        # MISALIGNMENT instead of being read as real engine divergence
+        ident_cols = [c for c in got.columns if got[c].dtype.kind != "f"]
+        try:
+            ident_dup = bool(got[ident_cols].duplicated().any()) \
+                if ident_cols else True
+        except TypeError:  # unhashable cells (arrays) — stringify
+            ident_dup = bool(
+                got[ident_cols].astype(str).duplicated().any())
         for c in got.columns:
             if c not in exp.columns:
                 continue
@@ -64,8 +78,10 @@ def main(sf_dir, out_dir, threshold=1e-6):
             mx = diff.max()
             if math.isfinite(mx) and mx > threshold:
                 mag = max(gf.abs().max(), 1.0)
+                note = (" [identity non-unique: may be row "
+                        "MISALIGNMENT, not drift]" if ident_dup else "")
                 print(f"{name}.{c}: max|diff|={mx:.3g} "
-                      f"(mag~{mag:.3g}, rel={mx / mag:.3g})")
+                      f"(mag~{mag:.3g}, rel={mx / mag:.3g}){note}")
                 flagged += 1
     print("DRIFT-CLEAN" if flagged == 0
           else f"{flagged} columns above {threshold}")

@@ -17,6 +17,47 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 REL_TOL = 1e-6
 
+# Float columns the QUERY rounds (round(x, n) / grid-exact cents sums) —
+# compared at ulp strictness regardless of how their reprs print: a
+# rounded column's real straddle can legally print with DIFFERING widths
+# on the two engines (869714749.32 vs 869714749.3 — the r7 red row), so
+# width inference must not soften these. Kept static per NOTES_r8's
+# round-site class table; a NEW rounded column should be added here when
+# its query lands (unlisted columns still get the repr inference below).
+ROUNDED_COLS = {
+    "etl_csv_roundtrip": {"total"},
+    "etl_csv_gzip": {"total"},
+    "json_ingest": {"avg_value"},
+    "hash_sample": {"avg_price"},
+    "stratified_sample": {"avg_price"},
+    "catalog_semi": {"total_spots"},
+    "etl_merge_upsert": {"price", "total_price"},
+    "sql_interface": {"revenue"},
+    "bucketed_join": {"revenue"},
+    "q3_join_revenue": {"rev"},
+    "q18_math_case": {"chg"},
+    "q_pivot": {"p1", "p2", "p3", "p4", "p5"},
+    "q_grouping_sets": {"total"},
+    "q_window_extras": {"pr", "cd"},
+    "skew_salted_join": {"weighted"},
+    "orc_roundtrip": {"sum_value"},
+    "jsonl_roundtrip": {"sum_value", "avg_k"},
+    "text_quality": {"avg_word_len", "stopword_ratio", "punct_ratio",
+                     "upper_ratio", "quality"},
+    "text_filter_pipeline": {"quality"},
+    "text_repetition": {"dup_word_frac", "top_word_frac",
+                        "top_bigram_frac"},
+    "text_decontaminate": {"overlap"},
+    "text_chunk_dedup": {"boiler_frac"},
+    "text_tfidf": {"score"},
+    "text_vocab_oov": {"oov_rate"},
+    "mwas_results_analyze": {"sets_per_group", "avg_abs_stat"},
+    "mwas_corpus_stats": {"avg_bytes"},
+    "dedup_embedding_nn": {"cosine"},
+    "ann_cosine_topk": {"cosine"},
+    "emb_centroids": {"dispersion", "centroid_norm"},
+}
+
 
 def short_decimals(f):
     """Fractional digits in the shortest repr of f, or None if f is not a
@@ -70,13 +111,22 @@ def norm_cell(v):
     return v
 
 
-def eq(a, b):
+def eq(a, b, strict=False):
+    """strict=True → the column is KNOWN rounded (ROUNDED_COLS): floats
+    compare at ulp level unconditionally. strict=False → infer from the
+    reprs: same-width short decimals look rounded (ulp compare); anything
+    else — including short reprs of DIFFERING widths, which unrounded
+    values can coincidentally produce (exact quarters, integer-valued
+    doubles) — gets REL_TOL. Known-rounded columns must not rely on the
+    inference because a genuine straddle can print with differing widths
+    (…49.32 vs …49.3, trailing zero dropped)."""
     a, b = norm_cell(a), norm_cell(b)
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
         a, b = list(a), list(b)
-        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+        return len(a) == len(b) and all(eq(x, y, strict)
+                                        for x, y in zip(a, b))
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -84,11 +134,14 @@ def eq(a, b):
             return str(a) == str(b)
         if math.isinf(fa) or math.isinf(fb):
             return fa == fb
-        if short_decimals(fa) is not None and short_decimals(fb) is not None:
-            # both sides are short decimals → the query rounded them:
-            # ulp-level compare, not REL_TOL (a one-cent divergence is
-            # 1e-10 relative on a 1e8 sum — invisible to REL_TOL, fatal
-            # to the driver's hash)
+        if strict:
+            return ulp_eq(fa, fb)
+        sa, sb = short_decimals(fa), short_decimals(fb)
+        if sa is not None and sb is not None and sa == sb:
+            # both sides are same-width short decimals → the query
+            # rounded them: ulp-level compare, not REL_TOL (a one-cent
+            # divergence is 1e-10 relative on a 1e8 sum — invisible to
+            # REL_TOL, fatal to the driver's hash)
             return ulp_eq(fa, fb)
         return abs(fa - fb) <= REL_TOL * max(1.0, abs(fa), abs(fb))
     # timestamps/dates: compare str forms (duckdb vs pyarrow types differ)
@@ -136,10 +189,12 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         bad = []
+        strict_cols = ROUNDED_COLS.get(name, set())
+        strict = [c in strict_cols for c in got2.columns]
         gv, ev = got2.values.tolist(), exp2.values.tolist()
         for i, (gr, er) in enumerate(zip(gv, ev)):
             for j, (g, e) in enumerate(zip(gr, er)):
-                if not eq(g, e):
+                if not eq(g, e, strict[j]):
                     bad.append((i, got2.columns[j], g, e))
         if bad:
             print(f"{name}: VALUE MISMATCH x{len(bad)}, first: row={bad[0]}")

@@ -43,7 +43,11 @@ object BucketQueries {
     * inspect its physical plan).
     *
     * Revenue sums products of two 2-decimal quantities — every addend is
-    * exactly on the 1e-4 grid, so summing in DECIMAL is exact and
+    * exactly on the 1e-4 grid, so the BIGINT grid-units sum
+    * (`cents × (100 − discount·100)`, the long-cents class; switched
+    * from DECIMAL after the r9 A/B measured decimal at 2.0× — see
+    * RelationalQueries.q3 for the value-identity argument and the
+    * per-group 9.2e14-currency-unit overflow bound) is exact and
     * order-independent. Summing in DOUBLE and rounding to 4 is NOT: at
     * sf0.1 the ~6e9 sum carries ulp-level (≈2e-6) order-dependent error,
     * and Spark's and DuckDB's sums landed on adjacent 1e-4 grid points
@@ -54,16 +58,16 @@ object BucketQueries {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1) - col("l_discount").cast("decimal(3,2)")))
-          .cast("double").as("revenue"))
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("double") / 1e4).as("revenue"))
       .orderBy(col("o_orderpriority"))
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |         * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-      |         AS revenue
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS DOUBLE) / 1e4 AS revenue
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

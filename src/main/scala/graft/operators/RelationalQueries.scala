@@ -65,12 +65,20 @@ object RelationalQueries {
     * customer/orders/lineitem shuffle on their join keys and AQE picks
     * broadcast for the surviving small sides at low SF.
     *
-    * `rev` sums exact 1e-4-grid products (2-dec × 2-dec), so the sum is
-    * done in DECIMAL: exact and summation-order-independent on both
-    * engines. The DOUBLE sum drifted ~3e-7 between Spark's partial aggs
-    * and DuckDB at sf0.01 — harmless until it straddles whatever grid
-    * the compare normalizes to (bucketed_join hit exactly that at
-    * sf0.1), so the class is eliminated rather than tolerated. */
+    * `rev` sums exact 1e-4-grid products (2-dec × 2-dec) as BIGINT
+    * units of the grid — `cents × (100 − discount·100)` — exact and
+    * summation-order-independent on both engines, and identical to the
+    * r8 DECIMAL sum it replaces (same mathematical value, same final
+    * double; the r9 A/B measured the decimal agg at 2.0× the long one,
+    * tools/DecimalAb — decimal leaves the codegen long fast path).
+    * The naive DOUBLE sum is neither: it drifted ~3e-7 between Spark's
+    * partial aggs and DuckDB at sf0.01 — harmless until it straddles a
+    * compare grid (bucketed_join hit that at sf0.1). Per-group overflow
+    * bound: addend < 1e9 (price < 1e5 ⇒ cents < 1e7, × 100), so 2⁶³
+    * holds sums to ~9.2e14 currency units per group — at ~100 TB
+    * (≈24e9 lineitem rows per nation, avg price ~3.8e4) the sum is
+    * ~8.6e14: inside the bound, but a 10× further scale-up of GROUP
+    * SIZE needs a decimal fallback or a two-level sum. */
   def q3(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
@@ -80,16 +88,17 @@ object RelationalQueries {
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1) - col("l_discount").cast("decimal(3,2)")))
-        .cast("double").as("rev"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .cast("double") / 1e4).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
   }
 
   val q3Sql: String =
     """SELECT n.n_name,
-      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-      |    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS rev
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |    AS DOUBLE) / 1e4 AS rev
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -429,16 +429,22 @@ object DedupQueries {
       .join(v.select(col("vec_id").as("nn_id"), col("v").as("vb"),
         col("nrm").as("nrmb")), Seq("nn_id"))
       .withColumn("cos", dotNative(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    val perVec = cand.groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_candidates"))
-    val nn = cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))
+    // top-1 + candidate count in ONE hash aggregate: max over a
+    // (cos, -nn_id) struct is the argmax with smallest-id tiebreak
+    // (exactNn's trick). The earlier shape — a row_number window branch
+    // next to a count-agg branch — sorted every candidate group and paid
+    // a second shuffle + join to recombine them (exchange reuse DID
+    // dedup the candidate join itself); the merged agg combines map-side
+    // before its one shuffle (r9 profile: full ann_lsh_bucket median
+    // 7.2 → 5.1 s, tools.LshProfile).
+    val top = cand.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("cos").as("cos"), (-col("nn_id")).as("neg_id")))
+          .as("c"))
+      .select(col("vec_id"), col("n_candidates"),
+        (-col("c.neg_id")).as("nn_id"), round(col("c.cos"), 6).as("cosine"))
     vecs(s, dir).select(col("vec_id"))
-      .join(perVec, Seq("vec_id"), "left_outer")
-      .join(nn, Seq("vec_id"), "left_outer")
+      .join(top, Seq("vec_id"), "left_outer")
       .na.fill(Map("n_candidates" -> 0L))
       .orderBy(col("vec_id"))
   }

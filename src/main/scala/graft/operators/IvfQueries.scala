@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -78,16 +77,17 @@ object IvfQueries {
       .withColumn("cos",
         graft.functions.VectorOps.dot_product(col("v"), col("vb")) /
           (col("nrm") * col("nrmb")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    val nn = cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))
-    val perVec = cand.groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_candidates"))
+    // single-pass argmax + count (see DedupQueries.annLshNn: the
+    // max-struct agg replaces a row_number window that both sorted each
+    // group and recomputed the candidate join for the count branch)
+    val top = cand.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("cos").as("cos"), (-col("nn_id")).as("neg_id")))
+          .as("c"))
+      .select(col("vec_id"), col("n_candidates"),
+        (-col("c.neg_id")).as("nn_id"), round(col("c.cos"), 6).as("cosine"))
     assigned.select(col("vec_id"))
-      .join(perVec, Seq("vec_id"), "left_outer")
-      .join(nn, Seq("vec_id"), "left_outer")
+      .join(top, Seq("vec_id"), "left_outer")
       .na.fill(Map("n_candidates" -> 0L))
       .orderBy(col("vec_id"))
   }

@@ -1,0 +1,123 @@
+// lives in graft.operators.tools to reach the package-private annLshNn;
+// dev tool, not part of the operator surface
+package graft.operators.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ~10× stress fixture + wall-time scaling slopes for the bucketed
+  * dedup/ANN paths (VERDICT r8 item 6: their scale claims rested on
+  * plan shape alone; this records measured slopes vs sf0.1).
+  *
+  * `gen <outDir> [mult]` synthesizes documents/embeddings parquet with
+  * the SAME workload character as the driver's sf0.1 fixture (measured
+  * there, not assumed): text = words drawn from the fixture's own
+  * 31-word vocab to a uniform 44–577 char budget, 20 sources / 5 langs,
+  * ~5% planted near-dup twins (10% word mutation) and ~0.16% exact
+  * dups; embeddings = 64-dim random unit vectors (per-coord sd 1/8,
+  * matching the fixture), uniform labels 0–9. Determinism comes from a
+  * per-row seeded RNG keyed on the row id — no global state, any
+  * partitioning. Builder-side only: writes under /tmp, never a driver
+  * query.
+  *
+  * `measure <dir> [reps]` times the three bucketed operators the
+  * VERDICT names. For the LSH path it times the NN relation BOTH at the
+  * sf0.1 default (16 tables × 5 bits) and at the documented scale
+  * setting (8 bits ≈ +log2(10) to hold bucket occupancy): constant bits
+  * grow candidates linearly with N (superlinear total — expected, and
+  * the reason the nBits lever is documented), scaled bits are the
+  * near-linear path. The full ann_lsh_bucket GATE query is excluded on
+  * purpose: it contains the exact O(N²) sweep as its recall
+  * denominator, which would dominate the measurement with a cost that
+  * is quadratic by design, not a property of the bucketed path.
+  */
+object StressFixture {
+  private case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+  private case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+  private def gen(spark: SparkSession, outDir: String, mult: Int): Unit = {
+    import spark.implicits._
+    val base = "/root/testdata/sf0.1"
+    val vocab = spark.read.parquet(s"$base/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect().sorted
+    val langs = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("lang")).distinct().as[String].collect().sorted
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+
+    val docs = spark.range(nDocs).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val r = new scala.util.Random(id * 2654435761L + 12345)
+        val target = 44 + r.nextInt(534)
+        val words = Iterator.continually(vocab(r.nextInt(vocab.length)))
+          .scanLeft(("", 0)) { case ((_, len), w) => (w, len + w.length + 1) }
+          .drop(1).takeWhile(_._2 <= target).map(_._1).toVector
+        val w0 = if (words.isEmpty) Vector(vocab(0)) else words
+        val text = w0.mkString(" ")
+        val lang = langs(r.nextInt(langs.length))
+        val src = "src" + r.nextInt(20)
+        val d = Doc(id * 2, text, lang, src, text.length.toLong)
+        val roll = r.nextDouble()
+        if (roll < 0.05) {
+          // planted near-dup twin: ~10% of words re-drawn
+          val t2 = w0.map(w => if (r.nextDouble() < 0.1)
+            vocab(r.nextInt(vocab.length)) else w).mkString(" ")
+          Seq(d, Doc(id * 2 + 1, t2, lang, src, t2.length.toLong))
+        } else if (roll < 0.0516) {
+          Seq(d, d.copy(doc_id = id * 2 + 1)) // planted exact dup
+        } else Seq(d)
+      }
+    }.toDF()
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.range(nVecs).as[Long].map { id =>
+      val r = new scala.util.Random(id * 40503L + 99)
+      val v = Array.fill(64)(r.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      Emb(id, v.map(x => (x / nrm).toFloat), (id % 10).toInt)
+    }.toDF()
+    embs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"[stress] wrote $nd docs, $nv vectors to $outDir")
+  }
+
+  private def measure(spark: SparkSession, dir: String, reps: Int): Unit = {
+    def time(tag: String)(mk: => DataFrame): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = ts.sorted.apply(ts.size / 2)
+      println(f"[stress] $tag%-16s median=$med%6.2f s  " +
+        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+    }
+    time("minhash_lsh") (
+      graft.SparkEntry.queries("dedup_minhash_lsh")(spark, dir))
+    time("components") (
+      graft.SparkEntry.queries("dedup_components")(spark, dir))
+    time("lsh_nn_5bit") (graft.operators.DedupQueries.annLshNn(spark, dir))
+    time("lsh_nn_8bit") (
+      graft.operators.DedupQueries.annLshNn(spark, dir, 16, 8))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.toList match {
+      case "gen" :: out :: rest =>
+        gen(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
+      case "measure" :: dir :: rest =>
+        measure(spark, dir, rest.headOption.map(_.toInt).getOrElse(3))
+      case other => sys.error(s"usage: gen <outDir> [mult] | " +
+        s"measure <dir> [reps]; got $other")
+    }
+    spark.stop()
+  }
+}

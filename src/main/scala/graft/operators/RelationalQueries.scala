@@ -313,17 +313,20 @@ object RelationalQueries {
   val q15bSql: String = q15Base.format("INTERSECT")
   val q15cSql: String = q15Base.format("EXCEPT")
 
-  /** Q16 — string functions (SURVEY F6-F8). */
+  /** Q16 — string functions (SURVEY F6-F8). Top-50 on the raw unique
+    * key first, computed columns after — same post-limit projection
+    * discipline as q18 (the fns run on 50 rows, not the table). */
   def q16(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+      .limit(50)
       .select(
         col("c_custkey"),
         upper(substring(col("c_name"), 1, 8)).as("u"),
         length(col("c_name")).cast("long").as("ln"),
         regexp_replace(col("c_mktsegment"), "AUTO", "auto").as("r"),
         concat_ws("-", col("c_name"), col("c_mktsegment")).as("cw"))
-      .orderBy(col("c_custkey"))
-      .limit(50)
 
   val q16Sql: String =
     """SELECT c_custkey, upper(substr(c_name,1,8)) AS u,
@@ -331,9 +334,13 @@ object RelationalQueries {
       | concat_ws('-', c_name, c_mktsegment) AS cw
       |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin
 
-  /** Q17 — date/time functions (SURVEY F10). */
+  /** Q17 — date/time functions (SURVEY F10). Post-limit projection like
+    * q16/q18: the date fns run on the 50 surviving rows. */
   def q17(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+      .limit(50)
       .select(
         col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("y"),
@@ -341,8 +348,6 @@ object RelationalQueries {
         date_add(col("o_orderdate"), 30).cast("timestamp").as("d30"),
         datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
           .cast("long").as("dd"))
-      .orderBy(col("o_orderkey"))
-      .limit(50)
 
   val q17Sql: String =
     """SELECT o_orderkey,
@@ -368,7 +373,15 @@ object RelationalQueries {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), col("l_discount"),
-        col("l_tax"), col("l_quantity"),
+        col("l_tax"), col("l_quantity"))
+      // top-50 BEFORE the computed columns: every sort key is a raw
+      // column, so projecting first would evaluate the decimal product
+      // on every row below the TakeOrderedAndProject (r9 plan audit
+      // caught exactly that); projecting after the limit runs it on 50
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_quantity"))
+      .limit(50)
+      .select(col("l_orderkey"),
         round(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1) - col("l_discount").cast("decimal(3,2)")) *
           (lit(1) + col("l_tax").cast("decimal(3,2)")), 2)
@@ -376,10 +389,6 @@ object RelationalQueries {
         log2(greatest(col("l_quantity"), lit(1.0))).as("lg"),
         abs(col("l_discount") - 0.05).as("ab"),
         when(col("l_quantity") > 30, "big").otherwise("small").as("cls"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        col("l_discount"), col("l_tax"), col("l_quantity"))
-      .limit(50)
-      .select(col("l_orderkey"), col("chg"), col("lg"), col("ab"), col("cls"))
 
   val q18Sql: String =
     """SELECT l_orderkey,

@@ -98,6 +98,10 @@ object StressFixture {
     }
     time("minhash_lsh") (
       graft.SparkEntry.queries("dedup_minhash_lsh")(spark, dir))
+    time("simhash") (
+      graft.SparkEntry.queries("dedup_simhash")(spark, dir))
+    time("jaccard_pairs") (
+      graft.SparkEntry.queries("dedup_jaccard_pairs")(spark, dir))
     time("components") (
       graft.SparkEntry.queries("dedup_components")(spark, dir))
     time("lsh_nn_5bit") (graft.operators.DedupQueries.annLshNn(spark, dir))

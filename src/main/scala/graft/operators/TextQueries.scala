@@ -627,8 +627,79 @@ object TextQueries {
       |       min(doc_id) AS first_doc
       |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- T11: PII-style scrubbing
+
+  /** Redaction — the scrub pass every training-data pipeline runs before
+    * anything else ships: emails → `<EMAIL>`, URLs → `<URL>`, long digit
+    * runs (≥6) → `<NUM>`, with per-category counts. The fixture corpus is
+    * plain prose, so the PII surface is synthesized deterministically from
+    * `doc_id` (one email per doc + a second for every third doc, one URL,
+    * one 6–10 digit run) — the operator then does real work on every row
+    * and the oracle verifies both engines' regex semantics end to end.
+    *
+    * Passes apply email → URL → digits, and each category is counted on
+    * the text AS THAT PASS SEES IT (email on raw, URL post-email, digits
+    * post-URL): later patterns can overlap earlier matches' spans (a URL
+    * path or email local-part can carry a ≥6-digit run at large doc_id),
+    * and sequential counting keeps the count = exactly what the replace
+    * rewrote, at any scale. Pure per-row codegen'd regex — no shuffle
+    * except the output order; the regex subset (char classes, `{n,}`,
+    * alternation-free) behaves identically in Java regex and RE2. */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^\\s]+"
+    val numRe = "[0-9]{6,}"
+    docs(s, dir)
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" cc admin"), col("doc_id"), lit("@mail.org")))
+          .otherwise(lit("")),
+        lit(" via https://site"), col("doc_id"), lit(".example/p"),
+        col("doc_id"),
+        lit(" ref "), expr("repeat('7', CAST(6 + doc_id % 5 AS INT))"),
+        lit(" end")).as("raw"))
+      .withColumn("s1", regexp_replace(col("raw"), emailRe, "<EMAIL>"))
+      .withColumn("s2", regexp_replace(col("s1"), urlRe, "<URL>"))
+      .select(col("doc_id"),
+        regexp_replace(col("s2"), numRe, "<NUM>").as("scrubbed"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("s1"), lit(urlRe)).cast("long").as("n_urls"),
+        regexp_count(col("s2"), lit(numRe)).cast("long").as("n_longnums"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textScrubSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id || '@example.com' ||
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN ' cc admin' || doc_id || '@mail.org' ELSE '' END ||
+      |         ' via https://site' || doc_id || '.example/p' || doc_id ||
+      |         ' ref ' || repeat('7', CAST(6 + doc_id % 5 AS INT)) ||
+      |         ' end' AS raw
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, raw,
+      |         regexp_replace(raw,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |           '<EMAIL>', 'g') AS s1 FROM raw),
+      |p2 AS (SELECT *, regexp_replace(s1, 'https?://[^\s]+', '<URL>', 'g')
+      |         AS s2 FROM p1)
+      |SELECT doc_id,
+      |  regexp_replace(s2, '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(s1, 'https?://[^\s]+')) AS BIGINT)
+      |    AS n_urls,
+      |  CAST(len(regexp_extract_all(s2, '[0-9]{6,}')) AS BIGINT)
+      |    AS n_longnums
+      |FROM p2 ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
+      ("text_scrub", textScrub _, Some(textScrubSql)),
       ("text_tokens", textTokens _, Some(textTokensSql)),
       ("text_chunk_dedup", textChunkDedup _, Some(textChunkDedupSql)),
       ("text_tfidf", textTfidf _, Some(textTfidfSql)),

@@ -36,7 +36,8 @@ object StressFixture {
       source: String, n_chars: Long)
   private case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
 
-  private def gen(spark: SparkSession, outDir: String, mult: Int): Unit = {
+  private def gen(spark: SparkSession, outDir: String, mult: Int,
+      vocabMult: Int): Unit = {
     import spark.implicits._
     val base = "/root/testdata/sf0.1"
     val vocab = spark.read.parquet(s"$base/documents.parquet")
@@ -47,11 +48,24 @@ object StressFixture {
     val nDocs = 5000L * mult
     val nVecs = 2000L * mult
 
+    // vocabMult > 1 widens the vocabulary to ~31×vocabMult by suffixing
+    // each draw; the squared-uniform suffix keeps a mild Zipf-like skew
+    // (low suffixes are hubs, high ones rare) instead of a flat df —
+    // the shape prefix-filtered similarity joins face on real corpora
+    def draw(r: scala.util.Random): String = {
+      val base = vocab(r.nextInt(vocab.length))
+      if (vocabMult <= 1) base
+      else {
+        val u = r.nextDouble()
+        base + "_" + (u * u * vocabMult).toInt
+      }
+    }
+
     val docs = spark.range(nDocs).as[Long].mapPartitions { it =>
       it.flatMap { id =>
         val r = new scala.util.Random(id * 2654435761L + 12345)
         val target = 44 + r.nextInt(534)
-        val words = Iterator.continually(vocab(r.nextInt(vocab.length)))
+        val words = Iterator.continually(draw(r))
           .scanLeft(("", 0)) { case ((_, len), w) => (w, len + w.length + 1) }
           .drop(1).takeWhile(_._2 <= target).map(_._1).toVector
         val w0 = if (words.isEmpty) Vector(vocab(0)) else words
@@ -62,8 +76,8 @@ object StressFixture {
         val roll = r.nextDouble()
         if (roll < 0.05) {
           // planted near-dup twin: ~10% of words re-drawn
-          val t2 = w0.map(w => if (r.nextDouble() < 0.1)
-            vocab(r.nextInt(vocab.length)) else w).mkString(" ")
+          val t2 = w0.map(w => if (r.nextDouble() < 0.1) draw(r) else w)
+            .mkString(" ")
           Seq(d, Doc(id * 2 + 1, t2, lang, src, t2.length.toLong))
         } else if (roll < 0.0516) {
           Seq(d, d.copy(doc_id = id * 2 + 1)) // planted exact dup
@@ -116,10 +130,11 @@ object StressFixture {
     spark.sparkContext.setLogLevel("ERROR")
     args.toList match {
       case "gen" :: out :: rest =>
-        gen(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
+        gen(spark, out, rest.headOption.map(_.toInt).getOrElse(10),
+          rest.drop(1).headOption.map(_.toInt).getOrElse(1))
       case "measure" :: dir :: rest =>
         measure(spark, dir, rest.headOption.map(_.toInt).getOrElse(3))
-      case other => sys.error(s"usage: gen <outDir> [mult] | " +
+      case other => sys.error(s"usage: gen <outDir> [mult] [vocabMult] | " +
         s"measure <dir> [reps]; got $other")
     }
     spark.stop()

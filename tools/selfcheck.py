@@ -53,6 +53,8 @@ ROUNDED_COLS = {
     "text_vocab_oov": {"oov_rate"},
     "mwas_results_analyze": {"sets_per_group", "avg_abs_stat"},
     "mwas_corpus_stats": {"avg_bytes"},
+    "stream_sessions": {"sum_value"},
+    "stream_running_stats": {"sum_value", "max_value"},
     "dedup_embedding_nn": {"cosine"},
     "ann_cosine_topk": {"cosine"},
     "emb_centroids": {"dispersion", "centroid_norm"},

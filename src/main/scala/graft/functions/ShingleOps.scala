@@ -85,11 +85,15 @@ object NgramHashes {
   def compute(words: ArrayData, n: Int): ArrayData = {
     val nw = words.numElements()
     if (nw < n) return EmptyLongs
+    // null elements are SKIPPED, exactly like the concat_ws(" ", ...) the
+    // scaladoc declares value-identity with (concat_ws drops nulls — no
+    // separator either); split() never produces nulls, so this is
+    // contract-keeping, not a live path
     val wb = new Array[Array[Byte]](nw)
     var i = 0
     while (i < nw) {
       val s = words.getUTF8String(i)
-      wb(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      wb(i) = if (s == null) null else s.getBytes
       i += 1
     }
     val nGrams = nw - n + 1
@@ -97,17 +101,27 @@ object NgramHashes {
     var buf = new Array[Byte](128)
     var g = 0
     while (g < nGrams) {
-      var len = n - 1 // single-space separators
+      var len = 0
+      var present = 0
       var j = 0
-      while (j < n) { len += wb(g + j).length; j += 1 }
+      while (j < n) {
+        val w = wb(g + j)
+        if (w != null) { len += w.length; present += 1 }
+        j += 1
+      }
+      len += math.max(present - 1, 0) // single-space separators
       if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
       var off = 0
+      var firstDone = false // off > 0 would miss a leading EMPTY word
       j = 0
       while (j < n) {
-        if (j > 0) { buf(off) = ' '.toByte; off += 1 }
         val w = wb(g + j)
-        System.arraycopy(w, 0, buf, off, w.length)
-        off += w.length
+        if (w != null) {
+          if (firstDone) { buf(off) = ' '.toByte; off += 1 }
+          System.arraycopy(w, 0, buf, off, w.length)
+          off += w.length
+          firstDone = true
+        }
         j += 1
       }
       hashes(g) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)

@@ -70,7 +70,20 @@ object WelchTTest {
     val v1 = s1 * s1 / n1
     val v2 = s2 * s2 / n2
     val se2 = v1 + v2
-    if (se2 <= 0 || se2.isNaN) return None
+    if (se2.isNaN) return None
+    if (se2 == 0) {
+      // scipy ttest_ind_from_stats with BOTH variances zero (the exact
+      // call the reference makes, mwas_general.py:410-412): the nan
+      // Welch–Satterthwaite df is explicitly replaced by 1 in scipy's
+      // _unequal_var_ttest_denom, the statistic is ±inf from the
+      // divide-by-zero (nan when the means agree), and p = sf(inf)·2 = 0
+      // — a constant-vs-constant difference is decisively significant.
+      // Returning None here (the pre-r9 behavior) silently dropped such
+      // contrasts from the significant set.
+      return if (m1 == m2) Some((Double.NaN, 1.0, Double.NaN))
+      else Some((if (m1 > m2) Double.PositiveInfinity
+                 else Double.NegativeInfinity, 1.0, 0.0))
+    }
     val t = (m1 - m2) / math.sqrt(se2)
     val df = se2 * se2 / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1))
     if (df.isNaN || df <= 0) return None

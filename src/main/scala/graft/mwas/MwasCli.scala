@@ -2,7 +2,6 @@ package graft.mwas
 
 import org.apache.spark.sql.SparkSession
 
-import graft.etl.MetadataCondenser
 import graft.sources.CsvIo
 
 /** CLI entry point — the swap-in for `python mwas_general.py input.csv`
@@ -47,28 +46,11 @@ object MwasCli {
       "usage: MwasCli <input.csv> <catalog.parquet> <metadata> <outDir> [flags]")
     val Array(inputCsv, catalogPath, metadataPath, outDir) = args.take(4)
     val flags = args.drop(4).toSet
-    val pThreshold = flags.collectFirst {
-      case f if f.startsWith("--p-threshold=") =>
-        f.stripPrefix("--p-threshold=").toDouble
-    }.getOrElse(0.005)
-    val cfg = MwasConfig(
-      pValueThreshold = pThreshold,
-      onlyTTest = flags.contains("--only-t-test"),
-      alreadyNormalized = flags.contains("--already-normalized"))
+    val cfg = MwasIntake.flagsToConfig(flags)
 
     val input = CsvIo.readUserInput(spark, inputCsv)
     val catalog = spark.read.parquet(catalogPath)
-    val metadata = spark.read.parquet(metadataPath)
-    import org.apache.spark.sql.functions.{col, to_json, xxhash64}
-    val sets =
-      if (metadata.columns.contains("members")) {
-        // pre-condensed; older exports may lack the set_id — re-derive it
-        // with the condenser's own formula
-        if (metadata.columns.contains("set_id")) metadata
-        else metadata.withColumn("set_id",
-          xxhash64(col("bioproject"), to_json(col("members")),
-            col("include")))
-      } else MetadataCondenser.condense(metadata)
+    val sets = MwasIntake.toSets(spark.read.parquet(metadataPath))
 
     val out = Pipeline.run(input, catalog, sets, cfg).persist()
     Pipeline.writePerBioproject(out, s"$outDir/per_bioproject")

@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, struct, to_json, xxhash64}
+import org.apache.spark.sql.functions.{col, struct, to_json}
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 /** S11 completion — the reference's remote entry point
@@ -47,13 +47,7 @@ object MwasServer {
           .collect { case kv if kv.startsWith("flag=") =>
             java.net.URLDecoder.decode(kv.stripPrefix("flag="), "UTF-8") }
           .toSet
-        val cfg = MwasConfig(
-          pValueThreshold = flags.collectFirst {
-            case f if f.startsWith("--p-threshold=") =>
-              f.stripPrefix("--p-threshold=").toDouble
-          }.getOrElse(0.005),
-          onlyTTest = flags.contains("--only-t-test"),
-          alreadyNormalized = flags.contains("--already-normalized"))
+        val cfg = MwasIntake.flagsToConfig(flags)
 
         import spark.implicits._
         // FAILFAST: a malformed body must be a 500, not a silent
@@ -109,16 +103,7 @@ object MwasServer {
       .appName("mwas-server")
       .getOrCreate()
     val catalog = spark.read.parquet(args(0))
-    val metadataDf = spark.read.parquet(args(1))
-    // same metadata intake as MwasCli.run: pre-condensed (with set_id
-    // re-derived for older exports) or long-form condensed on the fly
-    val sets =
-      if (metadataDf.columns.contains("members")) {
-        if (metadataDf.columns.contains("set_id")) metadataDf
-        else metadataDf.withColumn("set_id",
-          xxhash64(col("bioproject"), to_json(col("members")),
-            col("include")))
-      } else graft.etl.MetadataCondenser.condense(metadataDf)
+    val sets = MwasIntake.toSets(spark.read.parquet(args(1)))
     val server = start(spark, catalog, sets, port)
     println(s"[mwas-server] listening on ${server.getAddress}")
     Thread.currentThread.join()

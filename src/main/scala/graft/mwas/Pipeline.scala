@@ -98,9 +98,21 @@ object Pipeline {
       .groupBy(col("bio_project"), col("group"), col("bio_sample"))
       .agg(avg(col("rpm")).as("rpm"))
 
-    // group acceptance: >= K nonzero biosamples (A4 :485-491). Totals ONLY —
-    // sums/counts are map-side combinable and bounded no matter how
-    // pathological one bioproject is; no collect_list at this grain.
+    // group acceptance (A4 :485-491): the reference counts PROVIDED
+    // run-level rows — `group_subset['quantifier'].count()` after the
+    // outer-merge fillna, i.e. every input row of the group — NOT
+    // nonzero biosample means (the variable's "NONZEROS" name describes
+    // the implicit-zeros data model, where provided rows are the nonzero
+    // hits, not the formula; r9 review finding). A 4-run 2-biosample
+    // group passes the reference's >= 3 and must pass here too. Counted
+    // at run grain on the same keys as the group totals; `nonzeros`
+    // (biosample grain) stays as the permutation collect-cap bound.
+    val providedCounts = normalized
+      .filter(col("group").isNotNull)
+      .groupBy(col("bio_project"), col("group"))
+      .agg(count(lit(1)).as("n_provided"))
+    // Totals ONLY — sums/counts are map-side combinable and bounded no
+    // matter how pathological one bioproject is; no collect_list here.
     val groupStats = bsRpm
       .groupBy(col("bio_project"), col("group"))
       .agg(
@@ -108,7 +120,8 @@ object Pipeline {
         sum(col("rpm")).as("sum_all"),
         sum(col("rpm") * col("rpm")).as("sumsq_all"),
         count(lit(1)).as("n_observed"))
-      .filter(col("nonzeros") >= cfg.groupNonzerosThreshold)
+      .join(providedCounts, Seq("bio_project", "group"))
+      .filter(col("n_provided") >= cfg.groupNonzerosThreshold)
       .withColumn("perm_capped", col("nonzeros") > cfg.permCollectCap)
 
     // Raw values are needed ONLY by the permutation kernel, only for groups
@@ -119,8 +132,23 @@ object Pipeline {
     // <= permCollectCap elements BY CONSTRUCTION (the semi join admits only
     // groups whose nonzero count was counted above and passed the cap).
     val needVals = !cfg.onlyTTest && !cfg.statClosedForm
+    // biosample universe per bioproject (for implicit zeros + listings);
+    // also the value-collection gate below
+    val bpUniverse = catalog
+      .groupBy(col("bio_project"))
+      .agg(sort_array(collect_set(col("bio_sample"))).as("all_biosamples"))
+      .withColumn("n_biosamples_cat", size(col("all_biosamples")))
+    // skip value collection for bioprojects whose pooled universe exceeds
+    // permMaxPooled: every contrast there satisfies num_true + num_false
+    // = n_biosamples_cat > permMaxPooled and routes to Welch, so the
+    // collect_list would be paid and never read (r9 review) — at scale
+    // the oversized bioprojects are exactly the expensive ones
     val permKeys = groupStats
       .filter(!col("perm_capped"))
+      .join(bpUniverse
+          .filter(col("n_biosamples_cat") <= cfg.permMaxPooled)
+          .select(col("bio_project")),
+        Seq("bio_project"), "left_semi")
       .select(col("bio_project"), col("group"))
     // ONE relation feeds both value collections (group-level all_vals and
     // stored-side stored_vals): building it twice made the plan re-derive
@@ -139,12 +167,6 @@ object Pipeline {
           .agg(sort_array(collect_list(col("rpm"))).as("all_vals")),
           Seq("bio_project", "group"), "left_outer")
         .withColumn("all_vals", coalesce(col("all_vals"), emptyVals))
-
-    // biosample universe per bioproject (for implicit zeros + listings)
-    val bpUniverse = catalog
-      .groupBy(col("bio_project"))
-      .agg(sort_array(collect_set(col("bio_sample"))).as("all_biosamples"))
-      .withColumn("n_biosamples_cat", size(col("all_biosamples")))
 
     // ---- stage 3: contrast statistics, zeros kept virtual ----------------
     // observed rows joined to STORED-side membership only; the other side's
@@ -252,23 +274,29 @@ object Pipeline {
           when(col("is_t_test"), lit(null).cast("long")).otherwise(
             xxhash64(col("stored_vals"), col("all_vals"), col("include"),
               col("num_true"), col("num_false"))))
+        // the hash leads the join key for cheap shuffle/equality, but the
+        // REAL inputs ride along: a 64-bit collision is even odds around
+        // 4e9 distinct tests (birthday bound) — at the 100 TB target that
+        // is not ignorable, and a collision would silently hand one
+        // contrast another's p (r9 review)
+        val memoCols = Seq("memo_key", "stored_vals", "all_vals",
+          "include", "num_true", "num_false")
         // early-stop bound: 20× the significance threshold — tests that are
         // decisively insignificant settle at the 1000-resample checkpoint;
         // anything near or under the threshold runs the full budget
         val permUdf = Pipeline.permPaddedUdf(cfg.permResamples,
           earlyStopAbove = 20.0 * cfg.pValueThreshold)
         val permResults = keyed.filter(!col("is_t_test"))
-          .select(col("memo_key"), col("stored_vals"), col("all_vals"),
-            col("include"), col("num_true"), col("num_false"))
-          .dropDuplicates("memo_key")
-          .select(col("memo_key"), permUdf(col("stored_vals"),
-            col("all_vals"), col("include"), col("num_true"),
-            col("num_false")).as("perm"))
-        // plain equi-join back on the memo key (AQE broadcasts when small;
-        // at scale the distinct-inputs relation can be large, so don't
-        // force it)
+          .select(memoCols.map(col): _*)
+          .dropDuplicates(memoCols)
+          .select(col("memo_key") +: memoCols.drop(1).map(col) :+
+            permUdf(col("stored_vals"), col("all_vals"), col("include"),
+              col("num_true"), col("num_false")).as("perm"): _*)
+        // plain equi-join back on the full memo tuple (AQE broadcasts
+        // when small; at scale the distinct-inputs relation can be large,
+        // so don't force it)
         keyed
-          .join(permResults, Seq("memo_key"), "left_outer")
+          .join(permResults, memoCols, "left_outer")
           .withColumn("test_statistic",
             when(col("is_t_test"), col("w.t")).otherwise(col("perm.stat")))
           .withColumn("p_value",
@@ -283,7 +311,13 @@ object Pipeline {
       .withColumn("fold_change",
         log2FoldChange(col("mean_rpm_true"), col("mean_rpm_false")))
 
-    val significant = col("p_value") < cfg.pValueThreshold
+    // coalesce to false: a null p (stat-only permutation mode) must read
+    // as NOT significant — the reference's `p < threshold` is False for
+    // its nan/empty cases, giving no suffix and EMPTY listings
+    // (mwas_general.py:426-434); Kleene null would skip the
+    // `when(!significant, "")` arm below and leak populated listings
+    val significant =
+      coalesce(col("p_value") < cfg.pValueThreshold, lit(false))
     val trueMembers = when(col("include"), col("members"))
       .otherwise(array_except(col("all_biosamples"), col("members")))
     val falseMembers = when(col("include"),

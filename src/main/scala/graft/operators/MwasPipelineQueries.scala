@@ -215,9 +215,11 @@ object MwasPipelineQueries {
     * Pipeline.run's `isTTest`), Welch t/df with WelchTTest.compute's
     * guards, the continued-fraction t-CDF for p on Welch rows, and the
     * status/listing assembly mirroring Pipeline.run's output stage
-    * (reference main/mwas_general.py:424-434) cell for cell — including
-    * the null-p quirk: `when(!significant, "")` SKIPS on null p, so a
-    * Welch row with a null statistic still lists its biosamples. */
+    * (reference main/mwas_general.py:424-434) cell for cell. Null or nan
+    * p reads as NOT significant (empty listings, no suffix) on both
+    * sides — the r9 review retired the earlier quirk where a null p
+    * leaked populated listings; zero-variance Welch rows mirror scipy
+    * (t = ±inf, p = 0, significant — or nan/nan when the means agree). */
   val pipelineFullSql: String = {
     val keys = Seq("bioproject", "grp", "attributes", "vals")
     s"""WITH RECURSIVE $pipelineCoreSql,
@@ -236,14 +238,25 @@ object MwasPipelineQueries {
       |  FROM routed WHERE is_t),
       |${TCdfSql.fragment(keys)},
       |fullout AS (
-      |  SELECT r.*, ti.t AS welch_t, tp.p_cf,
-      |    CASE WHEN r.is_t THEN ti.t ELSE r.mean_t - r.mean_f END
-      |      AS test_statistic,
+      |  SELECT r.*,
+      |    -- zero-variance-both-sides Welch rows mirror scipy (df pinned
+      |    -- to 1, t = +-inf, p = 0 when the means differ; nan when they
+      |    -- agree) -- the CF fragment only sees finite-t rows
+      |    CASE WHEN r.se2 > 0 THEN tp.p_cf
+      |         WHEN r.mean_t <> r.mean_f THEN CAST(0.0 AS DOUBLE)
+      |         ELSE CAST('nan' AS DOUBLE) END AS p_cf,
+      |    CASE WHEN NOT r.is_t THEN r.mean_t - r.mean_f
+      |         WHEN r.se2 > 0 THEN ti.t
+      |         WHEN r.mean_t > r.mean_f THEN CAST('infinity' AS DOUBLE)
+      |         WHEN r.mean_t < r.mean_f THEN CAST('-infinity' AS DOUBLE)
+      |         ELSE CAST('nan' AS DOUBLE) END AS test_statistic,
       |    CASE WHEN r.mean_t = 0 AND r.mean_f = 0 THEN CAST(0.0 AS DOUBLE)
       |         WHEN r.mean_f = 0 THEN CAST('infinity' AS DOUBLE)
       |         WHEN r.mean_t = 0 THEN CAST('-infinity' AS DOUBLE)
       |         ELSE log2(r.mean_t/r.mean_f) END AS fold_change,
-      |    coalesce(tp.p_cf < 0.005, false) AS significant
+      |    coalesce(CASE WHEN r.se2 > 0 THEN tp.p_cf
+      |                  WHEN r.mean_t <> r.mean_f THEN CAST(0.0 AS DOUBLE)
+      |             END < 0.005, false) AS significant
       |  FROM routed r
       |  LEFT JOIN tdf_in ti USING (${keys.mkString(", ")})
       |  LEFT JOIN tcdf_p tp USING (${keys.mkString(", ")}))
@@ -261,14 +274,14 @@ object MwasPipelineQueries {
       |  fold_change, test_statistic,
       |  CASE WHEN is_t THEN p_cf END AS p_value,
       |  CASE WHEN NOT is_t THEN NULL
-      |       WHEN p_cf IS NOT NULL AND p_cf >= 0.005 THEN ''
+      |       WHEN NOT significant THEN ''
       |       WHEN num_true < 1000 THEN array_to_string(
       |         CASE WHEN include THEN members
       |              ELSE list_filter(all_bs,
       |                     m -> NOT list_contains(members, m)) END, '; ')
       |       ELSE 'too many biosamples to list' END AS true_biosamples,
       |  CASE WHEN NOT is_t THEN NULL
-      |       WHEN p_cf IS NOT NULL AND p_cf >= 0.005 THEN ''
+      |       WHEN NOT significant THEN ''
       |       WHEN num_false < 1000 THEN array_to_string(
       |         CASE WHEN include THEN list_filter(all_bs,
       |                     m -> NOT list_contains(members, m))
@@ -378,12 +391,18 @@ object MwasPipelineQueries {
       |         avg(i.quantifier / (CASE WHEN c.spots = 0 THEN 1e6 ELSE c.spots END) * 1e6) AS rpm
       |  FROM catalog c JOIN input i ON c.run = i.run
       |  GROUP BY 1, 2, 3),
+      |provided AS (
+      |  SELECT c.bio_project, i.grp, count(*) AS n_provided
+      |  FROM catalog c JOIN input i ON c.run = i.run
+      |  GROUP BY 1, 2),
       |accepted AS (
-      |  SELECT bio_project, grp,
+      |  SELECT b.bio_project, b.grp,
       |         sum(CASE WHEN rpm <> 0 THEN 1 ELSE 0 END) AS nonzeros,
       |         sum(rpm) AS sum_all, sum(rpm * rpm) AS sumsq_all
-      |  FROM bs_rpm GROUP BY 1, 2
-      |  HAVING sum(CASE WHEN rpm <> 0 THEN 1 ELSE 0 END) >= 3),
+      |  FROM bs_rpm b JOIN provided p
+      |    ON b.bio_project = p.bio_project AND b.grp = p.grp
+      |  GROUP BY 1, 2, p.n_provided
+      |  HAVING p.n_provided >= 3),
       |bp_universe AS (
       |  SELECT bio_project, count(DISTINCT bio_sample) AS n_cat,
       |         list_sort(list(DISTINCT bio_sample)) AS all_bs

@@ -115,19 +115,33 @@ object MwasQueries {
        |    stddev_samp(l_quantity) FILTER (WHERE l_returnflag <> 'R') AS s_f
        |  FROM lineitem GROUP BY 1),
        |s2 AS (
-       |  -- WelchTTest.compute's guards mirrored: NULL t/df when the pooled
-       |  -- standard error is not strictly positive
+       |  -- WelchTTest.compute mirrored, including the r9 zero-variance
+       |  -- semantics (scipy: df pinned to 1, t = +-inf, p = 0 when the
+       |  -- means differ; nan when they agree); NULL sd (a side with < 2
+       |  -- rows) still yields NULL t/df like compute's null inputs
        |  SELECT bucket, n_t, n_f, m_t, m_f,
        |    CASE WHEN (s_t*s_t/n_t + s_f*s_f/n_f) > 0
-       |         THEN (m_t - m_f) / sqrt(s_t*s_t/n_t + s_f*s_f/n_f) END AS t,
+       |         THEN (m_t - m_f) / sqrt(s_t*s_t/n_t + s_f*s_f/n_f)
+       |         WHEN (s_t*s_t/n_t + s_f*s_f/n_f) = 0 AND m_t > m_f
+       |         THEN CAST('infinity' AS DOUBLE)
+       |         WHEN (s_t*s_t/n_t + s_f*s_f/n_f) = 0 AND m_t < m_f
+       |         THEN CAST('-infinity' AS DOUBLE)
+       |         WHEN (s_t*s_t/n_t + s_f*s_f/n_f) = 0
+       |         THEN CAST('nan' AS DOUBLE) END AS t,
        |    CASE WHEN (s_t*s_t/n_t + s_f*s_f/n_f) > 0
        |         THEN pow(s_t*s_t/n_t + s_f*s_f/n_f, 2) /
        |              (pow(s_t*s_t/n_t, 2)/(n_t-1)
-       |               + pow(s_f*s_f/n_f, 2)/(n_f-1)) END AS df
+       |               + pow(s_f*s_f/n_f, 2)/(n_f-1))
+       |         WHEN (s_t*s_t/n_t + s_f*s_f/n_f) = 0
+       |         THEN CAST(1.0 AS DOUBLE) END AS df
        |  FROM s),
-       |tdf_in AS (SELECT bucket, t, df FROM s2),
+       |tdf_in AS (
+       |  SELECT bucket, CASE WHEN isfinite(t) THEN t END AS t, df FROM s2),
        |${TCdfSql.fragment(Seq("bucket"))}
-       |SELECT s2.bucket, s2.n_t, s2.n_f, s2.t, s2.df, tp.p_cf AS p,
+       |SELECT s2.bucket, s2.n_t, s2.n_f, s2.t, s2.df,
+       |  CASE WHEN isinf(s2.t) THEN CAST(0.0 AS DOUBLE)
+       |       WHEN isnan(s2.t) THEN CAST('nan' AS DOUBLE)
+       |       ELSE tp.p_cf END AS p,
        |  CASE WHEN s2.m_t = 0 AND s2.m_f = 0 THEN CAST(0.0 AS DOUBLE)
        |       WHEN s2.m_f = 0 THEN CAST('infinity' AS DOUBLE)
        |       WHEN s2.m_t = 0 THEN CAST('-infinity' AS DOUBLE)

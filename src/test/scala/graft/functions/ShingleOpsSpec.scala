@@ -76,6 +76,30 @@ class ShingleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("null array ELEMENTS are skipped exactly like concat_ws (r9: a " +
+      "null used to hash as an empty word WITH its separator)") {
+    import spark.implicits._
+    // arrays with null/empty elements: split() never produces these, but
+    // the declared contract is value-identity with the concat_ws chain,
+    // which drops nulls (no separator) yet KEEPS empty strings (joined)
+    val df = Seq(
+      (1, Seq[String]("a", null, "b")),
+      (2, Seq[String](null, "a", "b")),
+      (3, Seq[String]("", "a", "b")), // leading EMPTY word keeps its join
+      (4, Seq[String](null, null, null))).toDF("id", "words")
+    val expected = df
+      .select(col("id"), xxhash64(concat_ws(" ",
+        element_at(col("words"), 1), element_at(col("words"), 2),
+        element_at(col("words"), 3))).as("h"))
+      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    df.select(col("id"), ShingleOps.ngram_hashes(col("words"), 3).as("hs"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1) == expected(r.getInt(0)),
+          s"id=${r.getInt(0)} null-element drift")
+      }
+  }
+
   test("ngram_hashes is non-null for null and short inputs") {
     import spark.implicits._
     val df = Seq(Some("one two"), None).toDF("text")

@@ -30,9 +30,20 @@ class StatKernelSpec extends AnyFunSuite {
     }
   }
 
-  test("welch_t guards degenerate inputs") {
+  test("welch_t guards degenerate inputs; zero variance mirrors scipy") {
     assert(WelchTTest.compute(1.0, 0.0, 1, 2.0, 1.0, 5).isEmpty) // n1 < 2
-    assert(WelchTTest.compute(1.0, 0.0, 5, 2.0, 0.0, 5).isEmpty) // zero var
+    // both variances zero: scipy's ttest_ind_from_stats pins the nan
+    // Welch–Satterthwaite df to 1 and divides by the zero standard error
+    // — ±inf and p = 0 when the means differ, nan/nan when they agree
+    // (r9: the earlier None here silently dropped decisively-significant
+    // constant-vs-constant contrasts)
+    assert(WelchTTest.compute(1.0, 0.0, 5, 2.0, 0.0, 5)
+      .contains((Double.NegativeInfinity, 1.0, 0.0)))
+    assert(WelchTTest.compute(2.0, 0.0, 5, 1.0, 0.0, 5)
+      .contains((Double.PositiveInfinity, 1.0, 0.0)))
+    val Some((tEq, dfEq, pEq)) = WelchTTest.compute(2.0, 0.0, 5, 2.0, 0.0, 5)
+      : @unchecked
+    assert(tEq.isNaN && dfEq == 1.0 && pEq.isNaN)
   }
 
   /** Brute-force permutation oracle: independent enumeration via bitmasks. */

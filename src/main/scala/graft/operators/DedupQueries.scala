@@ -152,7 +152,13 @@ object DedupQueries {
     * 200+ s at sf0.1 vs seconds for this shape. (Seeded re-hash of the
     * 8-byte base hash, not arithmetic mixing — ANSI mode, on by default in
     * Spark 4, rejects the wrapping long multiply a*h+b needs.) */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unordered MinHash-LSH verified pair relation — shared by
+    * [[dedupMinhashLsh]] (the pair query) and [[dedupCanonical]] (which
+    * contracts it to clusters). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // sh is already the per-doc distinct xxhash64 shingle set — the
     // explode feeds the same `h` values the old xxhash64(gram) produced
     val base = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
@@ -181,7 +187,6 @@ object DedupQueries {
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val dedupMinhashLshSql: String =

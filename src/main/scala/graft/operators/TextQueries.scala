@@ -90,6 +90,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** (doc_id, quality) only — the composite score of [[textQuality]]
+    * factored for reuse by the dedup canonical-selection operator
+    * (`DedupQueries.dedupCanonical`). Same arithmetic, same round(…,6),
+    * so the cross-engine exactness proven by the `text_quality` oracle
+    * carries over verbatim. */
+  private[operators] def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stopCounts = d
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
+        .as("stop_cnt_l"))
+    val nChars = length(col("text")).cast("double")
+    val nWords = size(words).cast("double")
+    val punctCnt = nChars -
+      length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
+    val quality = least(nWords / lit(200.0), lit(1.0)) * 0.5 +
+      (col("stop_cnt_l").cast("double") / nWords) * 0.3 +
+      (lit(1.0) - punctCnt / nChars) * 0.2
+    d.join(stopCounts, Seq("doc_id"))
+      .select(col("doc_id"), round(quality, 6).as("quality"))
+  }
+
   val textQualitySql: String =
     """WITH q AS (
       |  SELECT doc_id,

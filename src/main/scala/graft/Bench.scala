@@ -113,9 +113,13 @@ object Bench {
     val histBest: Map[String, Double] = try {
       val src = scala.io.Source.fromFile("BENCH_HISTORY.jsonl")
       // same-SF lines only: a local sf0.001 run's medians must never
-      // become the "historical best" a sf0.1 run is compared against
+      // become the "historical best" a sf0.1 run is compared against.
+      // Per-line errored names are excluded (ADVICE r9): an errored
+      // query's 0.0 placeholder would otherwise become best=0.0 forever,
+      // force-rerunning it every round
       try src.getLines().filter(_.contains(s""""sf":"$sfDir"""")).flatMap {
         line =>
+        val errored = graft.tools.BenchDiff.errorNames(line)
         val start = line.indexOf("\"queries\":{")
         val end = line.indexOf("}", start)
         if (start < 0 || end <= start) Iterator.empty[(String, Double)]
@@ -123,6 +127,7 @@ object Bench {
           .findAllMatchIn(line.substring(start + 11, end))
           .flatMap(m => scala.util.Try(
             m.group(1) -> m.group(2).toDouble).toOption)
+          .filterNot { case (name, _) => errored.contains(name) }
       }.toVector.groupMapReduce(_._1)(_._2)(math.min)
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
@@ -169,9 +174,14 @@ object Bench {
     // it has never fit. The printed line therefore carries the slowest
     // queries first and stops at a hard byte budget; everything else is
     // counted in "omitted" and available in BENCH_FULL.json.
-    val fullQs = results.sortBy(_._1)
+    // errored queries carry only a 0.0 placeholder — keep them OUT of the
+    // queries/samples maps (they stay visible via "errors" + exit 1), or
+    // the history min-of-medians would lock best=0.0 forever (ADVICE r9)
+    val measured = results.filterNot { case (k, _) => errors.contains(k) }
+    val fullQs = measured.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val fullSamples = samples.sortBy(_._1)
+    val fullSamples = samples
+      .filterNot { case (k, _) => errors.contains(k) }.sortBy(_._1)
       .map { case (k, ts) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
@@ -194,7 +204,7 @@ object Bench {
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val tailFmt = (omitted: Int) =>
       s"""},"omitted":$omitted,"detail":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
-    val entries = results.sortBy(-_._2)
+    val entries = measured.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }
     // strict prefix of the slowest-first ordering: stop at the first entry
     // that doesn't fit, so the printed set is exactly "the N slowest"

@@ -66,13 +66,32 @@ object BenchDiff {
   private[tools] def reruns(line: String): Set[String] =
     section(line, "reruns").keySet
 
+  /** Names listed in a line's `errors` array. A query that errored in a
+    * run has no real measurement there — its history entry (if any old
+    * line wrote a 0.0 placeholder) must never become the "best", or every
+    * later healthy run would flag as a permanent SPIKE (ADVICE r9). */
+  private[graft] def errorNames(line: String): Set[String] = {
+    val tag = "\"errors\":["
+    val start = line.indexOf(tag)
+    if (start < 0) return Set.empty
+    val end = line.indexOf("]", start)
+    require(end > start,
+      s"malformed history line (unterminated errors array): ${line.take(120)}")
+    """"([a-z0-9_]+)"""".r
+      .findAllMatchIn(line.substring(start + tag.length, end))
+      .map(_.group(1)).toSet
+  }
+
   /** Pure spike criterion over same-SF history lines (newest last):
     * (name, now, best) for every query whose newest median exceeds
     * `threshold × best` AND `best + MinDelta`. */
   private[tools] def spikes(lines: Vector[String], threshold: Double)
       : Seq[(String, Double, Double)] = {
-    val past = lines.init.map(queries)
-    queries(lines.last).toSeq.flatMap { case (name, now) =>
+    // per-line error exclusion on BOTH sides: an errored query's entry
+    // (or legacy 0.0 placeholder) is not a measurement
+    val past = lines.init.map(l => queries(l) -- errorNames(l))
+    (queries(lines.last) -- errorNames(lines.last)).toSeq.flatMap {
+      case (name, now) =>
       val hist = past.flatMap(_.get(name))
       if (hist.isEmpty) None
       else {

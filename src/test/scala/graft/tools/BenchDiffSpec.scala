@@ -56,6 +56,27 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.flaky(hist) == Seq("a"))
   }
 
+  test("an errored run's 0.0 placeholder never becomes the best " +
+      "(ADVICE r9: would flag every later healthy run as a SPIKE)") {
+    val poisoned =
+      """{"metric":"total","value":1.0,"unit":"sec","reps":3,""" +
+        """"queries":{"q":0.000,"ok":1.0},"reruns":{},""" +
+        """"errors":["q"],"sf":"/d/sf0.1"}"""
+    val hist = Vector(poisoned, line("q" -> 1.5, "ok" -> 1.0)())
+    assert(BenchDiff.errorNames(poisoned) == Set("q"))
+    // q has no valid history -> no spike; ok unchanged -> no spike
+    assert(BenchDiff.spikes(hist, 2.0).isEmpty)
+  }
+
+  test("an errored query in the NEWEST line is not compared at all") {
+    val newest =
+      """{"metric":"total","value":1.0,"unit":"sec","reps":3,""" +
+        """"queries":{"ok":1.0},"reruns":{},""" +
+        """"errors":["q"],"sf":"/d/sf0.1"}"""
+    val hist = Vector(line("q" -> 0.3, "ok" -> 1.0)(), newest)
+    assert(BenchDiff.spikes(hist, 2.0).isEmpty)
+  }
+
   test("flaky tags age out: 2 rerun rounds older than the window no " +
       "longer warn") {
     val ancient = Vector(

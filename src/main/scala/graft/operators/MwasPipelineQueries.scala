@@ -726,7 +726,8 @@ object MwasPipelineQueries {
     * closed-form plan, and in production by partition pruning on the
     * bioprojects a batch touches. */
   def streamMwasQuery(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // (no events read here — the former defensive nanosAsLong conf set was
+    // removed with the schema-adaptive Events codec, r10)
     // pid-scoped like StreamingQueries.stageBatches: a fixed name would
     // let a concurrently-exiting peer JVM delete this dir mid-stream
     val base = new java.io.File(

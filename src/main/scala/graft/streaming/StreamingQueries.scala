@@ -71,21 +71,17 @@ object StreamingQueries {
   /** Run a streaming transform of the events file source to completion and
     * return the collected sink table.
     *
-    * The testdata stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright — so `ts` is read as raw nanos via the
-    * `nanosAsLong` legacy conf and converted with integer division (the
-    * generator's values are µs-precision, so this is lossless; a double
-    * division would corrupt: 1.7e18 ns exceeds the 2^53 exact-double
-    * range). */
+    * The `ts` encoding is probed per-file by [[graft.core.Events.codec]]
+    * (the generator has shipped both int64-nanos and timestamp[us]); the
+    * codec supplies the raw schema for the file source and the transform
+    * that normalizes `ts` to session-zone `TimestampType`. */
   private def runAvailableNow(s: SparkSession, dir: String,
       outputMode: String)(f: DataFrame => DataFrame): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val codec = graft.core.Events.codec(s, dir)
     // the file source insists on a directory: stream the sf dir, glob down
     // to the events file
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = codec.normalize(s.readStream.schema(codec.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = f(src).writeStream.format("memory").queryName(name)
       .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
@@ -222,9 +218,10 @@ object StreamingQueries {
     * closed window. Late windows (end > final watermark) are correctly
     * withheld — the DuckDB oracle applies the same cutoff. */
   def appendWindow(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // staged batches are re-written by Spark below, so only this first
+    // read needs the schema-adaptive codec; the staged files always carry
+    // canonical TimestampType
+    val ev = graft.core.Events(s, dir)
     // deterministic 3-way time split by range boundaries from one min/max
     // aggregate (two scalars to the driver) — NOT a global-window ntile,
     // which would funnel the whole table through a single-partition sort;
@@ -286,11 +283,9 @@ object StreamingQueries {
     * cluster the state partitions by the equi-key (user), the usual
     * shuffle story. */
   def intervalJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def src(): DataFrame = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val codec = graft.core.Events.codec(s, dir)
+    def src(): DataFrame = codec.normalize(s.readStream.schema(codec.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every `SparkEntry.queries` entry must BUILD and RUN against the live
+  * testdata — one generated test per registry name.
+  *
+  * Why this exists (VERDICT r9): the round-9 testdata regeneration
+  * changed the events `ts` encoding and silently broke 11 registry
+  * queries while 82 of 84 tests stayed green, because nothing in
+  * `src/test` forced analysis of the registry surface. This spec turns
+  * any future testdata/environment drift into a red `sbt test` within
+  * one run: analysis exceptions (DATATYPE_MISMATCH and friends) surface
+  * at plan build, execution drift at the `limit(1)` action.
+  *
+  * sf0.001 keeps the whole sweep inside the CI time budget; value-level
+  * correctness stays the DuckDB oracle's job (Verify + selfcheck).
+  */
+class RegistrySmokeSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("registry-smoke")
+    .getOrCreate()
+
+  test("flagship entry() returns rows") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"registry $name builds and runs at sf0.001") {
+      // limit(1).count() forces full analysis + at least one task; most
+      // registry queries end in an orderBy/aggregate, so the limit does
+      // not skip meaningful work at this SF
+      val df = fn(spark, dir)
+      df.limit(1).count() // any row count (incl. 0) is fine; throwing is not
+    }
+  }
+}

@@ -626,9 +626,109 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------- D8: canonical selection (keep-BEST-per-cluster, r10)
+
+  /** The end-to-end dedup a training-data pipeline actually ships: the
+    * MinHash-LSH verified pair graph ([[minhashPairs]]) contracted to
+    * clusters (shared star rounds), with the SURVIVOR chosen by document
+    * quality — `TextQueries.qualityScore`, the composite the
+    * `text_quality` oracle already proves cross-engine exact — not by
+    * minimum id. Tie-break: equal rounded quality keeps the smallest
+    * doc_id (pinned by `DedupCanonicalSpec`). Reference analogue: the
+    * set-maker's keep-one semantics (main/metadata_set_maker.py:89-94)
+    * lifted from metadata sets to corpus grain.
+    *
+    * Scale shape: pair source and contraction are the proven
+    * sub-quadratic paths; the only new work is one per-doc 1:1 quality
+    * join and a per-cluster single-pass argmax —
+    * `max(struct(quality, -doc_id))`, the same no-window pattern the r9
+    * ANN rewrite measured 29% faster than row_number — so the operator
+    * adds two narrow shuffles (doc_id join, component agg) to the
+    * clustering cost. No driver state beyond the CC convergence scalar.
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashPairs(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = connectedComponents(edges)
+      .select(col("u").as("doc_id"), col("v").as("component"))
+    val withComp = docs(s, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .join(TextQueries.qualityScore(s, dir), Seq("doc_id"))
+    // single-pass argmax: max quality, then min doc_id via negated id
+    val survivor = withComp.groupBy(col("component"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select(col("component"), (-col("best.neg_id")).as("canonical_id"))
+    withComp.join(survivor, Seq("component"))
+      .select(col("doc_id"), col("component"), col("canonical_id"),
+        col("quality"), (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE closure over the exhaustive 3-gram pair graph (exact-
+    * equivalent to the LSH pair set at J≥0.7 — miss prob ≈6e-10, same
+    * argument as [[dedupMinhashLshSql]]), survivor by the `text_quality`
+    * score with the doc_id tie-break as a window rank. */
+  val dedupCanonicalSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
+      |  JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT p.doc_a, p.doc_b
+      |  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id
+      |               JOIN sh y ON p.doc_b = y.doc_id
+      |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(x.s, y.s))) >= 0.7),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+      |        UNION ALL SELECT doc_b, doc_a FROM verified),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |  WHERE s.b <> r.a),
+      |comp AS (
+      |  SELECT d.doc_id,
+      |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(least(n_words / 200.0, 1.0) * 0.5 + (stop_cnt / n_words)
+      |      * 0.3 + (1.0 - punct_cnt / n_chars) * 0.2, 6) AS quality
+      |  FROM (SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN
+      |      ('the','a','and','of','to','in','is','it','that','for')))
+      |      AS DOUBLE) AS stop_cnt,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?()-]',
+      |      '', 'g')) AS DOUBLE) AS punct_cnt
+      |  FROM documents)),
+      |joined AS (
+      |  SELECT c.doc_id, c.component, q.quality FROM comp c
+      |  JOIN q ON q.doc_id = c.doc_id),
+      |surv AS (
+      |  SELECT component, doc_id AS canonical_id FROM (
+      |    SELECT component, doc_id, row_number() OVER (
+      |      PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+      |    FROM joined) WHERE rn = 1)
+      |SELECT j.doc_id, j.component, s.canonical_id, j.quality,
+      |       j.doc_id = s.canonical_id AS keep
+      |FROM joined j JOIN surv s ON s.component = j.component
+      |ORDER BY j.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("dedup_exact", dedupExact _, Some(dedupExactSql)),
+      ("dedup_canonical", dedupCanonical _, Some(dedupCanonicalSql)),
       ("dedup_components", dedupComponents _, Some(dedupComponentsSql)),
       ("dedup_jaccard_pairs", dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
       ("dedup_minhash_lsh", dedupMinhashLsh _, Some(dedupMinhashLshSql)),

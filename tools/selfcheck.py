@@ -55,6 +55,7 @@ ROUNDED_COLS = {
     "mwas_corpus_stats": {"avg_bytes"},
     "stream_sessions": {"sum_value"},
     "stream_running_stats": {"sum_value", "max_value"},
+    "dedup_canonical": {"quality"},
     "dedup_embedding_nn": {"cosine"},
     "ann_cosine_topk": {"cosine"},
     "emb_centroids": {"dispersion", "centroid_norm"},

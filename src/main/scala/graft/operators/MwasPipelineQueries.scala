@@ -161,6 +161,16 @@ object MwasPipelineQueries {
         case Some((k, df)) if k == (s, dir) => df
         case prev =>
           prev.foreach(_._2.unpersist(blocking = false))
+          // Deliberately NOT localCheckpoint-staging input/catalog/sets
+          // (r10 A/B, 5-rep medians at sf0.1 with a flat control): the
+          // plan re-derives them per consuming branch (orders scanned
+          // 26x, customer 24x in the formatted plan), but eager
+          // materialization measured SLOWER end-to-end — 11.11 s staged
+          // vs 8.47 s as-is — because the derivations are narrow
+          // column-pruned scans + one small agg-join, while staging pays
+          // its materialization up front and makes every branch read
+          // full unpruned rows from the block store. Same conclusion as
+          // the documented ReuseExchange decision in Pipeline.run.
           val sets = MetadataCondenser.condense(metadataLong(s, dir))
           val df = Pipeline.run(input(s, dir), catalog(s, dir), sets,
             MwasConfig()).persist()

@@ -20,7 +20,8 @@ object SparkEntry {
       DedupQueries.all ++ TextQueries.all ++ StreamingQueries.all ++
       MultimodalQueries.all ++ EtlQueries.all ++ SkewQueries.all ++
       TypeQueries.all ++ RelationalExtraQueries.all ++ BucketQueries.all ++
-      IvfQueries.all ++ FormatQueries.all ++ TextCorpusQueries.all
+      IvfQueries.all ++ FormatQueries.all ++ TextCorpusQueries.all ++
+      graft.operators.StreamingDedupQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -155,14 +155,23 @@ object DedupQueries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
-  /** The unordered MinHash-LSH verified pair relation — shared by
-    * [[dedupMinhashLsh]] (the pair query) and [[dedupCanonical]] (which
-    * contracts it to clusters). */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // sh is already the per-doc distinct xxhash64 shingle set — the
-    // explode feeds the same `h` values the old xxhash64(gram) produced
-    val base = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
-      .filter(size(col("sh")) > 0)
+  /** (doc_id, sh) — per-doc distinct xxhash64 shingle sets; docs with
+    * fewer than 3 words carry no shingles and are excluded (they can
+    * never be near-dups). The explode downstream feeds the same `h`
+    * values the old `xxhash64(gram_string)` produced. Shared by the
+    * batch pair relation and the incremental streaming dedup
+    * ([[StreamingDedupQueries]]), which signatures ONE BATCH at a time
+    * through this same function. */
+  private[operators] def shingleSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), shingles.as("sh")).filter(size(col("sh")) > 0)
+
+  /** (doc_id, band, bh) — the 32-band LSH bucket relation over MinHash(64)
+    * signatures (64 codegen'd `min(xxhash64(k, h))` aggregates, 2 rows
+    * per band). Factored from [[minhashPairs]] so the streaming dedup
+    * appends exactly these rows to its accumulated signature store —
+    * bucket values are bit-identical between the batch and incremental
+    * paths by construction. */
+  private[operators] def bandRelation(base: DataFrame): DataFrame = {
     val hashed = base.select(col("doc_id"), explode(col("sh")).as("h"))
     val minAggs = (0 until 64).map { k =>
       min(xxhash64(lit(k), col("h"))).as(s"m$k")
@@ -173,9 +182,16 @@ object DedupQueries {
       struct(lit(b).as("band"),
         hash(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))
     }
-    val banded = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("e"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
+  }
+
+  /** The unordered MinHash-LSH verified pair relation — shared by
+    * [[dedupMinhashLsh]] (the pair query) and [[dedupCanonical]] (which
+    * contracts it to clusters). */
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = shingleSets(docs(s, dir))
+    val banded = bandRelation(base)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

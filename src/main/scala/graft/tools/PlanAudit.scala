@@ -28,7 +28,7 @@ object PlanAudit {
     val scanRe = """(?m)^\s*(?:\+- |:- |)*.*Scan (parquet|orc|csv|json)""".r
     val skip = Set("stream_tumbling", "stream_sliding", "stream_sessions",
       "stream_dedup", "stream_running_stats", "stream_append_window",
-      "stream_interval_join", "stream_mwas")
+      "stream_interval_join", "stream_mwas", "stream_minhash_dedup")
     val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip.contains(n) }
       .flatMap { case (name, fn) =>

@@ -33,6 +33,32 @@ class RegistrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }
 
+  /** The documented no-oracle set — every name here must carry a
+    * justification in COVERAGE.md. A new query missing from BOTH
+    * oracleSql and this list is a gate hole: the driver would silently
+    * record a weaker rows-only check for it. */
+  private val noOracleByDesign = Set(
+    "q20_approx_distinct", // HLL sketch — exact twin q20_exact_distinct
+    "q21_approx_aggs",     // percentile sketch — exact twin q21_stat_aggs
+    "q23_permutation",     // seeded resample RNG — spec-oracled vs brute force
+    "pickle_migrate",      // DuckDB cannot read pickle — spec round-trip gate
+    "ann_lsh_bucket",      // recall/budget gate relation — AnnRecallSpec
+    "ann_ivf")             // recall/budget gate relation — AnnRecallSpec
+
+  test("every registry query is oracled or documented no-oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle SQL without a query: ${o -- q}")
+    val unoracled = q -- o -- noOracleByDesign
+    assert(unoracled.isEmpty,
+      s"queries with neither oracle SQL nor a documented waiver: $unoracled")
+    assert((noOracleByDesign -- q).isEmpty,
+      s"stale no-oracle waivers: ${noOracleByDesign -- q}")
+    assert((noOracleByDesign & o).isEmpty,
+      s"waived queries that now HAVE oracles (drop the waiver): " +
+        s"${noOracleByDesign & o}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"registry $name builds and runs at sf0.001") {
       // limit(1).count() forces full analysis + at least one task; most

@@ -92,7 +92,7 @@ object DedupQueries {
 
   /** Unordered pair relation — shared by the pair query above and the
     * connected-components clustering below. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // inclusion–exclusion formulation: explode words, count shared words
     // per pair via a (source, word) join, J = |∩|/(|A|+|B|−|∩|). All
     // codegen'd joins/aggregates — the array_intersect/array_union version
@@ -509,7 +509,17 @@ object DedupQueries {
     * absent — callers left-join and coalesce). Shared by the text and
     * embedding clustering operators; the pair SOURCE is the pluggable
     * part, the contraction is identical. */
-  private[operators] def connectedComponents(edges0: DataFrame): DataFrame = {
+  /* `roundsPerCheck` batches star-round composites between convergence
+   * checks. SHIPPED DEFAULT IS 1: `tools.ComponentsAb` measured
+   * check-every-2 SLOWER at sf0.1 (6.72 vs 5.48 s median-of-5, flat
+   * control) — the fixpoint is reached in few composites here, and the
+   * unavoidable wasted composite past it (two shuffled aggregations +
+   * joins over the full edge set) costs more than the halved
+   * checkpoint+signature barriers save. The lever would flip on graphs
+   * deep enough that barrier overhead dominates (many rounds, small
+   * per-round delta); it stays parameterized for that case. */
+  private[operators] def connectedComponents(edges0: DataFrame,
+      roundsPerCheck: Int = 1): DataFrame = {
     // large-star: every neighbor v > u re-points to m = min(Γ(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -543,7 +553,9 @@ object DedupQueries {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) { // log2(n) bound; 20 ≫ any real depth
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val composed = (1 to roundsPerCheck)
+        .foldLeft(edges)((e, _) => smallStar(largeStar(e)))
+      val next = composed.localCheckpoint(true)
       val sig = signature(next)
       converged = sig == prevSig
       prevSig = sig

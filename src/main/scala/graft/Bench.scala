@@ -165,7 +165,14 @@ object Bench {
       name -> ts.grouped(reps).map(g => median(g)).min
     }
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // errored queries carry only a 0.0 placeholder — keep them OUT of the
+    // queries/samples maps AND the headline total (they stay visible via
+    // "errors" + exit 1), or the history min-of-medians would lock
+    // best=0.0 forever (ADVICE r9) and "value" would disagree with the
+    // line's own queries map (a partially-failed query keeps its
+    // pre-failure samples in `results`, which must not leak into value)
+    val measured = results.filterNot { case (k, _) => errors.contains(k) }
+    val total = measured.map(_._2).sum
 
     // Full per-query detail (name-sorted, 3 decimals) goes to a file: the
     // harness that captures our stdout keeps only the LAST 2000 chars, so
@@ -174,10 +181,6 @@ object Bench {
     // it has never fit. The printed line therefore carries the slowest
     // queries first and stops at a hard byte budget; everything else is
     // counted in "omitted" and available in BENCH_FULL.json.
-    // errored queries carry only a 0.0 placeholder — keep them OUT of the
-    // queries/samples maps (they stay visible via "errors" + exit 1), or
-    // the history min-of-medians would lock best=0.0 forever (ADVICE r9)
-    val measured = results.filterNot { case (k, _) => errors.contains(k) }
     val fullQs = measured.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fullSamples = samples
@@ -196,9 +199,15 @@ object Bench {
     try fw.println(fullLine) finally fw.close()
     // append-only per-run history: spikes become machine-detectable by
     // comparing a query's new median against its own past lines (the
-    // driver's BENCH_r{N}.json keeps only each round's truncated tail)
-    val hw = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
-    try hw.write(fullLine + "\n") finally hw.close()
+    // driver's BENCH_r{N}.json keeps only each round's truncated tail).
+    // An all-errored run has nothing to compare against later — and its
+    // empty queries map would trip BenchDiff's malformed-line guard on
+    // every future run — so it is NOT appended (the failure is still
+    // fully visible via BENCH_FULL.json, stderr, and exit 1)
+    if (measured.nonEmpty) {
+      val hw = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
+      try hw.write(fullLine + "\n") finally hw.close()
+    }
 
     val budget = 1600 // line bytes; leaves headroom in the 2000-char tail
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""

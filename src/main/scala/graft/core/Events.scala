@@ -51,7 +51,15 @@ object Events {
     val schema =
       try s.read.parquet(path).schema
       catch { case e: Throwable => restore(); throw e }
-    schema("ts").dataType match {
+    val tsType =
+      try schema("ts").dataType
+      catch { case e: Throwable =>
+        restore()
+        throw new IllegalStateException(
+          s"events table at $path has no ts column (schema: " +
+            s"${schema.fieldNames.mkString(", ")})", e)
+      }
+    tsType match {
       case LongType => // legacy nanos: conf stays set for the scan itself
         Codec(schema, _.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
       case TimestampType =>

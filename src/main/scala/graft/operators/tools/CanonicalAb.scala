@@ -3,7 +3,6 @@
 package graft.operators.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupQueries, TextQueries}
@@ -56,24 +55,10 @@ object CanonicalAb {
       .orderBy(col("doc_id"))
   }
 
-  /** v2: same argmax as a partition-only window — upstream single-pass. */
-  private[tools] def windowMax(s: SparkSession, dir: String): DataFrame = {
-    val edges = DedupQueries.minhashPairs(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val comp = DedupQueries.connectedComponents(edges)
-      .select(col("u").as("doc_id"), col("v").as("component"))
-    val w = Window.partitionBy(col("component"))
-    DedupQueries.docs(s, dir).select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left_outer")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
-      .join(TextQueries.qualityScore(s, dir), Seq("doc_id"))
-      .withColumn("best",
-        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).over(w))
-      .select(col("doc_id"), col("component"),
-        (-col("best.neg_id")).as("canonical_id"), col("quality"),
-        (col("doc_id") === -col("best.neg_id")).as("keep"))
-      .orderBy(col("doc_id"))
-  }
+  /** v2 (SHIPPED): the window formulation — delegates to the live
+    * operator so the A/B can never desynchronize from what ships. */
+  private[tools] def windowMax(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.dedupCanonical(s, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -56,7 +56,11 @@ object BenchDiff {
 
   private[tools] def queries(line: String): Map[String, Double] = {
     val m = section(line, "queries")
-    require(m.nonEmpty,
+    // an empty map is malformed UNLESS the run recorded errors — an
+    // all-errored run legitimately measured nothing (Bench stopped
+    // appending such lines in r10, but a hand-written or legacy line
+    // must degrade to "no data", not crash every future diff)
+    require(m.nonEmpty || errorNames(line).nonEmpty,
       s"malformed history line (no \"queries\" map): ${line.take(120)}")
     m.map { case (k, v) => k -> v.toDouble }
   }

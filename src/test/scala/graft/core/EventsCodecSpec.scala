@@ -50,12 +50,14 @@ class EventsCodecSpec extends AnyFunSuite {
         .select(timestamp_micros(col("us")).as("ts"), lit(1L).as("event_id"))
         .write.parquet(path)
     }
+    // the leak signature is the conf CHANGING across the probe — compare
+    // to the pre-call value, not a literal (another suite in this JVM may
+    // legitimately have taken the legacy path and left it "true")
+    val before = spark.conf.get(NanosConf)
     val c = Events.codec(spark, dir)
     assert(c.schema("ts").dataType == TimestampType)
     assert(instants(dir) == Seq(micros))
-    // getOption reports the registered default ("false") once unset —
-    // the leak signature is the value "true" surviving the probe
-    assert(spark.conf.get(NanosConf) == "false",
+    assert(spark.conf.get(NanosConf) == before,
       "probe must not leak nanosAsLong on the modern path")
   }
 
@@ -67,12 +69,13 @@ class EventsCodecSpec extends AnyFunSuite {
           lit(1L).as("event_id"))
         .write.parquet(path)
     }
+    val before = spark.conf.get(NanosConf)
     val c = Events.codec(spark, dir)
     assert(c.schema("ts").dataType == TimestampNTZType)
     val out = Events(spark, dir)
     assert(out.schema("ts").dataType == TimestampType)
     assert(instants(dir) == Seq(micros))
-    assert(spark.conf.get(NanosConf) == "false")
+    assert(spark.conf.get(NanosConf) == before)
   }
 
   test("int64 ts (what legacy TIMESTAMP(NANOS) reads as) gets div-1000") {
@@ -80,11 +83,13 @@ class EventsCodecSpec extends AnyFunSuite {
     val dir = dirWith { path =>
       Seq((micros * 1000L, 1L)).toDF("ts", "event_id").write.parquet(path)
     }
-    val c = Events.codec(spark, dir)
-    assert(c.schema("ts").dataType == LongType)
-    val out = Events(spark, dir)
-    assert(out.schema("ts").dataType == TimestampType)
-    assert(out.select(unix_micros(col("ts"))).head().getLong(0) == micros)
+    try {
+      val c = Events.codec(spark, dir)
+      assert(c.schema("ts").dataType == LongType)
+      val out = Events(spark, dir)
+      assert(out.schema("ts").dataType == TimestampType)
+      assert(out.select(unix_micros(col("ts"))).head().getLong(0) == micros)
+    } finally spark.conf.unset(NanosConf) // the legacy path leaves it set
   }
 
   test("pre-set nanosAsLong=false is restored, not clobbered") {

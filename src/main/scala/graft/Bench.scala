@@ -119,7 +119,13 @@ object Bench {
       // force-rerunning it every round
       try src.getLines().filter(_.contains(s""""sf":"$sfDir"""")).flatMap {
         line =>
-        val errored = graft.tools.BenchDiff.errorNames(line)
+        // per-LINE tolerance (ADVICE r10): errorNames throws on a
+        // malformed errors array, and letting that escape to the outer
+        // NonFatal catch would discard the ENTIRE history — one bad
+        // legacy line must only lose itself, not disable the
+        // second-chance logic for every query
+        val errored = scala.util.Try(
+          graft.tools.BenchDiff.errorNames(line)).getOrElse(Set.empty[String])
         val start = line.indexOf("\"queries\":{")
         val end = line.indexOf("}", start)
         if (start < 0 || end <= start) Iterator.empty[(String, Double)]

@@ -40,7 +40,17 @@ object Events {
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  def codec(s: SparkSession, sfDir: String): Codec = {
+  /** Serializes the probe's set/restore of the session-global nanos conf
+    * (ADVICE r10): without it, a concurrent codec() on a modern-path file
+    * could restore/unset the conf in the window between a legacy-path
+    * plan build and its execution. The lock covers only the probe; on the
+    * legacy path the conf intentionally remains set after release, and a
+    * later modern-path probe under the lock snapshots prev="true" and
+    * restores it unchanged, so interleavings after codec() returns are
+    * benign. */
+  private val probeLock = new Object
+
+  def codec(s: SparkSession, sfDir: String): Codec = probeLock.synchronized {
     val path = s"$sfDir/events.parquet"
     val prev = s.conf.getOption(NanosConf)
     def restore(): Unit = prev match {

@@ -155,8 +155,114 @@ object IvfQueries {
       |         AS dispersion
       |FROM agg GROUP BY label ORDER BY label""".stripMargin
 
+  /** Deterministic IVF with a FROZEN data-sampled codebook — the
+    * hash-oracled twin of [[annIvfNn]] (r10 verdict item 1). The coarse
+    * quantizer is the first `k` corpus vectors by vec_id (a sampled
+    * codebook, the classic cheap init; production fits Lloyd iterations
+    * offline — [[annIvfNn]] keeps that path plus its recall gate). With
+    * the codebook pinned, assignment (argmin distance), the probe set
+    * (nprobe nearest cells), the candidate set, and the argmax are all
+    * deterministic functions of the corpus, so DuckDB re-derives the SAME
+    * codebook from the same parquet and the whole operator hash-matches —
+    * no literals to drift.
+    *
+    * Plan shape: the codebook relation is broadcast (k rows); distance
+    * ranking is a per-vector window over k rows (narrow shuffle on
+    * vec_id); the candidate join shuffles on cell id only — identical
+    * scale story to [[annIvfNn]]. Distances expand algebraically
+    * (|v−c|² = |v|² − 2·v·c + |c|²) as codegen'd dot products, with the
+    * DuckDB side computing the literally-same expression tree so the
+    * probe ranking agrees bit-for-bit. */
+  def annIvfAssign(s: SparkSession, dir: String,
+      k: Int = defaultK, nprobe: Int = defaultNprobe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorOps.dot_product _
+    val v = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("ce"),
+        dot(col("v"), col("v")).as("csq"))
+    val ranked = v.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("ce")) +
+          col("csq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("rk"))
+    val assign = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+    val probeSig = ranked.filter(col("rk") <= nprobe)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("rk"), col("cell")))),
+        e => e.getField("cell")).as("probes"))
+    val lists = assign
+      .join(v, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("nn_id"), col("v").as("vb"),
+        col("nrm").as("nrmb"))
+    val cand = ranked.filter(col("rk") <= nprobe)
+      .join(lists, Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos",
+        dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+    val top = cand.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("cos").as("cos"), (-col("nn_id")).as("neg_id")))
+          .as("c"))
+      .select(col("vec_id"), col("n_candidates"),
+        (-col("c.neg_id")).as("nn_id"), round(col("c.cos"), 6).as("cosine"))
+    assign.join(probeSig, Seq("vec_id"))
+      .join(top, Seq("vec_id"), "left_outer")
+      .na.fill(Map("n_candidates" -> 0L))
+      .select(col("vec_id"), col("cell"), col("probes"),
+        col("n_candidates"), col("nn_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val annIvfAssignSql: String =
+    """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |          x -> x * x))) AS nrm
+      |      FROM embeddings),
+      |c AS (SELECT vec_id AS cell, e AS ce,
+      |        list_sum(list_transform(e, x -> x * x)) AS csq
+      |      FROM n WHERE vec_id < 32),
+      |d AS (SELECT n.vec_id, c.cell,
+      |        n.nrm * n.nrm - 2.0 * list_sum(list_transform(
+      |          list_zip(n.e, c.ce), s -> s[1] * s[2])) + c.csq AS dist
+      |      FROM n CROSS JOIN c),
+      |r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dist, cell) AS rk
+      |      FROM d),
+      |asg AS (SELECT vec_id, cell FROM r WHERE rk = 1),
+      |ps AS (SELECT vec_id, list(cell ORDER BY rk) AS probes
+      |       FROM r WHERE rk <= 8 GROUP BY 1),
+      |lists AS (SELECT a.cell, a.vec_id AS nn_id, n.e AS eb, n.nrm AS nrmb
+      |          FROM asg a JOIN n ON n.vec_id = a.vec_id),
+      |cand AS (SELECT r.vec_id, l.nn_id,
+      |    list_sum(list_transform(list_zip(q.e, l.eb), s -> s[1] * s[2]))
+      |      / (q.nrm * l.nrmb) AS cos
+      |  FROM r JOIN lists l ON l.cell = r.cell AND r.rk <= 8
+      |  JOIN n q ON q.vec_id = r.vec_id
+      |  WHERE r.vec_id <> l.nn_id),
+      |t AS (SELECT vec_id, nn_id, cos,
+      |        count(*) OVER (PARTITION BY vec_id) AS n_cand,
+      |        row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY cos DESC, nn_id) AS rk
+      |      FROM cand)
+      |SELECT a.vec_id, a.cell, ps.probes,
+      |       coalesce(t.n_cand, 0) AS n_candidates, t.nn_id,
+      |       round(t.cos, 6) AS cosine
+      |FROM asg a JOIN ps USING (vec_id)
+      |LEFT JOIN t ON t.vec_id = a.vec_id AND t.rk = 1
+      |ORDER BY a.vec_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("ann_ivf", annIvf _, None),
+      ("ann_ivf_assign",
+        (s: SparkSession, d: String) => annIvfAssign(s, d),
+        Some(annIvfAssignSql)),
       ("emb_centroids", embCentroids _, Some(embCentroidsSql)))
 }

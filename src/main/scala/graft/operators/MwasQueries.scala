@@ -168,10 +168,104 @@ object MwasQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Exact-enumeration permutation test, hash-oracled BIT-EXACTLY in
+    * DuckDB (r10 verdict item 2). Two design moves make cross-engine
+    * bit-equality possible where FP aggregation order normally forbids it:
+    *
+    *   1. INTEGER-VALUED observations: `round(o_totalprice)` sums are
+    *      exact in binary doubles (≤10 values < 2²⁰ each), so every
+    *      side-sum, mean and mean-difference is the same double in any
+    *      summation order — Spark's partition-order UDAF buffer and
+    *      DuckDB's scan-order sum cannot disagree.
+    *   2. BOUNDED groups: a per-customer row_number cap of 10 keeps
+    *      C(n, n_true) ≤ 252, far under [[graft.stats.PermutationTest]]'s
+    *      exact cutoff — the Monte-Carlo path (whose seeded RNG stream no
+    *      SQL engine can replay) is unreachable by construction, and the
+    *      DuckDB side can afford full subset enumeration (bitmask walk,
+    *      ≤2¹⁰ masks/group).
+    *
+    * Both sides apply the same ≥2-per-side filter the test requires, and
+    * the oracle replicates the implementation's epsilon band
+    * (|diff| ≥ |obs| − 1e-12·max(1, |obs|)) on identical doubles, so
+    * statistic, p-value, method and side counts all hash-match. This
+    * leaves only genuinely randomized operators (MC permutation, HLL,
+    * percentile sketches) as no-oracle rows. */
+  def q23PermExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val permUdaf = udaf(new PermutationTest(), Encoders.product[Obs])
+    val base = t(s, dir, "orders")
+      .filter(col("o_custkey") < 60)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice")).cast("double").as("value"),
+        (col("o_orderpriority") === "1-URGENT").as("isTrue"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+      .filter(col("rn") <= 10)
+    val cw = Window.partitionBy(col("o_custkey"))
+    base
+      .withColumn("n_t", sum(when(col("isTrue"), 1L).otherwise(0L)).over(cw))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("n_t") >= 2 && col("n") - col("n_t") >= 2)
+      .groupBy(col("o_custkey"))
+      .agg(permUdaf(col("value"), col("isTrue")).as("r"))
+      .select(col("o_custkey"), col("r.statistic").as("stat"),
+        col("r.p_value").as("p"), col("r.method").as("method"),
+        col("r.n_true").as("n_true"), col("r.n_false").as("n_false"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Full C(n, k) enumeration as a bitmask walk: every mask of the right
+    * popcount is one label assignment; only the chosen side's sum matters
+    * (diff = s/n_t − (total−s)/n_f), mirroring the Scala walk exactly. */
+  val q23PermExactSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice) AS DOUBLE) AS v,
+      |    (o_orderpriority = '1-URGENT') AS is_t,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderkey) AS rn
+      |  FROM orders WHERE o_custkey < 60),
+      |g0 AS (SELECT * FROM base WHERE rn <= 10),
+      |sz AS (SELECT o_custkey, count(*) AS n,
+      |         count(*) FILTER (WHERE is_t) AS n_t,
+      |         sum(v) AS total,
+      |         sum(v) FILTER (WHERE is_t) AS sum_t
+      |       FROM g0 GROUP BY 1
+      |       HAVING count(*) FILTER (WHERE is_t) >= 2
+      |          AND count(*) - count(*) FILTER (WHERE is_t) >= 2),
+      |g AS (SELECT g0.o_custkey, g0.v,
+      |        row_number() OVER (PARTITION BY g0.o_custkey
+      |          ORDER BY g0.rn) - 1 AS idx
+      |      FROM g0 JOIN sz USING (o_custkey)),
+      |obs AS (SELECT o_custkey, n, n_t, n - n_t AS n_f, total,
+      |         sum_t / n_t - (total - sum_t) / (n - n_t) AS obs_diff
+      |        FROM sz),
+      |m AS (SELECT range AS mask FROM range(0, 1024)),
+      |masks AS (SELECT o.o_custkey, m.mask
+      |          FROM obs o JOIN m ON m.mask < (1 << o.n)
+      |          WHERE bit_count(m.mask) = o.n_t),
+      |msum AS (SELECT mk.o_custkey, mk.mask, sum(g.v) AS s
+      |         FROM masks mk JOIN g ON g.o_custkey = mk.o_custkey
+      |           AND ((mk.mask >> g.idx) & 1) = 1
+      |         GROUP BY 1, 2),
+      |hits AS (SELECT ms.o_custkey, count(*) AS cnt,
+      |          count(*) FILTER (WHERE
+      |            abs(ms.s / o.n_t - (o.total - ms.s) / o.n_f)
+      |              >= abs(o.obs_diff)
+      |                 - 1e-12 * greatest(1.0, abs(o.obs_diff))) AS h
+      |         FROM msum ms JOIN obs o USING (o_custkey) GROUP BY 1)
+      |SELECT o.o_custkey, o.obs_diff AS stat,
+      |  CAST(h.h AS DOUBLE) / h.cnt AS p,
+      |  'permutation_exact' AS method,
+      |  CAST(o.n_t AS BIGINT) AS n_true, CAST(o.n_f AS BIGINT) AS n_false
+      |FROM obs o JOIN hits h USING (o_custkey)
+      |ORDER BY o.o_custkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("q22_mwas_rpm", q22 _, Some(q22Sql)),
       ("q23_welch", q23 _, Some(q23Sql)),
       ("q23_welch_full", q23Full _, Some(q23FullSql)),
-      ("q23_permutation", q23Perm _, None))
+      ("q23_permutation", q23Perm _, None),
+      ("q23_permutation_exact", q23PermExact _, Some(q23PermExactSql)))
 }

@@ -81,7 +81,10 @@ object BenchDiff {
     val end = line.indexOf("]", start)
     require(end > start,
       s"malformed history line (unterminated errors array): ${line.take(120)}")
-    """"([a-z0-9_]+)"""".r
+    // any quoted string, not just [a-z0-9_]+ (ADVICE r10): an error name
+    // with uppercase/dots/hyphens must not evade the 0.0-placeholder
+    // exclusion and poison best-of-history
+    """"([^"]+)"""".r
       .findAllMatchIn(line.substring(start + tag.length, end))
       .map(_.group(1)).toSet
   }

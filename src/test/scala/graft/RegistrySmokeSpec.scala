@@ -40,10 +40,14 @@ class RegistrySmokeSpec extends AnyFunSuite {
   private val noOracleByDesign = Set(
     "q20_approx_distinct", // HLL sketch — exact twin q20_exact_distinct
     "q21_approx_aggs",     // percentile sketch — exact twin q21_stat_aggs
-    "q23_permutation",     // seeded resample RNG — spec-oracled vs brute force
+    "q23_permutation",     // seeded resample RNG — spec-oracled vs brute
+                           // force; exact twin q23_permutation_exact is
+                           // hash-oracled (r11)
     "pickle_migrate",      // DuckDB cannot read pickle — spec round-trip gate
-    "ann_lsh_bucket",      // recall/budget gate relation — AnnRecallSpec
-    "ann_ivf")             // recall/budget gate relation — AnnRecallSpec
+    "ann_ivf")             // k-means|| fit (Spark-ML internal randomness) —
+                           // recall/budget gate (AnnRecallSpec); frozen-
+                           // codebook twin ann_ivf_assign is hash-oracled
+                           // (r11), ann_lsh_bucket now hash-oracled too
 
   test("every registry query is oracled or documented no-oracle") {
     val q = SparkEntry.queries.keySet

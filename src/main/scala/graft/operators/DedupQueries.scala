@@ -86,7 +86,21 @@ object DedupQueries {
   // ------------------------------------- D2: n-gram (unigram) Jaccard pairs
 
   /** Word-set Jaccard near-dup pairs within a `source` block. The block is
-    * the scale lever: comparisons never cross blocks. */
+    * the scale lever: comparisons never cross blocks.
+    *
+    * Measured limit of the EXACT path (r11 stress, local[32], 8 GiB
+    * driver): fine through 10× sf0.1 (37.3 s at 52.6k docs), DEAD at 30×
+    * (158k docs, 31-word vocab) — heap OOM at 8 GiB, and with a 48 GiB
+    * heap it spilled >79 GiB of (source, word) pair shuffle before
+    * filling the disk. On df-dense corpora the within-block pair count
+    * grows ~quadratically and no equi-join bound saves it. The measured
+    * lever PAST that point is band-tightening: route candidate
+    * generation through [[dedupMinhashLsh]]'s band buckets (exact
+    * verification on bucket-mates only), which processed the SAME 30×
+    * fixture in 6.83 s. Real hapax-rich corpora hit the cliff later
+    * (rare words keep df small), but the escape hatch is the same —
+    * this exact formulation is the ≤10×-scale / oracle path, the banded
+    * one is the 100 TB path. */
   def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
@@ -230,7 +244,19 @@ object DedupQueries {
   /** 60-bit SimHash from md5-derived word hashes (md5 so the oracle can
     * re-derive bit-identically); `n_near` counts docs within hamming ≤ 3,
     * found via the exact pigeonhole 4×15-bit block join (not probabilistic —
-    * distance ≤3 over 4 blocks forces one identical block). */
+    * distance ≤3 over 4 blocks forces one identical block).
+    *
+    * Measured slope (r11 stress, local[32]): 4.1 s at sf0.1 → 19.3 s at
+    * 10× → 109.8 s at 30× — exponent ≈1.6 past 10×, block-bucket
+    * collision pair work. The lever is bits-per-block ≈ log2(N) (a WIDER
+    * fingerprint; more same-width blocks only add collision chances):
+    * [[simhashNear]] measured 16-bit blocks at 75.7 s and 20-bit at
+    * 65.2 s on the same 30× fixture (−40% vs shipped 15-bit). The
+    * residual is true near-identical fingerprint cliques (the fixture's
+    * 31-word vocab makes them common, as does boilerplate in real
+    * corpora) whose m² pair output no bucketing shrinks — the next lever
+    * past blockBits is collapsing identical-fingerprint groups
+    * algebraically before pairing. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // explode distinct words → one codegen'd sign-sum aggregate per bit
     // (the nested-lambda formulation of the same math ran interpreted and
@@ -270,6 +296,67 @@ object DedupQueries {
     sim.join(cnt, Seq("doc_id"), "left_outer")
       .na.fill(Map("n_near" -> 0L))
       .select(col("doc_id"), col("simhash"), col("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Scale-lever variant of the SimHash near-dup counter for the stress
+    * harness (tools.StressFixture): 4 pigeonhole blocks × `blockBits`
+    * each, so bucket occupancy per block is N/2^blockBits — the r11
+    * stress run measured the shipped 15-bit blocks going superlinear at
+    * 30× sf0.1 (19.3 s → 109.8 s for 3× the docs, exponent ≈1.6, all of
+    * it bucket-collision pair work), which is exactly the documented
+    * lever point: HOLD occupancy by growing blockBits ≈ log2(N), i.e. a
+    * wider fingerprint, not more blocks (more same-width blocks only add
+    * collision chances). Each block hashes its own md5 hex span, so
+    * blockBits must divide by 4; the relation (doc_id, n_near) matches
+    * [[dedupSimhash]]'s counting semantics with the fingerprint carried
+    * as a 4-long array (hamming = summed per-block bit_count(xor)). The
+    * shipped 60-bit operator keeps its bit-exact DuckDB oracle; this
+    * variant exists to MEASURE the lever, like annLshNn's nBits. */
+  private[operators] def simhashNear(s: SparkSession, dir: String,
+      blockBits: Int): DataFrame = {
+    require(blockBits % 4 == 0 && blockBits <= 28,
+      s"blockBits must be a multiple of 4 hex digits <= 28, got $blockBits")
+    val hexPer = blockBits / 4
+    val nBlocks = 4
+    val words = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+    val withH = words.select(col("doc_id") +: (0 until nBlocks).map { b =>
+      conv(substring(md5(col("w")), b * hexPer + 1, hexPer), 16, 10)
+        .cast("long").as(s"h$b")
+    }: _*)
+    val signAggs = for (b <- 0 until nBlocks; j <- 0 until blockBits) yield
+      sum(when(shiftright(col(s"h$b"), j).bitwiseAND(1L) =!= 0, 1L)
+        .otherwise(-1L)).as(s"s${b}_$j")
+    val bitsums = withH.groupBy(col("doc_id"))
+      .agg(signAggs.head, signAggs.tail: _*)
+    val blockVals = (0 until nBlocks).map { b =>
+      (0 until blockBits).map { j =>
+        when(col(s"s${b}_$j") > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _).as(s"bv$b")
+    }
+    val sim = bitsums.select(col("doc_id") +: blockVals: _*)
+      .select(col("doc_id"),
+        array((0 until nBlocks).map(b => col(s"bv$b")): _*).as("bvs"))
+    val blocked = sim.select(col("doc_id"), col("bvs"),
+      posexplode(col("bvs")).as(Seq("blk", "bv")))
+    val hamming = (0 until nBlocks).map(b =>
+      bit_count(col("x.bvs").getItem(b)
+        .bitwiseXOR(col("y.bvs").getItem(b)))).reduce(_ + _)
+    val near = blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.as("hd"))
+      .distinct()
+      .filter(col("hd") <= 3)
+    val cnt = near.select(col("doc_a").as("doc_id"))
+      .union(near.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    sim.join(cnt, Seq("doc_id"), "left_outer")
+      .na.fill(Map("n_near" -> 0L))
+      .select(col("doc_id"), col("n_near"))
       .orderBy(col("doc_id"))
   }
 

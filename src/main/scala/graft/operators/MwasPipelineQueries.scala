@@ -21,14 +21,14 @@ import graft.mwas.{MwasConfig, Pipeline}
   */
 object MwasPipelineQueries {
 
-  private def catalog(s: SparkSession, dir: String): DataFrame =
+  private[operators] def catalog(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders").select(
       concat(lit("R"), col("o_orderkey")).as("run"),
       concat(lit("BS"), col("o_custkey")).as("bio_sample"),
       concat(lit("BP"), col("o_custkey") % 20).as("bio_project"),
       col("o_totalprice").as("spots"))
 
-  private def input(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def input(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
     val l = Tables(s, dir, "lineitem")
     val qty = l.groupBy(col("l_orderkey"))
@@ -42,7 +42,7 @@ object MwasPipelineQueries {
         col("quantifier"))
   }
 
-  private def metadataLong(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def metadataLong(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer")
     val base = c.select(
       concat(lit("BP"), col("c_custkey") % 20).as("bioproject"),

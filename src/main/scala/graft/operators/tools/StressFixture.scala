@@ -99,8 +99,38 @@ object StressFixture {
     println(s"[stress] wrote $nd docs, $nv vectors to $outDir")
   }
 
-  private def measure(spark: SparkSession, dir: String, reps: Int): Unit = {
+  /** `genrel <outDir> [mult]`: a mult× relational fixture for the MWAS
+    * pipeline A/Bs — orders/lineitem/customer replicated from sf0.1 with
+    * key-shifted copies (order keys +i·10⁷, customer keys +i·10⁶). The
+    * shifts are ≡ 0 (mod 20), so `custkey % 20` bioproject assignment is
+    * preserved: the fixture has the SAME 20 bioprojects with mult× the
+    * biosamples and runs each — contrast groups grow mult×, which is the
+    * scale direction the staging trade depends on. */
+  private def genRel(spark: SparkSession, outDir: String, mult: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    def replicate(table: String, shifts: Map[String, Long]): Unit = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val copies = (0 until mult).map { i =>
+        src.select(src.columns.map { c =>
+          shifts.get(c) match {
+            case Some(off) => (col(c) + lit(i * off)).as(c)
+            case None      => col(c)
+          }
+        }: _*)
+      }.reduce(_ union _)
+      copies.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table.parquet")
+      println(s"[stress] wrote ${mult}x $table to $outDir")
+    }
+    replicate("orders",
+      Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    replicate("lineitem", Map("l_orderkey" -> 10000000L))
+    replicate("customer", Map("c_custkey" -> 1000000L))
+  }
+
+  private def measure(spark: SparkSession, dir: String, reps: Int,
+      only: Option[Set[String]]): Unit = {
     def time(tag: String)(mk: => DataFrame): Unit = {
+      if (!only.forall(_.contains(tag))) return
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
@@ -121,6 +151,13 @@ object StressFixture {
     time("lsh_nn_5bit") (graft.operators.DedupQueries.annLshNn(spark, dir))
     time("lsh_nn_8bit") (
       graft.operators.DedupQueries.annLshNn(spark, dir, 16, 8))
+    // the simhash blockBits lever (see DedupQueries.simhashNear): 16-bit
+    // blocks ≈ the shipped width, 20-bit = the occupancy-holding setting
+    // for ~30× corpora
+    time("simhash_16bit") (
+      graft.operators.DedupQueries.simhashNear(spark, dir, 16))
+    time("simhash_20bit") (
+      graft.operators.DedupQueries.simhashNear(spark, dir, 20))
   }
 
   def main(args: Array[String]): Unit = {
@@ -132,10 +169,14 @@ object StressFixture {
       case "gen" :: out :: rest =>
         gen(spark, out, rest.headOption.map(_.toInt).getOrElse(10),
           rest.drop(1).headOption.map(_.toInt).getOrElse(1))
+      case "genrel" :: out :: rest =>
+        genRel(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
       case "measure" :: dir :: rest =>
-        measure(spark, dir, rest.headOption.map(_.toInt).getOrElse(3))
+        measure(spark, dir, rest.headOption.map(_.toInt).getOrElse(3),
+          rest.drop(1).headOption.map(_.split(",").toSet))
       case other => sys.error(s"usage: gen <outDir> [mult] [vocabMult] | " +
-        s"measure <dir> [reps]; got $other")
+        s"genrel <outDir> [mult] | measure <dir> [reps] [ops-csv]; " +
+        s"got $other")
     }
     spark.stop()
   }

@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The profile's knobs must actually LAND in a live session conf, and
+  * the sizing arithmetic must hold at the geometries the scale story
+  * cites (VERDICT r10 item 6). */
+class ClusterProfileSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("cluster-profile-spec")
+    .getOrCreate()
+
+  test("applyTo lands every knob in the live session conf") {
+    val p = ClusterProfile(executors = 10, coresPerExecutor = 4,
+      executorMemGb = 16, inputBytes = 1L << 40) // 1 TiB
+    p.applyTo(spark)
+    p.confs.foreach { case (k, v) =>
+      assert(spark.conf.get(k) == v, s"knob $k did not land")
+    }
+    // and the session is really using them: a fresh plan picks up the
+    // new shuffle width
+    assert(spark.conf.get("spark.sql.shuffle.partitions") ==
+      p.shufflePartitions.toString)
+  }
+
+  test("shuffle width follows input bytes with a 2x-cores floor") {
+    val small = ClusterProfile(executors = 10, coresPerExecutor = 4,
+      executorMemGb = 16, inputBytes = 0L)
+    assert(small.shufflePartitions == 80) // floor: 2 x 40 cores
+
+    // 1 TiB / 128 MiB = 8192 partitions > floor
+    val big = small.copy(inputBytes = 1L << 40)
+    assert(big.shufflePartitions == 8192)
+
+    // the cited 100 TB / 1000-executor geometry: ~819k initial
+    // partitions, AQE coalesces from there
+    val cluster = ClusterProfile(executors = 1000, coresPerExecutor = 8,
+      executorMemGb = 32, inputBytes = 100L << 40)
+    assert(cluster.shufflePartitions == 819200)
+    assert(cluster.confs(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
+      "819200")
+  }
+
+  test("broadcast threshold scales with executor memory") {
+    val smallMem = ClusterProfile(1, 4, 4, 0L)
+    val bigMem = ClusterProfile(1, 4, 32, 0L)
+    assert(smallMem.broadcastThresholdBytes == (32L << 20))
+    assert(bigMem.broadcastThresholdBytes == (64L << 20))
+  }
+
+  test("partition byte targets agree between scan and shuffle sides") {
+    val p = ClusterProfile(4, 8, 16, 10L << 30)
+    assert(p.confs("spark.sql.files.maxPartitionBytes") ==
+      p.targetPartitionBytes.toString)
+    assert(p.confs("spark.sql.adaptive.advisoryPartitionSizeInBytes") ==
+      (p.targetPartitionBytes / 2).toString)
+  }
+
+  test("degenerate geometry is rejected") {
+    intercept[IllegalArgumentException] {
+      ClusterProfile(0, 8, 16, 0L)
+    }
+  }
+}

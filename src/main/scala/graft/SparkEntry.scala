@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BucketQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, RelationalExtraQueries, RelationalQueries, SkewQueries, TextCorpusQueries, TextQueries, TypeQueries}
+import graft.operators.{BloomQueries, BucketQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, LayoutQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, RelationalExtraQueries, RelationalQueries, SkewQueries, TextCorpusQueries, TextQueries, TypeQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -21,7 +21,8 @@ object SparkEntry {
       MultimodalQueries.all ++ EtlQueries.all ++ SkewQueries.all ++
       TypeQueries.all ++ RelationalExtraQueries.all ++ BucketQueries.all ++
       IvfQueries.all ++ FormatQueries.all ++ TextCorpusQueries.all ++
-      graft.operators.StreamingDedupQueries.all
+      graft.operators.StreamingDedupQueries.all ++ LayoutQueries.all ++
+      BloomQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

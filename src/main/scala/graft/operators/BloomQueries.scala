@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.BinaryType
+
+import graft.core.Tables
+
+/** Bloom-filter decontamination — the 100 TB shape of the benchmark-
+  * overlap scan.
+  *
+  * [[TextQueries.textDecontaminate]] joins every probe-document n-gram
+  * against the benchmark gram set. At test scale that join is a cheap
+  * broadcast; at corpus scale the probe side is the full training corpus
+  * EXPLODED TO GRAM GRAIN — orders of magnitude more rows than documents
+  * — and every one of them pays the join (as shuffle input once the
+  * benchmark side outgrows broadcast). But almost all grams are clean:
+  * the right primitive is a broadcast Bloom filter, which rejects clean
+  * grams at scan time for ~10 bits each, and only the surviving sliver
+  * (true hits + the fp-rate of false positives) enters the exact
+  * verification join. False positives cannot reach the output — the
+  * verify join removes them — so the bloom changes the PLAN, not the
+  * relation, and this query hash-oracles against the literally-same SQL
+  * as the exact twin. This is the standard two-phase shape (Delta/Iceberg
+  * bloom indexes, broadcast-bloom row filtering in Spark's own runtime
+  * filtering) stated as an operator.
+  *
+  * Mechanics: the benchmark grams aggregate into a
+  * `util.sketch.BloomFilter` (distributed build via `stat.bloomFilter`'s
+  * per-partition OR-merge — insertion-order-free, so the sketch is
+  * deterministic given the gram set); the ~120 KB sketch rides into the
+  * scan as a binary literal probed by Spark's own codegen'd
+  * [[BloomFilterMightContain]] — the same expression the engine's
+  * runtime row-level filtering injects, so the probe stays inside
+  * whole-stage codegen (no UDF, no boxing). The gram hashes are already
+  * xxhash64 longs ([[graft.functions.ShingleOps]]), so the filter keys on
+  * longs end to end.
+  */
+object BloomQueries {
+
+  /** `might_contain(serializedBloom, longCol)` as a Column — Spark keeps
+    * the expression out of the public FunctionRegistry (it is internal to
+    * runtime filtering), so the bridge wraps it directly. */
+  private def mightContain(bloomBytes: Array[Byte], v: Column): Column =
+    bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), bridge.expression(v)))
+
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val grams5 = (c: Column) =>
+      graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
+    val bench = d.filter(col("doc_id") % 10 === 0)
+      .select(explode(grams5(col("text"))).as("gh")).distinct()
+    // distributed sketch build; n_items from a cheap exact count of the
+    // (already tiny relative to the corpus) benchmark side. 1% fp keeps
+    // the sketch ~1.2 KB per 1k grams — ~1.2 MB for a 1M-gram benchmark
+    // suite, still a trivial broadcast.
+    val nBench = bench.count()
+    val bloom = bench.stat.bloomFilter(col("gh"), math.max(nBench, 1L), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
+    // n_grams needs no join at all — count before any filtering
+    val totals = probe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // the bloom rejects ~99% of clean grams BEFORE the join; the exact
+    // semi join then removes the false positives, so n_hit is exact
+    val hits = probe.filter(mightContain(bloomBytes, col("gh")))
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(Map("n_hit" -> 0L))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("overlap"))
+      .withColumn("contaminated", col("overlap") >= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Candidate-volume relation for the spec: how much the bloom actually
+    * rejects (grams in, bloom-positives out, true hits) — the prefilter's
+    * working ratio, measured not argued. */
+  private[operators] def bloomStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val grams5 = (c: Column) =>
+      graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
+    val bench = d.filter(col("doc_id") % 10 === 0)
+      .select(explode(grams5(col("text"))).as("gh")).distinct()
+    val bloom = bench.stat.bloomFilter(col("gh"),
+      math.max(bench.count(), 1L), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
+    probe
+      .withColumn("bloom_pos", mightContain(bloomBytes, col("gh")))
+      .join(broadcast(bench.withColumn("true_hit", lit(true))),
+        Seq("gh"), "left_outer")
+      .na.fill(Map("true_hit" -> false))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("true_hit"), 1L).otherwise(0L)).as("n_true_hit"),
+        sum(when(col("true_hit") && !col("bloom_pos"), 1L).otherwise(0L))
+          .as("n_false_neg"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("bloom_decontaminate", bloomDecontaminate _,
+      Some(TextQueries.textDecontaminateSql)))
+}

@@ -258,11 +258,133 @@ object IvfQueries {
       |LEFT JOIN t ON t.vec_id = a.vec_id AND t.rk = 1
       |ORDER BY a.vec_id""".stripMargin
 
+  // ------------------------- product quantization + asymmetric distance
+
+  private val pqM = 8 // subspaces (64 dims / 8 per sub)
+  private val pqK = 16 // codewords per subspace
+  private val pqQueries = 5 // query vectors (vec_id < 5), as annCosineTopk
+
+  /** Product quantization with asymmetric distance (ADC) — the memory
+    * side of the ANN triad (LSH prunes candidates, IVF prunes cells, PQ
+    * shrinks what a candidate COSTS): each vector is encoded as
+    * [[pqM]] codeword ids, here 8 bytes instead of 64×4 raw floats — a
+    * 32× compression that is what lets a 100 TB embedding corpus keep its
+    * searchable form in cluster memory at all. A query never decodes:
+    * it precomputes a distance table (its own subvector vs every codeword,
+    * M×K = 128 doubles), and a candidate's approximate distance is M
+    * table lookups — no float vector is touched at scan time.
+    *
+    * Like [[annIvfAssign]], the codebook is FROZEN data-sampled (subspace
+    * codewords = the first [[pqK]] corpus vectors' subvectors), so encode,
+    * distance table, and ranking are all deterministic corpus functions
+    * and DuckDB re-derives the identical relation — full hash oracle, no
+    * literals to drift. Production swaps in per-subspace Lloyd codebooks
+    * fit offline; every plan shape below is unchanged by that swap.
+    *
+    * Plan shape: subvector explode is narrow (rows × M, slice() is
+    * codegen'd); encode is one (vec_id, m)-keyed min-struct argmin over a
+    * BROADCAST codeword relation (M×K rows); ADC reassembles per
+    * (query, vec) via M conditional `max` aggregates — the
+    * slot-pivot trick from textChunkDedup — then sums d0..d7 in fixed
+    * index order, so the float accumulation order is pinned and
+    * bit-identical across engines (a plain sum() agg would be
+    * partition-order-dependent); top-k is one per-query window. The only
+    * per-candidate state anywhere is the 8 code ids — the compression IS
+    * the plan. */
+  def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorOps.dot_product _
+    val v = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // (vec_id, m, sv, sq): the per-subspace view of the corpus
+    val sub = v
+      .select(col("vec_id"), posexplode(array(
+        (0 until pqM).map(m => slice(col("v"), m * 8 + 1, 8)): _*))
+        .as(Seq("m", "sv")))
+      .withColumn("sq", dot(col("sv"), col("sv")))
+    val cw = sub.filter(col("vec_id") < pqK)
+      .select(col("vec_id").as("c"), col("m"), col("sv").as("cv"),
+        col("sq").as("csq"))
+    // encode: argmin_c |sv - cv|² per (vec_id, m), algebraic expansion,
+    // tie → smallest codeword id via the min-struct
+    val enc = sub.join(broadcast(cw), Seq("m"))
+      .withColumn("dist",
+        col("sq") - lit(2.0) * dot(col("sv"), col("cv")) + col("csq"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.c").as("code"))
+    // the query-side distance table: (query_id, m, c, d) — M×K rows per
+    // query, broadcast
+    val dt = sub.filter(col("vec_id") < pqQueries)
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("sv").as("qv"), col("sq").as("qsq"))
+      .join(cw, Seq("m"))
+      .withColumn("d",
+        col("qsq") - lit(2.0) * dot(col("qv"), col("cv")) + col("csq"))
+      .select(col("query_id"), col("m"), col("c"), col("d"))
+    val slots = (0 until pqM).map(j =>
+      max(when(col("m") === j, col("d"))).as(s"d$j"))
+    val adc = enc.join(broadcast(dt),
+        enc("m") === dt("m") && enc("code") === dt("c"))
+      .select(dt("query_id"), enc("vec_id"), enc("m").as("m"), dt("d"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(slots.head, slots.tail: _*)
+      .withColumn("adc",
+        (0 until pqM).map(j => col(s"d$j")).reduce(_ + _))
+      .filter(col("vec_id") =!= col("query_id"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annPqAdcSql: String = {
+    val dSlots = (0 until pqM)
+      .map(j => s"max(CASE WHEN e.m = $j THEN d END) AS d$j")
+      .mkString(",\n      |    ")
+    val dSum = (0 until pqM).map(j => s"d$j").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |mm AS (SELECT range AS m FROM range(0, $pqM)),
+       |sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
+       |        FROM n CROSS JOIN mm),
+       |sq AS (SELECT vec_id, m, sv,
+       |         list_sum(list_transform(sv, x -> x * x)) AS sq FROM sub),
+       |cw AS (SELECT vec_id AS c, m, sv AS cv, sq AS csq
+       |       FROM sq WHERE vec_id < $pqK),
+       |enc0 AS (SELECT s.vec_id, s.m, c.c,
+       |    s.sq - 2.0 * list_sum(list_transform(list_zip(s.sv, c.cv),
+       |      z -> z[1] * z[2])) + c.csq AS dist
+       |  FROM sq s JOIN cw c USING (m)),
+       |enc AS (SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, c) AS rk FROM enc0) WHERE rk = 1),
+       |dt AS (SELECT q.vec_id AS query_id, c.m, c.c,
+       |    q.sq - 2.0 * list_sum(list_transform(list_zip(q.sv, c.cv),
+       |      z -> z[1] * z[2])) + c.csq AS d
+       |  FROM sq q JOIN cw c USING (m) WHERE q.vec_id < $pqQueries),
+       |slots AS (SELECT dt.query_id, e.vec_id,
+       |    $dSlots
+       |  FROM enc e JOIN dt ON dt.m = e.m AND dt.c = e.code
+       |  GROUP BY 1, 2),
+       |adc AS (SELECT query_id, vec_id, $dSum AS adc FROM slots
+       |        WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, adc, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+       |      FROM adc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id, round(adc, 6) AS adc_dist
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("ann_ivf", annIvf _, None),
       ("ann_ivf_assign",
         (s: SparkSession, d: String) => annIvfAssign(s, d),
         Some(annIvfAssignSql)),
+      ("ann_pq_adc", annPqAdc _, Some(annPqAdcSql)),
       ("emb_centroids", embCentroids _, Some(embCentroidsSql)))
 }

@@ -18,14 +18,28 @@ class ClusterProfileSpec extends AnyFunSuite {
   test("applyTo lands every knob in the live session conf") {
     val p = ClusterProfile(executors = 10, coresPerExecutor = 4,
       executorMemGb = 16, inputBytes = 1L << 40) // 1 TiB
-    p.applyTo(spark)
-    p.confs.foreach { case (k, v) =>
-      assert(spark.conf.get(k) == v, s"knob $k did not land")
+    // getOrCreate may hand back a session shared with other suites, so
+    // snapshot and restore every knob applyTo touches — leaking an 8192
+    // shuffle width into later suites turns their tests into
+    // 8192-task crawls (observed: a full-suite run went from ~4 to
+    // >15 min before this restore existed).
+    val prior = p.confs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      p.applyTo(spark)
+      p.confs.foreach { case (k, v) =>
+        assert(spark.conf.get(k) == v, s"knob $k did not land")
+      }
+      // and the session is really using them: a fresh plan picks up the
+      // new shuffle width
+      assert(spark.conf.get("spark.sql.shuffle.partitions") ==
+        p.shufflePartitions.toString)
+    } finally {
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
-    // and the session is really using them: a fresh plan picks up the
-    // new shuffle width
-    assert(spark.conf.get("spark.sql.shuffle.partitions") ==
-      p.shufflePartitions.toString)
   }
 
   test("shuffle width follows input bytes with a 2x-cores floor") {

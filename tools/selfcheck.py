@@ -61,6 +61,9 @@ ROUNDED_COLS = {
     "ann_lsh_bucket": {"cosine"},
     "ann_ivf_assign": {"cosine"},
     "emb_centroids": {"dispersion", "centroid_norm"},
+    "ann_pq_adc": {"adc_dist"},
+    "zorder_layout": {"pk_span_frac", "sk_span_frac"},
+    "bloom_decontaminate": {"overlap"},
 }
 
 

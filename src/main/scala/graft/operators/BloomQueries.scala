@@ -27,6 +27,17 @@ import graft.core.Tables
   * bloom indexes, broadcast-bloom row filtering in Spark's own runtime
   * filtering) stated as an operator.
   *
+  * Measured ([[graft.operators.tools.BloomAb]], 10× fixture, broadcast
+  * disabled on both arms to force the big-benchmark join strategy): the
+  * sieve cuts semi-join shuffle volume 48% at the fixture's mere 9:1
+  * probe:bench gram ratio — the reduction is proportional to that
+  * ratio, approaching (1 − fp) for a fixed benchmark suite against a
+  * growing corpus — while single-host wall-clock LOSES at fixture scale
+  * (the sketch build is an extra bench-gram pass). Expected trade: the
+  * bloom is a shuffle-volume lever for the beyond-broadcast regime, not
+  * a small-scale speedup, which is why this query keeps the broadcast
+  * hint as its default plan shape.
+  *
   * Mechanics: the benchmark grams aggregate into a
   * `util.sketch.BloomFilter` (distributed build via `stat.bloomFilter`'s
   * per-partition OR-merge — insertion-order-free, so the sketch is
@@ -47,31 +58,46 @@ object BloomQueries {
     bridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), bridge.expression(v)))
 
-  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** Shared builder: the decontamination relation with the bloom
+    * prefilter and the broadcast hint independently switchable — the
+    * registry query is (bloom, hint) = (true, true); `tools.BloomAb`
+    * measures the (exact vs bloom) pair with the hint OFF, which is the
+    * beyond-broadcast regime where the bloom is the difference between
+    * shuffling every corpus gram and shuffling only the survivors. */
+  private[graft] def decontaminate(s: SparkSession, dir: String,
+      useBloom: Boolean, hintBroadcast: Boolean = true): DataFrame = {
     val d = Tables(s, dir, "documents")
     val grams5 = (c: Column) =>
       graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
     val bench = d.filter(col("doc_id") % 10 === 0)
       .select(explode(grams5(col("text"))).as("gh")).distinct()
-    // distributed sketch build; n_items from a cheap exact count of the
-    // (already tiny relative to the corpus) benchmark side. 1% fp keeps
-    // the sketch ~1.2 KB per 1k grams — ~1.2 MB for a 1M-gram benchmark
-    // suite, still a trivial broadcast.
-    val nBench = bench.count()
-    val bloom = bench.stat.bloomFilter(col("gh"), math.max(nBench, 1L), 0.01)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
     val probe = d.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
     // n_grams needs no join at all — count before any filtering
     val totals = probe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // the bloom rejects ~99% of clean grams BEFORE the join; the exact
     // semi join then removes the false positives, so n_hit is exact
-    val hits = probe.filter(mightContain(bloomBytes, col("gh")))
-      .join(broadcast(bench), Seq("gh"), "left_semi")
+    val sieved =
+      if (!useBloom) probe
+      else {
+        // size the sketch from a column-pruned UPPER BOUND (grams/doc <
+        // words/doc < n_chars/2) instead of an exact gram count — the
+        // exact count is a second full scan+explode+distinct of the
+        // benchmark side (measured: ~⅓ of the bloom path's overhead at
+        // the 10× fixture), while over-sizing only costs sketch bits
+        // (1% fp target ≈ 1.2 KB per 1k capacity — a 3× over-estimate
+        // on a 1M-gram suite is still < 4 MB). The build itself is one
+        // distributed pass with order-free OR-merge.
+        val bound = d.filter(col("doc_id") % 10 === 0)
+          .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
+        val bloom = bench.stat.bloomFilter(col("gh"),
+          math.max(bound / 2, 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        probe.filter(mightContain(bos.toByteArray, col("gh")))
+      }
+    val benchSide = if (hintBroadcast) broadcast(bench) else bench
+    val hits = sieved.join(benchSide, Seq("gh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq("doc_id"), "left_outer")
       .na.fill(Map("n_hit" -> 0L))
@@ -81,6 +107,9 @@ object BloomQueries {
       .withColumn("contaminated", col("overlap") >= 0.2)
       .orderBy(col("doc_id"))
   }
+
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminate(s, dir, useBloom = true)
 
   /** Candidate-volume relation for the spec: how much the bloom actually
     * rejects (grams in, bloom-positives out, true hits) — the prefilter's

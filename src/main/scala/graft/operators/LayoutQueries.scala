@@ -57,24 +57,31 @@ object LayoutQueries {
         s"(($by >> $j) & 1) * ${1L << (2 * j + 1)}"
     }.mkString(" + ")
 
-  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_partkey").cast("long").as("pk"),
-        col("l_suppkey").cast("long").as("sk"))
-    // one scalar-aggregate prologue; broadcast into the main scan so the
-    // bucketization is a map-side expression over (pk, sk)
-    val bounds = li.agg(
-      min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
-      min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+  /** Append bucketization + Morton-code columns (`bx`, `by`, `z`) to a
+    * relation carrying long `pk`/`sk` columns: one scalar-aggregate
+    * bounds prologue broadcast into the scan, then pure map-side integer
+    * arithmetic. Shared by the oracled stats query and the write-path
+    * pruning A/B ([[graft.operators.tools.LayoutAb]]). */
+  private[graft] def withZ(li: DataFrame): DataFrame = {
     // `div` (integral division) — `/` on longs is double division in
     // both engines and floor()ing it can mis-bucket when the quotient
     // rounds up across an integer boundary
-    val z = li.crossJoin(broadcast(bounds))
+    val bounds = li.agg(
+      min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+      min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+    li.crossJoin(broadcast(bounds))
       .withColumn("bx",
         expr("((pk - min_pk) * 256) div greatest(max_pk - min_pk + 1, 1)"))
       .withColumn("by",
         expr("((sk - min_sk) * 256) div greatest(max_sk - min_sk + 1, 1)"))
-      .withColumn("file_id", shiftright(morton(col("bx"), col("by")), 10))
+      .withColumn("z", morton(col("bx"), col("by")))
+  }
+
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+    val z = withZ(li).withColumn("file_id", shiftright(col("z"), 10))
     z.groupBy(col("file_id"))
       .agg(count(lit(1)).as("cnt"),
         min(col("pk")).as("lo_pk"), max(col("pk")).as("hi_pk"),

@@ -111,6 +111,92 @@ object BloomQueries {
   def bloomDecontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminate(s, dir, useBloom = true)
 
+  /** Streaming (ingest-time) decontamination — the shape a production
+    * crawl actually runs: the benchmark suite is SLOWLY-CHANGING (its
+    * gram relation and bloom sketch are built once and reused for the
+    * stream's lifetime), while training documents arrive in batches and
+    * each batch is sieved map-side by the sketch at scan time, with only
+    * bloom survivors entering the exact verify join. Decontamination is
+    * stateless per document, so unlike [[StreamingDedupQueries]] there
+    * is no accumulated store — per-batch work is proportional to the
+    * BATCH, the historical corpus is never touched, and the result is
+    * batch-by-batch identical to the batch query on the same rows:
+    * the oracle is the literally-same SQL as `text_decontaminate`.
+    *
+    * Determinism: id-ranged batches staged with pinned mtimes,
+    * `maxFilesPerTrigger=1`, `Trigger.AvailableNow` (the
+    * [[graft.streaming.StreamingQueries.stageBatches]] replay
+    * contract); the bench grams are materialized once to a staging
+    * parquet so the per-batch verify join re-reads a pruned scan
+    * instead of re-deriving the explode+distinct. */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Tables(s, dir, "documents")
+    val grams5 = (c: Column) =>
+      graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
+    val bench = d.filter(col("doc_id") % 10 === 0)
+      .select(explode(grams5(col("text"))).as("gh")).distinct()
+
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_decon_" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid())
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    base.mkdirs()
+    graft.core.TempDirs.cleanOnExit(base.toPath)
+    val benchDir = s"$base/bench"
+    val outDir = s"$base/result"
+
+    // the slowly-changing side: one gram materialization + one sketch
+    // build for the whole stream
+    bench.write.mode("overwrite").parquet(benchDir)
+    val bound = d.filter(col("doc_id") % 10 === 0)
+      .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
+    val bloom = s.read.parquet(benchDir).stat
+      .bloomFilter(col("gh"), math.max(bound / 2, 1L), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+
+    val probeDocs = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val Array(idMin, idMax) = probeDocs
+      .agg(min(col("doc_id")), max(col("doc_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val b1 = idMin + (idMax - idMin) / 3
+    val b2 = idMin + 2 * (idMax - idMin) / 3
+    val staging = graft.streaming.StreamingQueries.stageBatches(
+      "graft_stream_decon_stage_" + Integer.toHexString(dir.hashCode),
+      Seq(probeDocs.filter(col("doc_id") <= b1),
+        probeDocs.filter(col("doc_id") > b1 && col("doc_id") <= b2),
+        probeDocs.filter(col("doc_id") > b2)))
+
+    val src = s.readStream.schema(probeDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val ss = batch.sparkSession
+      val grams = batch
+        .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
+      val totals = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = grams.filter(mightContain(bloomBytes, col("gh")))
+        .join(broadcast(ss.read.parquet(benchDir)), Seq("gh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      totals.join(hits, Seq("doc_id"), "left_outer")
+        .na.fill(Map("n_hit" -> 0L))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_grams"), 6)
+            .as("overlap"))
+        .withColumn("contaminated", col("overlap") >= 0.2)
+        .write.mode("append").parquet(outDir)
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** Candidate-volume relation for the spec: how much the bloom actually
     * rejects (grams in, bloom-positives out, true hits) — the prefilter's
     * working ratio, measured not argued. */
@@ -142,6 +228,9 @@ object BloomQueries {
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("bloom_decontaminate", bloomDecontaminate _,
-      Some(TextQueries.textDecontaminateSql)))
+    Seq(
+      ("bloom_decontaminate", bloomDecontaminate _,
+        Some(TextQueries.textDecontaminateSql)),
+      ("stream_decontaminate", streamDecontaminate _,
+        Some(TextQueries.textDecontaminateSql)))
 }

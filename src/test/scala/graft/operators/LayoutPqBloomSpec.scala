@@ -72,6 +72,16 @@ class LayoutPqBloomSpec extends AnyFunSuite {
     assert(neg == 0L, "ADC produced a materially negative distance")
   }
 
+  test("streaming decontamination equals the batch relation bit-for-bit") {
+    val stream = BloomQueries.streamDecontaminate(spark, dir).collect()
+      .map(_.toSeq).toSet
+    val batch = TextQueries.textDecontaminate(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(stream == batch,
+      s"stream/batch diverge: ${(stream diff batch).take(3)} vs " +
+        s"${(batch diff stream).take(3)}")
+  }
+
   test("bloom prefilter: zero false negatives, real rejection") {
     val r = BloomQueries.bloomStats(spark, dir).collect().head
     val (nGrams, nBloomPos, nTrueHit, nFalseNeg) =

@@ -64,6 +64,7 @@ ROUNDED_COLS = {
     "ann_pq_adc": {"adc_dist"},
     "zorder_layout": {"pk_span_frac", "sk_span_frac"},
     "bloom_decontaminate": {"overlap"},
+    "stream_decontaminate": {"overlap"},
 }
 
 

@@ -379,6 +379,154 @@ object IvfQueries {
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------- IVF-PQ: the production composite
+
+  /** IVF-PQ — the index shape production vector search actually deploys
+    * (FAISS's IVFx,PQy family): the IVF coarse quantizer bounds WHICH
+    * vectors a query compares against (nprobe cells, never the corpus)
+    * and PQ bounds WHAT a comparison costs (8 code bytes + table
+    * lookups, never a float vector). PQ here encodes RESIDUALS
+    * (v − centroid[cell]) — the standard refinement: residuals
+    * concentrate near zero so a shared codebook quantizes them far
+    * better than raw vectors — and the query builds a distance table
+    * PER PROBED CELL against its own residual (q − centroid[cell]),
+    * giving |q−x|² ≈ Σ_m |(q−c_x)_m − cw[code_m]|².
+    *
+    * Like its two parents ([[annIvfAssign]], [[annPqAdc]]) every
+    * codebook is frozen data-sampled (cells = first 32 vectors,
+    * residual codewords = first 16 vectors' residual subvectors), so
+    * encode, probe, table, and ranking are deterministic corpus
+    * functions and the whole composite hash-oracles in DuckDB. The
+    * scale shape composes both parents': assignment/encode are
+    * broadcast-join map-side passes; the search join is keyed on cell
+    * id (dt carries only query × probed-cell × M × K rows, broadcast);
+    * ADC reassembles via the slot-pivot with pinned float order; the
+    * per-candidate state is 8 code bytes + a cell id. */
+  def annIvfPq(s: SparkSession, dir: String,
+      k: Int = defaultK, nprobe: Int = defaultNprobe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorOps.dot_product _
+    val v = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nsq", dot(col("v"), col("v")))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("ce"),
+        col("nsq").as("csq"))
+    val ranked = v.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nsq") - lit(2.0) * dot(col("v"), col("ce")) + col("csq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
+    // residual of every vector w.r.t. its OWN cell centroid
+    val res = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("ce"), (x, y) => x - y).as("rv"))
+    val rsub = res
+      .select(col("vec_id"), col("cell"), posexplode(array(
+        (0 until pqM).map(m => slice(col("rv"), m * 8 + 1, 8)): _*))
+        .as(Seq("m", "sv")))
+      .withColumn("sq", dot(col("sv"), col("sv")))
+    val rcw = rsub.filter(col("vec_id") < pqK)
+      .select(col("vec_id").as("c"), col("m"), col("sv").as("cv"),
+        col("sq").as("cwsq"))
+    val enc = rsub.join(broadcast(rcw), Seq("m"))
+      .withColumn("dist",
+        col("sq") - lit(2.0) * dot(col("sv"), col("cv")) + col("cwsq"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.c").as("code"))
+    // per-(query, probed cell) residual → distance table rows
+    val qres = ranked.filter(col("vec_id") < pqQueries && col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        zip_with(col("v"), col("ce"), (x, y) => x - y).as("qrv"))
+    val dt = qres
+      .select(col("query_id"), col("cell"), posexplode(array(
+        (0 until pqM).map(m => slice(col("qrv"), m * 8 + 1, 8)): _*))
+        .as(Seq("m", "qv")))
+      .withColumn("qsq", dot(col("qv"), col("qv")))
+      .join(rcw, Seq("m"))
+      .withColumn("d",
+        col("qsq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cwsq"))
+      .select(col("query_id"), col("cell"), col("m"), col("c"), col("d"))
+    val slots = (0 until pqM).map(j =>
+      max(when(col("m") === j, col("d"))).as(s"d$j"))
+    val adc = enc
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id")).as("l")
+      .join(broadcast(dt).as("dt"),
+        col("dt.cell") === col("l.cell") && col("dt.m") === col("l.m") &&
+          col("dt.c") === col("l.code"))
+      .select(col("dt.query_id").as("query_id"), col("l.vec_id").as("vec_id"),
+        col("l.cell").as("cell"), col("l.m").as("m"), col("dt.d").as("d"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(slots.head, slots.tail: _*)
+      .withColumn("adc",
+        (0 until pqM).map(j => col(s"d$j")).reduce(_ + _))
+      .filter(col("vec_id") =!= col("query_id"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cell"), round(col("adc"), 6).as("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfPqSql: String = {
+    val dSlots = (0 until pqM)
+      .map(j => s"max(CASE WHEN e.m = $j THEN d END) AS d$j")
+      .mkString(",\n      |    ")
+    val dSum = (0 until pqM).map(j => s"d$j").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS nsq
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, e AS ce, nsq AS csq
+       |         FROM n WHERE vec_id < $defaultK),
+       |rkd AS (SELECT n.vec_id, c.cell, n.e, c.ce,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      n.nsq - 2.0 * list_sum(list_transform(list_zip(n.e, c.ce),
+       |        z -> z[1] * z[2])) + c.csq, c.cell) AS rk
+       |  FROM n CROSS JOIN cent c),
+       |res AS (SELECT vec_id, cell,
+       |    list_transform(list_zip(e, ce), z -> z[1] - z[2]) AS rv
+       |  FROM rkd WHERE rk = 1),
+       |mm AS (SELECT range AS m FROM range(0, $pqM)),
+       |rsub AS (SELECT vec_id, cell, m, rv[m*8+1 : m*8+8] AS sv,
+       |    list_sum(list_transform(rv[m*8+1 : m*8+8], x -> x * x)) AS sq
+       |  FROM res CROSS JOIN mm),
+       |rcw AS (SELECT vec_id AS c, m, sv AS cv, sq AS cwsq
+       |        FROM rsub WHERE vec_id < $pqK),
+       |enc0 AS (SELECT s.vec_id, s.m, c.c,
+       |    s.sq - 2.0 * list_sum(list_transform(list_zip(s.sv, c.cv),
+       |      z -> z[1] * z[2])) + c.cwsq AS dist
+       |  FROM rsub s JOIN rcw c USING (m)),
+       |enc AS (SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, c) AS rk FROM enc0) WHERE rk = 1),
+       |qres AS (SELECT vec_id AS query_id, cell,
+       |    list_transform(list_zip(e, ce), z -> z[1] - z[2]) AS qrv
+       |  FROM rkd WHERE vec_id < $pqQueries AND rk <= $defaultNprobe),
+       |qsub AS (SELECT query_id, cell, m, qrv[m*8+1 : m*8+8] AS qv,
+       |    list_sum(list_transform(qrv[m*8+1 : m*8+8], x -> x * x)) AS qsq
+       |  FROM qres CROSS JOIN mm),
+       |dt AS (SELECT q.query_id, q.cell, c.m, c.c,
+       |    q.qsq - 2.0 * list_sum(list_transform(list_zip(q.qv, c.cv),
+       |      z -> z[1] * z[2])) + c.cwsq AS d
+       |  FROM qsub q JOIN rcw c USING (m)),
+       |slots AS (SELECT dt.query_id, e.vec_id, a.cell,
+       |    $dSlots
+       |  FROM enc e JOIN res a USING (vec_id)
+       |  JOIN dt ON dt.cell = a.cell AND dt.m = e.m AND dt.c = e.code
+       |  GROUP BY 1, 2, 3),
+       |adc AS (SELECT query_id, vec_id, cell, $dSum AS adc FROM slots
+       |        WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, cell, adc, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+       |      FROM adc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id, cell, round(adc, 6) AS adc_dist
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("ann_ivf", annIvf _, None),
@@ -386,5 +534,8 @@ object IvfQueries {
         (s: SparkSession, d: String) => annIvfAssign(s, d),
         Some(annIvfAssignSql)),
       ("ann_pq_adc", annPqAdc _, Some(annPqAdcSql)),
+      ("ann_ivfpq",
+        (s: SparkSession, d: String) => annIvfPq(s, d),
+        Some(annIvfPqSql)),
       ("emb_centroids", embCentroids _, Some(embCentroidsSql)))
 }

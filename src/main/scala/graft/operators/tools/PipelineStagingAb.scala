@@ -34,17 +34,23 @@ import graft.operators.MwasPipelineQueries
   */
 object PipelineStagingAb {
 
-  private def build(s: SparkSession, dir: String, staged: Boolean)
+  private def build(s: SparkSession, dir: String, mode: String)
       : DataFrame = {
     val in = MwasPipelineQueries.input(s, dir)
     val cat = MwasPipelineQueries.catalog(s, dir)
     val sets = MetadataCondenser.condense(
       MwasPipelineQueries.metadataLong(s, dir))
-    if (staged)
-      Pipeline.run(in.localCheckpoint(), cat.localCheckpoint(),
+    mode match {
+      case "as-is" => Pipeline.run(in, cat, sets, MwasConfig())
+      case "staged" => Pipeline.run(in.localCheckpoint(),
+        cat.localCheckpoint(), sets.localCheckpoint(), MwasConfig())
+      // the r11 refinement hypothesis: the CONDENSER is the most
+      // expensive re-derived input (CSV melt + value_counts chains) and
+      // its output is tiny — staging it alone buys the re-derivation
+      // savings without losing column pruning on the big fact inputs
+      case "sets-only" => Pipeline.run(in, cat,
         sets.localCheckpoint(), MwasConfig())
-    else
-      Pipeline.run(in, cat, sets, MwasConfig())
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,8 +67,9 @@ object PipelineStagingAb {
       (System.nanoTime() - t0) / 1e9
     }
     val arms = Seq(
-      "as-is" -> (() => build(spark, dir, staged = false)),
-      "staged" -> (() => build(spark, dir, staged = true)),
+      "as-is" -> (() => build(spark, dir, "as-is")),
+      "staged" -> (() => build(spark, dir, "staged")),
+      "sets-only" -> (() => build(spark, dir, "sets-only")),
       "control-q6" -> (() => graft.SparkEntry.queries("q6_outer_join")(
         spark, "/root/testdata/sf0.1")))
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]

@@ -315,10 +315,14 @@ object IvfQueries {
       .select(col("vec_id"), col("m"), col("best.c").as("code"))
     // the query-side distance table: (query_id, m, c, d) — M×K rows per
     // query, broadcast
+    // broadcast the codeword side explicitly: its lineage reaches back to
+    // the corpus scan, so Catalyst's size estimate is corpus-sized and
+    // would otherwise pick a sort-merge join on the M-value key — 8
+    // distinct keys is degenerate skew at scale, for a 128-row relation
     val dt = sub.filter(col("vec_id") < pqQueries)
       .select(col("vec_id").as("query_id"), col("m"),
         col("sv").as("qv"), col("sq").as("qsq"))
-      .join(cw, Seq("m"))
+      .join(broadcast(cw), Seq("m"))
       .withColumn("d",
         col("qsq") - lit(2.0) * dot(col("qv"), col("cv")) + col("csq"))
       .select(col("query_id"), col("m"), col("c"), col("d"))
@@ -444,7 +448,9 @@ object IvfQueries {
         (0 until pqM).map(m => slice(col("qrv"), m * 8 + 1, 8)): _*))
         .as(Seq("m", "qv")))
       .withColumn("qsq", dot(col("qv"), col("qv")))
-      .join(rcw, Seq("m"))
+      // explicit broadcast — same reason as annPqAdc's dt build: the
+      // codeword lineage looks corpus-sized to the estimator
+      .join(broadcast(rcw), Seq("m"))
       .withColumn("d",
         col("qsq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cwsq"))
       .select(col("query_id"), col("cell"), col("m"), col("c"), col("d"))

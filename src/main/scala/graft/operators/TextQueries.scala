@@ -535,6 +535,101 @@ object TextQueries {
       |FROM ch JOIN freq USING (h)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------- T8b: content-defined chunking (CDC) dedup
+
+  /** Variable-length (content-defined) chunk dedup — the shift-robust
+    * sibling of [[textChunkDedup]]. Fixed 10-word chunks break on ANY
+    * insertion: one added word shifts every later chunk boundary and a
+    * 99%-identical doc shares zero chunk hashes. Content-defined
+    * chunking (the FastCDC/rolling-hash family used by storage dedup and
+    * web-scale sub-doc dedup alike) instead cuts wherever a local
+    * content fingerprint hits a boundary pattern — here, a word 3-gram
+    * whose md5 starts with '0' (rate 1/16 → ~16-word average chunks) —
+    * so an insertion only perturbs the chunks it touches and duplicated
+    * spans re-align at the next boundary.
+    *
+    * Cross-engine determinism is the design constraint: the boundary
+    * rule is md5-prefix on the gram TEXT (both engines agree on md5 of
+    * identical bytes), never a seeded integer hash (DuckDB's hash() is
+    * not Spark's xxhash64). Chunk reassembly collects (pos, word)
+    * structs and array_sorts in-row — per-(doc,chunk) groups are
+    * bounded (~16 words), so the non-codegen collect is a few structs
+    * per output row, not a hot path. The corpus-wide frequency join
+    * keys on md5(chunk) — shuffle ∝ corpus, never all-pairs, same as
+    * the fixed-chunk plan. */
+  def textCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val w = docs(s, dir)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(byPos))
+      .withColumn("w2", lead(col("w"), 2).over(byPos))
+      .withColumn("b",
+        when(col("w2").isNotNull &&
+          substring(md5(concat_ws(" ", col("w"), col("w1"), col("w2"))),
+            1, 1) === "0", 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("b")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val chunked = w.groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        e => e.getField("w")), " ")).as("h"),
+        count(lit(1)).as("len"))
+    val freq = chunked.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    chunked.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("len")).cast("long").as("n_words"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("n_occ") >= 2, col("len")).otherwise(0L))
+          .cast("long").as("n_dup_words"))
+      .select(col("doc_id"), col("n_chunks"), col("n_words"), col("n_dup"),
+        round(col("n_dup_words").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        (col("n_dup") * 2 >= col("n_chunks")).as("mostly_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textCdcDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         CAST(generate_subscripts(string_split(text, ' '), 1)
+      |           AS BIGINT) - 1 AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, pos, w,
+      |         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM w),
+      |b AS (
+      |  SELECT doc_id, pos, w,
+      |    CASE WHEN w2 IS NOT NULL AND
+      |      substring(md5(w || ' ' || w1 || ' ' || w2), 1, 1) = '0'
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM g),
+      |ch0 AS (
+      |  SELECT doc_id, pos, w,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+      |  FROM b),
+      |ch AS (
+      |  SELECT doc_id, chunk, md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+      |         count(*) AS len
+      |  FROM ch0 GROUP BY 1, 2),
+      |freq AS (SELECT h, count(*) AS n_occ FROM ch GROUP BY 1)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(len) AS BIGINT) AS n_words,
+      |       CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup,
+      |       round(CAST(sum(CASE WHEN n_occ >= 2 THEN len ELSE 0 END)
+      |         AS DOUBLE) / sum(len), 6) AS dup_word_frac,
+      |       sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) * 2 >= count(*)
+      |         AS mostly_dup
+      |FROM ch JOIN freq USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- T9: tf-idf keyword extract
 
   /** Per-document top-3 keywords by tf-idf (linear idf N/df, not
@@ -725,6 +820,7 @@ object TextQueries {
       ("text_scrub", textScrub _, Some(textScrubSql)),
       ("text_tokens", textTokens _, Some(textTokensSql)),
       ("text_chunk_dedup", textChunkDedup _, Some(textChunkDedupSql)),
+      ("text_cdc_dedup", textCdcDedup _, Some(textCdcDedupSql)),
       ("text_tfidf", textTfidf _, Some(textTfidfSql)),
       ("text_pack_sequences", textPackSequences _,
         Some(textPackSequencesSql)),

@@ -49,6 +49,7 @@ ROUNDED_COLS = {
                         "top_bigram_frac"},
     "text_decontaminate": {"overlap"},
     "text_chunk_dedup": {"boiler_frac"},
+    "text_cdc_dedup": {"dup_word_frac"},
     "text_tfidf": {"score"},
     "text_vocab_oov": {"oov_rate"},
     "mwas_results_analyze": {"sets_per_group", "avg_abs_stat"},

@@ -140,9 +140,79 @@ object TextCorpusQueries {
       |         AS BIGINT) AS n_tokens_kept
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-source distribution drift vs the corpus — the mixture monitor a
+    * multi-source pretraining pipeline runs continuously: when one
+    * source's unigram distribution drifts (a crawler picks up a new
+    * template, a source flips language), its KL against the corpus
+    * moves before any downstream metric does.
+    *
+    * KL is computed over a FIXED support (the corpus top-200 words, ties
+    * broken by word so both engines pick the identical set) with add-one
+    * smoothing, which (a) makes it finite and cross-source comparable,
+    * (b) bounds per-source work at O(K) regardless of vocab size, and
+    * (c) keeps the whole reduction deterministic arithmetic over exact
+    * integer counts — the only float work is K log-terms summed per
+    * source, then round(·,6) (driftaudit-checked like every rounded
+    * column). Plan shape: one map-side-combined (source, word) count
+    * shuffle, a K-row broadcast of the support, and a |sources|×K
+    * aggregate — at 100 TB the token count shuffle is the only
+    * corpus-scale term, identical to [[textVocabOov]]'s pass 1. */
+  def textDistDrift(s: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val toks = docs(s, dir).select(col("source"), explode(words).as("w"))
+    val srcCounts = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val support = srcCounts.groupBy(col("w"))
+      .agg(sum(col("c")).as("cg"))
+      .orderBy(col("cg").desc, col("w")).limit(k)
+    val globTotal = toks.groupBy().agg(count(lit(1)).as("ng"))
+    val srcTotal = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"))
+    // sources × support grid (both tiny), then the observed counts
+    val grid = srcTotal.crossJoin(broadcast(support))
+      .join(srcCounts, Seq("source", "w"), "left")
+      .na.fill(Map("c" -> 0L))
+      .crossJoin(broadcast(globTotal))
+    grid
+      .withColumn("ps",
+        (col("c") + lit(1.0)) / (col("ns") + lit(k.toDouble)))
+      .withColumn("pg",
+        (col("cg") + lit(1.0)) / (col("ng") + lit(k.toDouble)))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).cast("long").as("n_tokens"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).as("support_hit"),
+        round(sum(col("ps") * log(col("ps") / col("pg"))), 6)
+          .as("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
+  val textDistDriftSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      |support AS (
+      |  SELECT w, sum(c) AS cg FROM sc GROUP BY 1
+      |  ORDER BY sum(c) DESC, w LIMIT 200),
+      |gt AS (SELECT count(*) AS ng FROM toks),
+      |st AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
+      |grid AS (
+      |  SELECT st.source, st.ns, s.w, s.cg, coalesce(sc.c, 0) AS c, gt.ng
+      |  FROM st CROSS JOIN support s
+      |  LEFT JOIN sc ON sc.source = st.source AND sc.w = s.w
+      |  CROSS JOIN gt)
+      |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS support_hit,
+      |       round(sum(((c + 1.0) / (ns + 200.0)) *
+      |         ln(((c + 1.0) / (ns + 200.0)) /
+      |            ((cg + 1.0) / (ng + 200.0)))), 6) AS kl_vs_corpus
+      |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("text_vocab_oov", textVocabOov _, Some(textVocabOovSql)),
       ("text_token_budget_sample", textTokenBudgetSample _,
-        Some(textTokenBudgetSampleSql)))
+        Some(textTokenBudgetSampleSql)),
+      ("text_dist_drift", textDistDrift _, Some(textDistDriftSql)))
 }

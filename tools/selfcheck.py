@@ -50,6 +50,7 @@ ROUNDED_COLS = {
     "text_decontaminate": {"overlap"},
     "text_chunk_dedup": {"boiler_frac"},
     "text_cdc_dedup": {"dup_word_frac"},
+    "text_dist_drift": {"kl_vs_corpus"},
     "text_tfidf": {"score"},
     "text_vocab_oov": {"oov_rate"},
     "mwas_results_analyze": {"sets_per_group", "avg_abs_stat"},

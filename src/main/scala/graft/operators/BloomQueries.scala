@@ -58,6 +58,42 @@ object BloomQueries {
     bridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), bridge.expression(v)))
 
+  // single source of truth for the twin-shape pieces every path below
+  // shares with textDecontaminate — the gram rule, the benchmark split,
+  // the sketch sizing, and the serialization must change in ONE place or
+  // the bloom/stream/stats paths silently diverge from the oracle
+  private def grams5(c: Column): Column =
+    graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
+
+  private def benchGrams(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 10 === 0)
+      .select(explode(grams5(col("text"))).as("gh")).distinct()
+
+  private def probeGrams(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
+
+  /** Sketch capacity from a column-pruned UPPER BOUND (grams/doc <
+    * words/doc < n_chars/2) instead of an exact gram count — the exact
+    * count is a second full scan+explode+distinct of the benchmark side
+    * (measured: ~⅓ of the bloom path's overhead at the 10× fixture),
+    * while over-sizing only costs sketch bits (1% fp target ≈ 1.2 KB per
+    * 1k capacity — a 3× over-estimate on a 1M-gram suite is < 4 MB). */
+  private def capacityBound(d: DataFrame): Long = {
+    val bound = d.filter(col("doc_id") % 10 === 0)
+      .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
+    math.max(bound / 2, 1L)
+  }
+
+  private def sketchBytes(bench: DataFrame, capacity: Long): Array[Byte] = {
+    // one distributed pass; per-partition filters OR-merge, so the bits
+    // are insertion-order-free
+    val bloom = bench.stat.bloomFilter(col("gh"), capacity, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Shared builder: the decontamination relation with the bloom
     * prefilter and the broadcast hint independently switchable — the
     * registry query is (bloom, hint) = (true, true); `tools.BloomAb`
@@ -67,35 +103,16 @@ object BloomQueries {
   private[graft] def decontaminate(s: SparkSession, dir: String,
       useBloom: Boolean, hintBroadcast: Boolean = true): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val grams5 = (c: Column) =>
-      graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
-    val bench = d.filter(col("doc_id") % 10 === 0)
-      .select(explode(grams5(col("text"))).as("gh")).distinct()
-    val probe = d.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
+    val bench = benchGrams(d)
+    val probe = probeGrams(d)
     // n_grams needs no join at all — count before any filtering
     val totals = probe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // the bloom rejects ~99% of clean grams BEFORE the join; the exact
     // semi join then removes the false positives, so n_hit is exact
     val sieved =
       if (!useBloom) probe
-      else {
-        // size the sketch from a column-pruned UPPER BOUND (grams/doc <
-        // words/doc < n_chars/2) instead of an exact gram count — the
-        // exact count is a second full scan+explode+distinct of the
-        // benchmark side (measured: ~⅓ of the bloom path's overhead at
-        // the 10× fixture), while over-sizing only costs sketch bits
-        // (1% fp target ≈ 1.2 KB per 1k capacity — a 3× over-estimate
-        // on a 1M-gram suite is still < 4 MB). The build itself is one
-        // distributed pass with order-free OR-merge.
-        val bound = d.filter(col("doc_id") % 10 === 0)
-          .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
-        val bloom = bench.stat.bloomFilter(col("gh"),
-          math.max(bound / 2, 1L), 0.01)
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        probe.filter(mightContain(bos.toByteArray, col("gh")))
-      }
+      else probe.filter(
+        mightContain(sketchBytes(bench, capacityBound(d)), col("gh")))
     val benchSide = if (hintBroadcast) broadcast(bench) else bench
     val hits = sieved.join(benchSide, Seq("gh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
@@ -132,10 +149,7 @@ object BloomQueries {
   def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val d = Tables(s, dir, "documents")
-    val grams5 = (c: Column) =>
-      graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
-    val bench = d.filter(col("doc_id") % 10 === 0)
-      .select(explode(grams5(col("text"))).as("gh")).distinct()
+    val bench = benchGrams(d)
 
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
@@ -148,17 +162,11 @@ object BloomQueries {
     val outDir = s"$base/result"
 
     // the slowly-changing side: one gram materialization + one sketch
-    // build for the whole stream
+    // build for the whole stream (the sketch builds off the materialized
+    // store so the stream's bench relation derives exactly once)
     bench.write.mode("overwrite").parquet(benchDir)
-    val bound = d.filter(col("doc_id") % 10 === 0)
-      .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
-    val bloom = s.read.parquet(benchDir).stat
-      .bloomFilter(col("gh"), math.max(bound / 2, 1L), 0.01)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bloomBytes =
+      sketchBytes(s.read.parquet(benchDir), capacityBound(d))
 
     val probeDocs = d.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), col("text"))
@@ -202,20 +210,9 @@ object BloomQueries {
     * working ratio, measured not argued. */
   private[operators] def bloomStats(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val grams5 = (c: Column) =>
-      graft.functions.ShingleOps.ngram_hashes(split(c, " "), 5)
-    val bench = d.filter(col("doc_id") % 10 === 0)
-      .select(explode(grams5(col("text"))).as("gh")).distinct()
-    val bloom = bench.stat.bloomFilter(col("gh"),
-      math.max(bench.count(), 1L), 0.01)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
-    val probe = d.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), explode(grams5(col("text"))).as("gh"))
-    probe
+    val bench = benchGrams(d)
+    val bloomBytes = sketchBytes(bench, capacityBound(d))
+    probeGrams(d)
       .withColumn("bloom_pos", mightContain(bloomBytes, col("gh")))
       .join(broadcast(bench.withColumn("true_hit", lit(true))),
         Seq("gh"), "left_outer")

@@ -221,13 +221,13 @@ object IvfQueries {
   }
 
   val annIvfAssignSql: String =
-    """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
       |          x -> x * x))) AS nrm
       |      FROM embeddings),
       |c AS (SELECT vec_id AS cell, e AS ce,
       |        list_sum(list_transform(e, x -> x * x)) AS csq
-      |      FROM n WHERE vec_id < 32),
+      |      FROM n WHERE vec_id < $defaultK),
       |d AS (SELECT n.vec_id, c.cell,
       |        n.nrm * n.nrm - 2.0 * list_sum(list_transform(
       |          list_zip(n.e, c.ce), s -> s[1] * s[2])) + c.csq AS dist
@@ -237,13 +237,13 @@ object IvfQueries {
       |      FROM d),
       |asg AS (SELECT vec_id, cell FROM r WHERE rk = 1),
       |ps AS (SELECT vec_id, list(cell ORDER BY rk) AS probes
-      |       FROM r WHERE rk <= 8 GROUP BY 1),
+      |       FROM r WHERE rk <= $defaultNprobe GROUP BY 1),
       |lists AS (SELECT a.cell, a.vec_id AS nn_id, n.e AS eb, n.nrm AS nrmb
       |          FROM asg a JOIN n ON n.vec_id = a.vec_id),
       |cand AS (SELECT r.vec_id, l.nn_id,
       |    list_sum(list_transform(list_zip(q.e, l.eb), s -> s[1] * s[2]))
       |      / (q.nrm * l.nrmb) AS cos
-      |  FROM r JOIN lists l ON l.cell = r.cell AND r.rk <= 8
+      |  FROM r JOIN lists l ON l.cell = r.cell AND r.rk <= $defaultNprobe
       |  JOIN n q ON q.vec_id = r.vec_id
       |  WHERE r.vec_id <> l.nn_id),
       |t AS (SELECT vec_id, nn_id, cos,
@@ -291,28 +291,48 @@ object IvfQueries {
     * partition-order-dependent); top-k is one per-query window. The only
     * per-candidate state anywhere is the 8 code ids — the compression IS
     * the plan. */
-  def annPqAdc(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (vec_id, m, sv, sq): the per-subspace view of the corpus. */
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
     val dot = graft.functions.VectorOps.dot_product _
-    val v = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // (vec_id, m, sv, sq): the per-subspace view of the corpus
-    val sub = v
       .select(col("vec_id"), posexplode(array(
         (0 until pqM).map(m => slice(col("v"), m * 8 + 1, 8)): _*))
         .as(Seq("m", "sv")))
       .withColumn("sq", dot(col("sv"), col("sv")))
-    val cw = sub.filter(col("vec_id") < pqK)
+  }
+
+  private def pqCw(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < pqK)
       .select(col("vec_id").as("c"), col("m"), col("sv").as("cv"),
         col("sq").as("csq"))
-    // encode: argmin_c |sv - cv|² per (vec_id, m), algebraic expansion,
-    // tie → smallest codeword id via the min-struct
-    val enc = sub.join(broadcast(cw), Seq("m"))
+
+  /** Encode relation (vec_id, m, code): argmin_c |sv − cv|² per
+    * (vec_id, m), algebraic expansion, tie → smallest codeword id via
+    * the min-struct. Exposed to the spec so codebook self-consistency
+    * (a codeword sample must encode to itself) is testable on the REAL
+    * encode path, not a reimplementation. */
+  private[operators] def pqEncode(sub: DataFrame, cw: DataFrame): DataFrame = {
+    val dot = graft.functions.VectorOps.dot_product _
+    sub.join(broadcast(cw), Seq("m"))
       .withColumn("dist",
         col("sq") - lit(2.0) * dot(col("sv"), col("cv")) + col("csq"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("c"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.c").as("code"))
+  }
+
+  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(s, dir)
+    pqEncode(sub, pqCw(sub))
+  }
+
+  def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorOps.dot_product _
+    val sub = pqSub(s, dir)
+    val cw = pqCw(sub)
+    val enc = pqEncode(sub, cw)
     // the query-side distance table: (query_id, m, c, d) — M×K rows per
     // query, broadcast
     // broadcast the codeword side explicitly: its lineage reaches back to

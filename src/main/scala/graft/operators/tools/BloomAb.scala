@@ -56,37 +56,41 @@ object BloomAb {
       Thread.sleep(300)
       (dt, shuffled.get())
     }
-    // simulate the big-benchmark regime: no auto-broadcast, no hint
+    // simulate the big-benchmark regime on the MEASURED arms only: no
+    // auto-broadcast, no hint. The override is scoped per-arm so the
+    // control query runs under the SAME conf its bench-history band was
+    // recorded with — a control inflated by a foreign plan change can't
+    // validate (or invalidate) anything.
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val arms = Seq(
-        "exact-shuffle" -> (() => BloomQueries.decontaminate(
-          spark, dir, useBloom = false, hintBroadcast = false)),
-        "bloom-shuffle" -> (() => BloomQueries.decontaminate(
-          spark, dir, useBloom = true, hintBroadcast = false)),
-        "control-q6" -> (() => graft.SparkEntry.queries("q6_outer_join")(
-          spark, "/root/testdata/sf0.1")))
-      val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-        .withDefaultValue(Vector.empty)
-      val vols = scala.collection.mutable.Map.empty[String, Vector[Long]]
-        .withDefaultValue(Vector.empty)
-      (1 to reps).foreach { i =>
-        arms.foreach { case (tag, mk) =>
-          val (t, b) = time(mk())
-          times(tag) = times(tag) :+ t
-          vols(tag) = vols(tag) :+ b
-          println(f"[bloom-ab] $tag%-14s rep$i: $t%.2f s  ${b / 1048576.0}%.1f MiB shuffled")
-        }
+    def noBroadcast[A](body: => A): A =
+      try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"); body }
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    val arms = Seq(
+      "exact-shuffle" -> (() => noBroadcast(time(BloomQueries.decontaminate(
+        spark, dir, useBloom = false, hintBroadcast = false)))),
+      "bloom-shuffle" -> (() => noBroadcast(time(BloomQueries.decontaminate(
+        spark, dir, useBloom = true, hintBroadcast = false)))),
+      "control-q6" -> (() => time(graft.SparkEntry.queries("q6_outer_join")(
+        spark, "/root/testdata/sf0.1"))))
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val vols = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { i =>
+      arms.foreach { case (tag, mk) =>
+        val (t, b) = mk()
+        times(tag) = times(tag) :+ t
+        vols(tag) = vols(tag) :+ b
+        println(f"[bloom-ab] $tag%-14s rep$i: $t%.2f s  ${b / 1048576.0}%.1f MiB shuffled")
       }
-      arms.foreach { case (tag, _) =>
-        val ts = times(tag)
-        val vs = vols(tag)
-        println(f"[bloom-ab] MEDIAN $tag%-14s ${ts.sorted.apply(ts.size / 2)}%6.2f s  " +
-          f"${vs.sorted.apply(vs.size / 2) / 1048576.0}%8.1f MiB  " +
-          ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
-      }
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+    arms.foreach { case (tag, _) =>
+      val ts = times(tag)
+      val vs = vols(tag)
+      println(f"[bloom-ab] MEDIAN $tag%-14s ${ts.sorted.apply(ts.size / 2)}%6.2f s  " +
+        f"${vs.sorted.apply(vs.size / 2) / 1048576.0}%8.1f MiB  " +
+        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+    }
     spark.stop()
   }
 }

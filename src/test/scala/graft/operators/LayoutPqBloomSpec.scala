@@ -52,11 +52,16 @@ class LayoutPqBloomSpec extends AnyFunSuite {
   }
 
   test("pq codeword samples encode to themselves") {
-    // re-derive the encode relation through the public query: the top-1
-    // neighbor of a query vector that IS a codeword sample must be at
-    // ADC distance consistent with self-encoding; cheaper and less
-    // coupled: check via the query surface that codes are valid and the
-    // relation is complete
+    // the REAL encode path (IvfQueries.pqCodes): a vector whose
+    // subvectors ARE the codewords has per-subspace distance exactly 0
+    // (sq − 2·sq + sq folds to 0.0 in IEEE arithmetic), and the
+    // min-struct tie-break keeps the smallest codeword id — so every
+    // sample must encode to its own id in every subspace
+    val wrong = IvfQueries.pqCodes(spark, dir)
+      .filter(col("vec_id") < 16 && col("code") =!= col("vec_id"))
+      .count()
+    assert(wrong == 0L, s"$wrong codeword-sample subspaces mis-encoded")
+
     val out = IvfQueries.annPqAdc(spark, dir)
     val n = out.count()
     assert(n == 50, s"5 queries x top-10 expected, got $n")

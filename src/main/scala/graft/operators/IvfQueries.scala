@@ -328,11 +328,22 @@ object IvfQueries {
   }
 
   def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(s, dir)
+    pqSearch(s, dir, pqEncode(sub, pqCw(sub)))
+  }
+
+  /** The ADC search tail given an encode relation (vec_id, m, code) —
+    * shared by [[annPqAdc]] (codes derived in-plan) and
+    * [[annIndexSearch]] (codes read from a persisted index). Everything
+    * this recomputes — the codebook (vec_id < [[pqK]]) and the query
+    * subvectors (vec_id < [[pqQueries]]) — is a PRUNED scan with pushed
+    * filters; the corpus-scale relation is only ever `enc`. */
+  private def pqSearch(s: SparkSession, dir: String,
+      enc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dot = graft.functions.VectorOps.dot_product _
     val sub = pqSub(s, dir)
     val cw = pqCw(sub)
-    val enc = pqEncode(sub, cw)
     // the query-side distance table: (query_id, m, c, d) — M×K rows per
     // query, broadcast
     // broadcast the codeword side explicitly: its lineage reaches back to
@@ -363,6 +374,34 @@ object IvfQueries {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("adc"), 6).as("adc_dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Build-once / search-many — the index LIFECYCLE the other ANN
+    * queries elide: a 100 TB corpus is encoded ONCE (one pass; the
+    * index artifact is 8 code bytes + ids per vector, a ~32× reduction
+    * over the float corpus), persisted, and every subsequent search
+    * reads ONLY the index plus two pruned scans (codebook rows,
+    * query rows) — the embedding corpus itself is never rescanned at
+    * query time. This query runs the whole cycle: encode → write the
+    * codes parquet → search strictly from the store. The result is
+    * value-identical to [[annPqAdc]] (same codebook, same codes, same
+    * tables), so it shares that query's oracle — which also makes the
+    * round-trip itself oracle-checked: a codec bug in the store write
+    * or read would hash-mismatch.
+    *
+    * The store is pid-scoped tmp (the bucketed_join pattern); a real
+    * deployment points it at the table format of record and re-encodes
+    * only new partitions. */
+  def annIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_pq_index_" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid())
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    graft.core.TempDirs.cleanOnExit(base.toPath)
+    val codesDir = s"$base/codes"
+    pqCodes(s, dir).write.mode("overwrite").parquet(codesDir)
+    pqSearch(s, dir, s.read.parquet(codesDir))
   }
 
   val annPqAdcSql: String = {
@@ -560,6 +599,7 @@ object IvfQueries {
         (s: SparkSession, d: String) => annIvfAssign(s, d),
         Some(annIvfAssignSql)),
       ("ann_pq_adc", annPqAdc _, Some(annPqAdcSql)),
+      ("ann_index_search", annIndexSearch _, Some(annPqAdcSql)),
       ("ann_ivfpq",
         (s: SparkSession, d: String) => annIvfPq(s, d),
         Some(annIvfPqSql)),

@@ -65,6 +65,7 @@ ROUNDED_COLS = {
     "emb_centroids": {"dispersion", "centroid_norm"},
     "ann_pq_adc": {"adc_dist"},
     "ann_ivfpq": {"adc_dist"},
+    "ann_index_search": {"adc_dist"},
     "zorder_layout": {"pk_span_frac", "sk_span_frac"},
     "bloom_decontaminate": {"overlap"},
     "stream_decontaminate": {"overlap"},

@@ -489,6 +489,59 @@ object DedupQueries {
       |       round(cos, 6) AS cosine
       |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------- A1b: filtered (predicated) ANN
+
+  /** Filtered vector search — top-k UNDER A METADATA PREDICATE (here:
+    * neighbors sharing the query's label), the query shape every
+    * production vector store serves ("nearest docs in the same
+    * language/source/tenant"). Post-filtering an unfiltered top-k is
+    * WRONG (k survivors of the predicate may rank far below the global
+    * top-k); the correct plan pushes the predicate INTO candidate
+    * generation, which this does by joining on the label: the label key
+    * both enforces the predicate and bounds the candidate set to the
+    * label's partition — at scale, with the corpus partitioned by the
+    * filter column, the scan touches only the query's partition
+    * (zorder_layout's argument applied to vector search). Exact within
+    * the filter, so fully hash-oracled. */
+  def annFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = broadcast(q)
+      .join(v.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("v"), col("nrm")), Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("label"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annFilteredTopkSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |           x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(q.e, c.e), s -> s[1] * s[2]))
+      |      / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND c.label = q.label
+      |    AND c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, label, neighbor_id, cos, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |      FROM p)
+      |SELECT query_id, label, CAST(rk AS BIGINT) AS rank, neighbor_id,
+      |       round(cos, 6) AS cosine
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------- A2: LSH-bucketed ANN (scale path)
 
   /** Random-hyperplane LSH, multi-table: default L=16 tables × 5 sign
@@ -936,5 +989,6 @@ object DedupQueries {
       ("dedup_emb_components", dedupEmbComponents _,
         Some(dedupEmbComponentsSql)),
       ("ann_cosine_topk", annCosineTopk _, Some(annCosineTopkSql)),
+      ("ann_filtered_topk", annFilteredTopk _, Some(annFilteredTopkSql)),
       ("ann_lsh_bucket", annLshBucket _, Some(annLshBucketSql)))
 }

@@ -60,6 +60,7 @@ ROUNDED_COLS = {
     "dedup_canonical": {"quality"},
     "dedup_embedding_nn": {"cosine"},
     "ann_cosine_topk": {"cosine"},
+    "ann_filtered_topk": {"cosine"},
     "ann_lsh_bucket": {"cosine"},
     "ann_ivf_assign": {"cosine"},
     "emb_centroids": {"dispersion", "centroid_norm"},

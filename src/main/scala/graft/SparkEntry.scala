@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BloomQueries, BucketQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, LayoutQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, RelationalExtraQueries, RelationalQueries, SkewQueries, TextCorpusQueries, TextQueries, TypeQueries}
+import graft.operators.{BloomQueries, BucketQueries, CollocationQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, LayoutQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, OpsQueries, RelationalExtraQueries, RelationalQueries, SemDedupQueries, SketchQueries, SkewQueries, TextCorpusQueries, TextQueries, TypeQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -22,7 +22,8 @@ object SparkEntry {
       TypeQueries.all ++ RelationalExtraQueries.all ++ BucketQueries.all ++
       IvfQueries.all ++ FormatQueries.all ++ TextCorpusQueries.all ++
       graft.operators.StreamingDedupQueries.all ++ LayoutQueries.all ++
-      BloomQueries.all
+      BloomQueries.all ++ SketchQueries.all ++ SemDedupQueries.all ++
+      CollocationQueries.all ++ OpsQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -152,6 +152,64 @@ object DedupQueries {
       |    / len(list_distinct(list_concat(a.w, b.w))) >= 0.7
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- D2b: containment pairs
+
+  /** Asymmetric containment C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.95 — the
+    * doc-inside-doc duplication Jaccard structurally misses: a paragraph
+    * quoted whole inside a 10× longer page has J ≈ 0.1 but C = 1.0
+    * (the reason suffix/containment passes exist next to near-dup passes
+    * in web-corpus curation; cf. Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" §exact-substring).
+    *
+    * Same inclusion–exclusion shape as [[jaccardPairs]] (explode distinct
+    * words, count shared per pair via the (source, word) join) but
+    * WITHOUT the length-ratio prefilter — mismatched lengths are exactly
+    * the pairs this operator exists for, so the only candidate bound is
+    * the source block (the house blocking key; at 100 TB the banded
+    * MinHash buckets take over candidate generation the same way they do
+    * for the Jaccard path). Jaccard rides along per pair so the output
+    * itself exhibits the asymmetry (high C, low J). Both ratios are
+    * int/int divisions of identically-derived integers — bit-identical
+    * cross-engine, no rounding needed. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir).select(col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val shared = w.select(col("source"), col("doc_id").as("doc_a"),
+        col("word"))
+      .join(broadcast(nw.select(col("doc_id").as("doc_a"),
+        col("nw").as("na"))), "doc_a")
+      .join(w.select(col("source"), col("doc_id").as("doc_b"), col("word"))
+        .join(broadcast(nw.select(col("doc_id").as("doc_b"),
+          col("nw").as("nb"))), "doc_b"),
+        Seq("source", "word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= 0.95)
+      .select(col("doc_a"), col("doc_b"), col("containment"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupContainmentSql: String =
+    """WITH w AS (SELECT doc_id, source,
+      |  list_distinct(string_split(text, ' ')) AS w FROM documents)
+      |SELECT doc_a, doc_b, containment, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / least(len(a.w), len(b.w)) AS containment,
+      |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE containment >= 0.95
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------- D3: MinHash + LSH
 
   /** MinHash(64) → 32 bands × 2 rows → bucket-join candidates → exact
@@ -990,5 +1048,6 @@ object DedupQueries {
         Some(dedupEmbComponentsSql)),
       ("ann_cosine_topk", annCosineTopk _, Some(annCosineTopkSql)),
       ("ann_filtered_topk", annFilteredTopk _, Some(annFilteredTopkSql)),
+      ("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),
       ("ann_lsh_bucket", annLshBucket _, Some(annLshBucketSql)))
 }

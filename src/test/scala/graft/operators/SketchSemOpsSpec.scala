@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts for the round-11 sketch/semantic/ops operators —
+  * value-level cross-engine agreement is the DuckDB oracle's job (all
+  * five are hash-oracled); these pin the properties each operator
+  * exists FOR:
+  *
+  *   - `heavy_hitters`: the CMS error is ONE-SIDED (est ≥ exact, always)
+  *     and the deliberately-narrow width actually exercises collisions
+  *     (some overestimates are nonzero — otherwise the sketch test is
+  *     vacuous).
+  *   - `semdedup`: survivorship is exactly the ε-rule — dropped iff some
+  *     earlier cluster-mate is within ε; first-in-cluster always
+  *     survives; the relation partitions the corpus.
+  *   - `dedup_containment`: the operator's reason to exist — it finds
+  *     pairs the Jaccard pass structurally misses (high containment,
+  *     J below the 0.7 near-dup bar).
+  *   - `compaction_plan`: the plan is a partition of the file listing
+  *     (docs and bytes conserve) with contiguous bin ids per lang.
+  *   - `token_pmi`: every surviving bigram meets the count floor and
+  *     both member tokens exist in the unigram space.
+  */
+class SketchSemOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("sketch-sem-ops-spec")
+    .getOrCreate()
+
+  test("cms estimates are one-sided and collisions are exercised") {
+    val rows = SketchQueries.heavyHitters(spark, dir)
+      .select("exact_cnt", "cms_est", "overest").collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0),
+        s"CMS underestimated: est ${r.getLong(1)} < exact ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(1) - r.getLong(0))
+    }
+    assert(rows.count(_.getLong(2) > 0) > 0,
+      "width never collided — the sketch test is vacuous at this w")
+  }
+
+  test("semdedup drops exactly the epsilon-rule and partitions the corpus") {
+    val rows = SemDedupQueries.semDedup(spark, dir)
+      .select("vec_id", "n_prior", "max_prior_cos", "keep").collect()
+    val n = graft.core.Tables(spark, dir, "embeddings").count()
+    assert(rows.length == n, "one decision per vector")
+    rows.foreach { r =>
+      val (nPrior, mc, keep) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      if (nPrior == 0) assert(keep == 1, "first-in-cluster must survive")
+      // rounded column: compare against the threshold with rounding slack
+      if (keep == 0) assert(mc >= 0.35 - 1e-6, s"dropped below eps: $mc")
+      else assert(mc < 0.35 + 1e-6, s"kept above eps: $mc")
+    }
+    val dropped = rows.count(_.getLong(3) == 0)
+    assert(dropped > 0, "fixture threshold produced no drops — vacuous")
+    assert(dropped < n, "dropped everything")
+  }
+
+  test("containment finds pairs the jaccard pass structurally misses") {
+    val rows = DedupQueries.dedupContainment(spark, dir)
+      .select("containment", "jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) >= 0.95 &&
+      r.getDouble(1) <= r.getDouble(0) + 1e-12,
+      "containment >= jaccard must hold (min <= union)"))
+    assert(rows.count(_.getDouble(1) < 0.7) > 0,
+      "no high-containment/low-jaccard pair — the operator's point")
+  }
+
+  test("compaction plan partitions the listing and conserves bytes") {
+    val plan = OpsQueries.compactionPlan(spark, dir)
+      .select("lang", "bin", "n_files", "n_docs", "total_bytes").collect()
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    assert(plan.map(_.getLong(3)).sum == docs.getLong(0), "docs conserve")
+    assert(plan.map(_.getLong(4)).sum == docs.getLong(1), "bytes conserve")
+    // contiguous bins per lang from 0 (the cumsum rule can't skip a bin)
+    plan.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0L && bins.last == bins.length - 1,
+        s"$lang bins not contiguous: ${bins.mkString(",")}")
+    }
+  }
+
+  test("pmi bigrams meet the floor and live in the unigram space") {
+    val rows = CollocationQueries.tokenPmi(spark, dir)
+      .select("x", "y", "c_xy").collect()
+    assert(rows.length == 40)
+    rows.foreach(r => assert(r.getLong(2) >= 5))
+    val vocab = graft.core.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .select("t").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(vocab.contains(r.getString(0)) && vocab.contains(r.getString(1)))
+    }
+  }
+}

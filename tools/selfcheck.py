@@ -70,6 +70,8 @@ ROUNDED_COLS = {
     "zorder_layout": {"pk_span_frac", "sk_span_frac"},
     "bloom_decontaminate": {"overlap"},
     "stream_decontaminate": {"overlap"},
+    "semdedup": {"max_prior_cos"},
+    "token_pmi": {"pmi"},
 }
 
 

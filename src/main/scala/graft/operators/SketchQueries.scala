@@ -44,28 +44,36 @@ object SketchQueries {
     conv(substring(md5(concat_ws(":", lit(seed), token)), 1, 15), 16, 10)
       .cast("long") % width
 
-  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("token"))
+  /** Per-token counts of a document relation — the sketch's input grain.
+    * Shared with [[StreamingSketchQueries]], whose per-batch partials are
+    * exactly this over one batch (sum-mergeable by linearity). */
+  private[operators] def tokenCounts(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
 
-    // d×w counter grid: per (seed, bucket) sum of hashing tokens' counts.
-    // Built from the aggregated relation — the raw stream never feeds the
-    // sketch twice — and small enough (64 cells) to broadcast.
-    val counters = counts
+  /** d×w counter grid from a (token, exact_cnt) relation: per
+    * (seed, bucket) sum of hashing tokens' counts. Built from the
+    * AGGREGATED relation — the raw stream never feeds the sketch twice —
+    * and small enough (d·w = 64 cells) to broadcast. */
+  private[operators] def counterGrid(counts: DataFrame): DataFrame =
+    counts
       .select(col("exact_cnt"), explode(array((0 until depth).map(i =>
         struct(lit(i).as("seed"), bucket(i, col("token")).as("bucket"))
       ): _*)).as("e"))
       .groupBy(col("e.seed").as("seed"), col("e.bucket").as("bucket"))
       .agg(sum(col("exact_cnt")).as("c"))
 
+  /** Top-k estimate relation from final counts + a (possibly re-merged)
+    * counter grid — the single code path both the batch query and the
+    * streaming twin end in, so their estimates are bit-identical. */
+  private[operators] def estimates(counts: DataFrame,
+      counters: DataFrame): DataFrame = {
     // top-k candidates by exact count (deterministic tie-break on token):
     // orderBy+limit plans as TakeOrderedAndProject — per-partition heaps,
     // no global sort, the right top-k shape at any scale
     val cand = counts.orderBy(col("exact_cnt").desc, col("token"))
       .limit(topK)
-
     cand
       .select(col("token"), col("exact_cnt"),
         explode(array((0 until depth).map(i =>
@@ -78,6 +86,11 @@ object SketchQueries {
       .select(col("token"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overest"))
       .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val counts = tokenCounts(Tables(s, dir, "documents"))
+    estimates(counts, counterGrid(counts))
   }
 
   private def bucketSql(seed: Int, token: String): String =

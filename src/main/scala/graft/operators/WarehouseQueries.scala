@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Events
+
+/** Warehouse history/sequence operators over the event feed: the SCD
+  * type-2 dimension build, batch sessionization, and per-entity anomaly
+  * scoring — the remaining classic warehouse patterns next to
+  * `etl_merge_upsert` (latest-wins type-1) and the streaming session
+  * window.
+  *
+  * All three are per-user window compositions: one shuffle on user_id
+  * (the event store's natural key), then lag/lead change detection or a
+  * per-user aggregate. Nothing global, nothing driver-side; at 100 TB
+  * with the store bucketed by user_id the windows are sort-only
+  * (no exchange), and AQE's skew split handles hot users.
+  */
+object WarehouseQueries {
+
+  /** SCD type-2 dimension build: treat each user's event_type as their
+    * current STATUS and reconstruct the full validity-interval history —
+    * a new version opens only when the value CHANGES (consecutive equal
+    * statuses collapse), `valid_to` is the next change instant, and the
+    * last version per user is open-ended (null valid_to, is_current).
+    * The standard type-2 semantics of every dimensional warehouse
+    * (Kimball); `etl_merge_upsert` keeps only the latest row, this keeps
+    * the queryable history.
+    *
+    * Deterministic order: (ts, event_id) — event ids are unique, so the
+    * change detection and version numbering are total. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag(col("status"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+    val byChange = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("version", row_number().over(byChange))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byChange))
+      .select(col("user_id"), col("version"), col("status"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH ch AS (
+      |  SELECT user_id, ts, event_id, event_type AS status,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |flt AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> status)
+      |SELECT user_id,
+      |       CAST(row_number() OVER w AS INT) AS version,
+      |       status, ts AS valid_from,
+      |       lead(ts) OVER w AS valid_to,
+      |       lead(ts) OVER w IS NULL AS is_current
+      |FROM flt
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Batch sessionization (gaps-and-islands): a session breaks on a
+    * >30-minute silence; one row per session with its span and stats.
+    * The batch twin of the streaming `session_window` query — same
+    * semantics, stated as lag + a running sum of break flags, which is
+    * how an event warehouse backfills sessions over history. */
+  def eventSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val upTo = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    Events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // unix_micros on BOTH sides (DuckDB: epoch_us): a seconds-grain
+      // cast floors on Spark but keeps fractions in DuckDB's epoch(),
+      // and a gap within 1s of the threshold would then flag differently
+      .withColumn("brk",
+        when(unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUser) > 1800000000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("brk")).over(upTo))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val eventSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id))
+      |           > 1800000000 THEN 1 ELSE 0 END AS brk,
+      |         event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS session_seq
+      |  FROM g)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       round(sum(value), 6) AS sum_value
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+
+  /** Per-entity activity anomalies: each user's daily event count as a
+    * z-score against their own mean/sd over active days, |z| ≥ 2
+    * flagged. The sd is the MANUAL population form
+    * sqrt(max(Σc²/n − μ², 0)) — the house parity idiom (emb_centroids):
+    * built-in stddev implementations differ across engines (Welford vs
+    * naive) at the last ulp, the explicit formula over exact integer
+    * sums does not. Zero-sd users (perfectly regular) get z = 0. */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = Events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("sc"),
+        sum(col("cnt") * col("cnt")).as("sc2"))
+      .withColumn("mu", col("sc").cast("double") / col("n_days"))
+      .withColumn("sd", sqrt(greatest(
+        col("sc2").cast("double") / col("n_days") - col("mu") * col("mu"),
+        lit(0.0))))
+    daily.join(broadcast(stats), Seq("user_id"))
+      .withColumn("z", when(col("sd") > 0,
+        (col("cnt") - col("mu")) / col("sd")).otherwise(lit(0.0)))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        col("cnt"), round(col("mu"), 6).as("mu"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT user_id, count(*) AS n_days, sum(cnt) AS sc,
+      |         sum(cnt * cnt) AS sc2
+      |  FROM daily GROUP BY 1),
+      |st AS (
+      |  SELECT user_id, CAST(sc AS DOUBLE) / n_days AS mu,
+      |         sqrt(greatest(CAST(sc2 AS DOUBLE) / n_days -
+      |           (CAST(sc AS DOUBLE) / n_days) *
+      |           (CAST(sc AS DOUBLE) / n_days), 0)) AS sd
+      |  FROM stats)
+      |SELECT d.user_id, CAST(d.day AS TIMESTAMP) AS day,
+      |       CAST(d.cnt AS BIGINT) AS cnt, round(st.mu, 6) AS mu,
+      |       round(CASE WHEN st.sd > 0
+      |         THEN (d.cnt - st.mu) / st.sd ELSE 0.0 END, 6) AS z
+      |FROM daily d JOIN st ON d.user_id = st.user_id
+      |WHERE abs(CASE WHEN st.sd > 0 THEN (d.cnt - st.mu) / st.sd
+      |          ELSE 0.0 END) >= 2.0
+      |ORDER BY d.user_id, day""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("scd2_history", scd2History _, Some(scd2HistorySql)),
+      ("event_sessionize", eventSessionize _, Some(eventSessionizeSql)),
+      ("anomaly_zscore", anomalyZscore _, Some(anomalyZscoreSql)))
+}

@@ -142,6 +142,23 @@ class SketchSemOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("phash pairs every planted re-encode with zero noise") {
+    val rows = MultimodalQueries.mmPhashDedup(spark, dir)
+      .select("doc_id", "n_near").collect()
+    val (planted, originals) = rows.partition(_.getLong(0) >= 1000000L)
+    assert(planted.nonEmpty)
+    // every re-encoded payload must find its source within the radius
+    planted.foreach(r =>
+      assert(r.getLong(1) >= 1, s"re-encode ${r.getLong(0)} found nothing"))
+    // measured on this corpus: no cross-pair is within hamming 3, so an
+    // original pairs iff its own re-encode exists
+    originals.foreach { r =>
+      val hasTwin = r.getLong(0) % 10 == 0
+      assert((r.getLong(1) >= 1) == hasTwin,
+        s"doc ${r.getLong(0)} n_near=${r.getLong(1)} twin=$hasTwin")
+    }
+  }
+
   test("pmi bigrams meet the floor and live in the unigram space") {
     val rows = CollocationQueries.tokenPmi(spark, dir)
       .select("x", "y", "c_xy").collect()

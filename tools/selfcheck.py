@@ -73,6 +73,8 @@ ROUNDED_COLS = {
     "semdedup": {"max_prior_cos"},
     "token_pmi": {"pmi"},
     "text_lm_score": {"avg_logp", "ppl"},
+    "event_sessionize": {"sum_value"},
+    "anomaly_zscore": {"mu", "z"},
 }
 
 

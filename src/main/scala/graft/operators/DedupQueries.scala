@@ -167,7 +167,12 @@ object DedupQueries {
     * the pairs this operator exists for, so the only candidate bound is
     * the source block (the house blocking key; at 100 TB the banded
     * MinHash buckets take over candidate generation the same way they do
-    * for the Jaccard path). Jaccard rides along per pair so the output
+    * for the Jaccard path). Measured cost of dropping the prefilter
+    * (r11 stress, local[32]): 3.5 s at sf0.1 → 50.3 s at 10× (≈14.5×,
+    * vs the prefiltered Jaccard's ≈8.9× on the same fixture) — the
+    * full word-sharing pair space is the price of catching asymmetric
+    * pairs, and band-tightening is the lever past 10×, exactly as for
+    * [[dedupJaccardPairs]]. Jaccard rides along per pair so the output
     * itself exhibits the asymmetry (high C, low J). Both ratios are
     * int/int divisions of identically-derived integers — bit-identical
     * cross-engine, no rounding needed. */

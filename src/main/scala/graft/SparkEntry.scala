@@ -25,7 +25,7 @@ object SparkEntry {
       BloomQueries.all ++ SketchQueries.all ++ SemDedupQueries.all ++
       CollocationQueries.all ++ OpsQueries.all ++
       graft.operators.StreamingSketchQueries.all ++ BehaviorQueries.all ++
-      WarehouseQueries.all
+      WarehouseQueries.all ++ graft.streaming.StreamingScd2.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -69,6 +69,15 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental scd2 reproduces the batch history bit-for-bit") {
+    // the exactness claim of the streaming decomposition: closed ∪ open
+    // across ts-ordered batches equals the one-shot lag-over-history
+    val batch = WarehouseQueries.scd2History(spark, dir).collect()
+    val streamed = graft.streaming.StreamingScd2.streamScd2(spark, dir)
+      .collect()
+    assert(batch.map(_.toSeq).toSeq == streamed.map(_.toSeq).toSeq)
+  }
+
   test("anomalies clear the threshold with sign-consistent z") {
     val rows = WarehouseQueries.anomalyZscore(spark, dir)
       .select("cnt", "mu", "z").collect()

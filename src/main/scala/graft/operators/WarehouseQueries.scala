@@ -165,9 +165,101 @@ object WarehouseQueries {
       |          ELSE 0.0 END) >= 2.0
       |ORDER BY d.user_id, day""".stripMargin
 
+  /** Temporal (point-in-interval) join — THE consumption pattern of the
+    * type-2 history [[scd2History]] builds: enrich each fact event with
+    * the dimension version that was valid AT the event's instant
+    * (user_id equality + `valid_from ≤ ts < valid_to`, open version =
+    * null valid_to). Rolled up to (status-at-purchase-time, version)
+    * cells so the output stays summary-grain.
+    *
+    * The equality key carries the join (shuffle/broadcast on user_id);
+    * the interval predicate is a residual filter — never a cartesian.
+    * Self-check built in: every fact matches EXACTLY one version (the
+    * intervals partition each user's timeline by construction), asserted
+    * by the spec via the conservation count. */
+  def temporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2History(s, dir)
+      .select(col("user_id"), col("version"), col("status"),
+        col("valid_from"), col("valid_to"))
+    val facts = Events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    facts.join(dim, facts("user_id") === dim("user_id") &&
+        facts("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || facts("ts") < dim("valid_to")))
+      .groupBy(col("status"), col("version"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("status"), col("version"))
+  }
+
+  val temporalJoinSql: String =
+    """WITH ch AS (
+      |  SELECT user_id, ts, event_id, event_type AS status,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |flt AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> status),
+      |dim AS (
+      |  SELECT user_id,
+      |         CAST(row_number() OVER w AS INT) AS version,
+      |         status, ts AS valid_from, lead(ts) OVER w AS valid_to
+      |  FROM flt
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT d.status, d.version,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       round(sum(f.value), 6) AS sum_value
+      |FROM events f JOIN dim d
+      |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |WHERE f.event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY status, version""".stripMargin
+
+  /** Rolling time-RANGE features — the feature-engineering primitive
+    * behind every behavioral model: per event, the user's activity over
+    * the trailing 24 hours (count and value sum over a RANGE frame, not
+    * a ROWS frame — the window is temporal, so sparse and bursty users
+    * get the same semantics). Ordered on exact microseconds both
+    * engines; the frame is [ts − 24h, ts]. Output rolled up per user ×
+    * event_type so the relation stays summary-grain (max/avg of the
+    * per-event rolling counts). */
+  def rollingFeatures(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 24L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-dayUs, 0L)
+    Events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_v", sum(col("value")).over(w))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("roll_n")).as("max_roll_n"),
+        round(avg(col("roll_n")), 6).as("avg_roll_n"),
+        round(max(col("roll_v")), 6).as("max_roll_v"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val rollingFeaturesSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |         count(*) OVER w AS roll_n,
+      |         sum(value) OVER w AS roll_v
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(roll_n) AS BIGINT) AS max_roll_n,
+      |       round(avg(roll_n), 6) AS avg_roll_n,
+      |       round(max(roll_v), 6) AS max_roll_v
+      |FROM r GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("scd2_history", scd2History _, Some(scd2HistorySql)),
       ("event_sessionize", eventSessionize _, Some(eventSessionizeSql)),
-      ("anomaly_zscore", anomalyZscore _, Some(anomalyZscoreSql)))
+      ("anomaly_zscore", anomalyZscore _, Some(anomalyZscoreSql)),
+      ("temporal_join", temporalJoin _, Some(temporalJoinSql)),
+      ("rolling_features", rollingFeatures _, Some(rollingFeaturesSql)))
 }

@@ -78,6 +78,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(batch.map(_.toSeq).toSeq == streamed.map(_.toSeq).toSeq)
   }
 
+  test("temporal join matches every fact to exactly one version") {
+    // the intervals partition each user's timeline, so the rollup must
+    // conserve the fact count — any gap or overlap would break this
+    val cells = WarehouseQueries.temporalJoin(spark, dir)
+      .select("n_purchases").collect().map(_.getLong(0)).sum
+    val facts = graft.core.Events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase").count()
+    assert(cells == facts, s"joined $cells of $facts purchase facts")
+  }
+
+  test("rolling range frames count at least the current row") {
+    val rows = WarehouseQueries.rollingFeatures(spark, dir)
+      .select("n_events", "max_roll_n", "avg_roll_n").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getDouble(2) >= 1.0,
+        "a RANGE frame always contains its own row")
+      assert(r.getDouble(2) <= r.getLong(1).toDouble + 1e-9,
+        "avg of the rolling counts cannot exceed their max")
+    }
+  }
+
   test("anomalies clear the threshold with sign-consistent z") {
     val rows = WarehouseQueries.anomalyZscore(spark, dir)
       .select("cnt", "mu", "z").collect()

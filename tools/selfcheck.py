@@ -75,6 +75,8 @@ ROUNDED_COLS = {
     "text_lm_score": {"avg_logp", "ppl"},
     "event_sessionize": {"sum_value"},
     "anomaly_zscore": {"mu", "z"},
+    "temporal_join": {"sum_value"},
+    "rolling_features": {"avg_roll_n", "max_roll_v"},
 }
 
 

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Train/validation split integrity — the audit every training-data
+  * pipeline owes its eval set: after a deterministic hash split, how
+  * many validation documents have a NEAR-DUPLICATE in train? Exact-dup
+  * splits leak through paraphrase and boilerplate; the standard fix is
+  * to audit (and then drop) validation members whose near-dup partner
+  * crossed the boundary (the dedup-before-split discipline of GPT-3
+  * appendix / Gopher §A.3.3 contamination analyses).
+  *
+  * Split: the house portable 60-bit hash of doc_id, mod 10 — buckets
+  * 0–7 train, 8–9 validation (80/20, deterministic on both engines, no
+  * RNG). Near-dup relation: the SAME pair graph as
+  * [[DedupQueries.jaccardPairs]] (word Jaccard ≥ 0.7 within source
+  * blocks) — the audit composes the split with the existing dedup
+  * operator rather than inventing a new similarity.
+  *
+  * Output grain: per source — train/val sizes, leaked-val count, leak
+  * rate (int/int division, bit-identical cross-engine). Scale shape:
+  * the split is a map-side expression; the audit join probes the pair
+  * relation with the split labels attached via broadcast of the tiny
+  * per-doc label relation; everything else is the (already bucketed)
+  * pair generation's cost. */
+object SplitQueries {
+
+  private def bucket(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10
+
+  def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        (bucket(col("doc_id")) >= 8).as("is_val"))
+    val pairs = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = d.select(col("doc_id"), col("is_val"))
+    // a val doc leaks if EITHER side of a crossing pair is in train
+    val leaked = pairs
+      .join(broadcast(labels.select(col("doc_id").as("doc_a"),
+        col("is_val").as("va"))), "doc_a")
+      .join(broadcast(labels.select(col("doc_id").as("doc_b"),
+        col("is_val").as("vb"))), "doc_b")
+      .filter(col("va") =!= col("vb"))
+      .select(when(col("va"), col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .distinct()
+    d.join(leaked.withColumn("leaked", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(!col("is_val"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("is_val") && col("leaked").isNotNull, 1L)
+          .otherwise(0L)).as("n_val_leaked"))
+      .withColumn("leak_rate",
+        col("n_val_leaked").cast("double") /
+          greatest(col("n_val"), lit(1L)).cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val splitLeakageAuditSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |            AS BIGINT) % 10) >= 8 AS is_val,
+      |         list_distinct(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.is_val AS va, b.is_val AS vb
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  -- the engine's length-ratio prefilter is implied by J >= 0.7
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) >= 0.7),
+      |leaked AS (
+      |  SELECT DISTINCT CASE WHEN va THEN doc_a ELSE doc_b END AS doc_id
+      |  FROM pairs WHERE va <> vb)
+      |SELECT d.source,
+      |  CAST(sum(CASE WHEN NOT d.is_val THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_train,
+      |  CAST(sum(CASE WHEN d.is_val THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_val,
+      |  CAST(sum(CASE WHEN d.is_val AND l.doc_id IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_val_leaked,
+      |  CAST(sum(CASE WHEN d.is_val AND l.doc_id IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / greatest(sum(CASE WHEN d.is_val THEN 1 ELSE 0 END), 1)
+      |    AS leak_rate
+      |FROM d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("split_leakage_audit", splitLeakageAudit _,
+      Some(splitLeakageAuditSql)))
+}

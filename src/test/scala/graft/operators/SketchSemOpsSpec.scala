@@ -159,6 +159,48 @@ class SketchSemOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted index postings are sorted and df-consistent") {
+    val rows = RetrievalQueries.invertedIndex(spark, dir)
+      .select("w", "df", "tf_total", "postings_head").collect()
+    val nDocs = graft.core.Tables(spark, dir, "documents").count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, tfTotal) = (r.getLong(1), r.getLong(2))
+      assert(df >= 1 && df <= nDocs)
+      assert(tfTotal >= df, "total tf at least one per posting")
+      val post = r.getSeq[Long](3)
+      assert(post == post.sorted, "postings must be ordered")
+      assert(post.length == math.min(df, 20L).toInt)
+    }
+  }
+
+  test("bm25 ranks by descending score over matching docs only") {
+    val rows = RetrievalQueries.bm25Search(spark, dir)
+      .select("doc_id", "n_terms", "score").collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= 3,
+      "a scored doc matches 1..3 query terms"))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+      case _ =>
+    }
+  }
+
+  test("split audit conserves docs and bounds leakage") {
+    val rows = SplitQueries.splitLeakageAudit(spark, dir)
+      .select("source", "n_train", "n_val", "n_val_leaked", "leak_rate")
+      .collect()
+    val total = graft.core.Tables(spark, dir, "documents").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "split must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "leaked bounded by val size")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // the audit exists because leakage is real on near-dup-dense data
+    assert(rows.map(_.getLong(3)).sum > 0, "no leakage found — vacuous")
+  }
+
   test("pmi bigrams meet the floor and live in the unigram space") {
     val rows = CollocationQueries.tokenPmi(spark, dir)
       .select("x", "y", "c_xy").collect()

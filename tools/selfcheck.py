@@ -77,6 +77,7 @@ ROUNDED_COLS = {
     "anomaly_zscore": {"mu", "z"},
     "temporal_join": {"sum_value"},
     "rolling_features": {"avg_roll_n", "max_roll_v"},
+    "bm25_search": {"score"},
 }
 
 

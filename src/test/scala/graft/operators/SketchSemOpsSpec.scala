@@ -201,6 +201,25 @@ class SketchSemOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0, "no leakage found — vacuous")
   }
 
+  test("bpe merges are well-formed with non-increasing counts") {
+    val rows = BpeQueries.bpeMergeTrain(spark, dir)
+      .select("round", "lhs", "rhs", "merged", "pair_count").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    rows.foreach(r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    // round 1 merges raw characters; later rounds may reuse merged units
+    assert(rows(0).getString(1).length == 1 &&
+      rows(0).getString(2).length == 1)
+    // each merge can only shrink the remaining pair mass: a new pair's
+    // count is bounded by the merged symbol's occurrences, which is the
+    // previous winner's count
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) >= b.getLong(4),
+        "later merge outweighed an earlier winner")
+      case _ =>
+    }
+  }
+
   test("pmi bigrams meet the floor and live in the unigram space") {
     val rows = CollocationQueries.tokenPmi(spark, dir)
       .select("x", "y", "c_xy").collect()

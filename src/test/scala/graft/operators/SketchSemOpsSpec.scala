@@ -220,6 +220,18 @@ class SketchSemOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode compresses: fewer tokens than chars, at least one per word") {
+    val rows = BpeQueries.bpeEncode(spark, dir)
+      .select("n_words", "n_chars", "n_tokens", "chars_per_token").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "a token covers >= 1 char")
+      assert(r.getLong(2) >= r.getLong(0), "a word is >= 1 token")
+      assert(r.getDouble(3) > 1.0,
+        "3 merges on this vocab must buy real compression")
+    }
+  }
+
   test("pmi bigrams meet the floor and live in the unigram space") {
     val rows = CollocationQueries.tokenPmi(spark, dir)
       .select("x", "y", "c_xy").collect()

@@ -232,6 +232,23 @@ class SketchSemOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank conserves probability mass on the near-dup graph") {
+    val full = GraphQueries.fullRanks(spark, dir)
+      .select("pr").collect().map(_.getDouble(0))
+    assert(full.nonEmpty)
+    // no dangling nodes (every node has degree >= 1), so the power
+    // iteration preserves total mass exactly up to float error
+    assert(math.abs(full.sum - 1.0) < 1e-9,
+      s"mass ${full.sum} drifted from 1")
+    full.foreach(p => assert(p > 0.0))
+    val top = GraphQueries.pagerankNearDup(spark, dir)
+      .select("pagerank").collect().map(_.getDouble(0))
+    top.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("pmi bigrams meet the floor and live in the unigram space") {
     val rows = CollocationQueries.tokenPmi(spark, dir)
       .select("x", "y", "c_xy").collect()

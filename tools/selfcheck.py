@@ -78,6 +78,7 @@ ROUNDED_COLS = {
     "temporal_join": {"sum_value"},
     "rolling_features": {"avg_roll_n", "max_roll_v"},
     "bm25_search": {"score"},
+    "pagerank_neardup": {"pagerank"},
 }
 
 

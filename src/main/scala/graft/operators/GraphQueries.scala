@@ -97,6 +97,112 @@ object GraphQueries {
        |ORDER BY pagerank DESC, doc_id LIMIT 30""".stripMargin
   }
 
+  /** Per-node triangle count + local clustering coefficient over the
+    * same near-dup graph — the second classic graph-analytics shape
+    * (motif counting): high clustering marks TEMPLATED near-dup regions
+    * (every copy similar to every other copy), low clustering marks
+    * chain-shaped drift, which is the curation signal for "cluster and
+    * keep one" vs "review the chain".
+    *
+    * Algorithm: degree-ordered edge orientation (Suri–Vassilvitskii /
+    * Cohen MapReduce triangle counting) — orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    * at each edge's SOURCE, and close them against the oriented edge
+    * set. Each triangle is emitted exactly once, and the per-node wedge
+    * fan-out is bounded by O(sqrt(m)) instead of the max degree — the
+    * difference between a hub node generating deg² wedge candidates and
+    * the orientation's provable bound. All joins shuffle on node keys;
+    * nothing global, nothing driver-side. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val deg = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient a<b edges by (deg, id); a<b already, so equal degrees keep
+    // the a->b direction
+    val e = pairs
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")),
+        "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")),
+        "doc_b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("doc_a") < col("doc_b")),
+          struct(col("doc_a").as("src"), col("doc_b").as("dst"),
+            col("db").as("dd")))
+          .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst"),
+            col("da").as("dd"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd"))
+    // wedges at the source, dst1 < dst2 under the SAME (deg, id) order,
+    // closed against the oriented edges
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+      .join(e.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("deg") > 1,
+          round(lit(2.0) * col("n_tri") /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val triangleCountSql: String =
+    """WITH w AS (SELECT doc_id, source,
+      |  list_distinct(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) >= 0.7),
+      |und AS (SELECT doc_a AS node FROM pairs
+      |        UNION ALL SELECT doc_b FROM pairs),
+      |deg AS (SELECT node, count(*) AS deg FROM und GROUP BY 1),
+      |e AS (
+      |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg) THEN doc_a
+      |              ELSE doc_b END AS src,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg) THEN doc_b
+      |              ELSE doc_a END AS dst,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg) THEN db.deg
+      |              ELSE da.deg END AS dd
+      |  FROM pairs
+      |  JOIN deg da ON doc_a = da.node
+      |  JOIN deg db ON doc_b = db.node),
+      |tri AS (
+      |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      |  FROM e e1
+      |  JOIN e e2 ON e1.src = e2.src
+      |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      |  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |pn AS (
+      |  SELECT node, count(*) AS n_tri FROM (
+      |    SELECT u AS node FROM tri
+      |    UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w FROM tri)
+      |  GROUP BY node)
+      |SELECT deg.node AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
+      |       CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+      |       CASE WHEN deg.deg > 1
+      |            THEN round(2.0 * coalesce(pn.n_tri, 0)
+      |                   / (deg.deg * (deg.deg - 1)), 6)
+      |            ELSE 0.0 END AS clustering
+      |FROM deg LEFT JOIN pn ON deg.node = pn.node
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("pagerank_neardup", pagerankNearDup _, Some(pagerankNearDupSql)))
+    Seq(
+      ("pagerank_neardup", pagerankNearDup _, Some(pagerankNearDupSql)),
+      ("triangle_count", triangleCount _, Some(triangleCountSql)))
 }

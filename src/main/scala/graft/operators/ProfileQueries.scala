@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Data-quality profiling and robust-statistics operators — the
+  * "know your corpus before you train on it" primitives (the
+  * Deequ/profiler class): a one-pass per-column profile relation and a
+  * per-group winsorization (percentile clipping) pass.
+  *
+  * Both are pure aggregation shapes: map-side partial aggregates into a
+  * tiny output relation, nothing driver-side, nothing all-pairs.
+  */
+object ProfileQueries {
+
+  /** (name, kind) for every lineitem column; kind drives the portable
+    * string rendering of min/max (a raw CAST of DOUBLE differs between
+    * engines on scientific-notation thresholds; %.6f / a zero-padded
+    * microsecond format are bit-stable on both). */
+  private val liCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "dbl",
+    "l_extendedprice" -> "dbl", "l_discount" -> "dbl", "l_tax" -> "dbl",
+    "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "ts")
+
+  private def repr(c: Column, kind: String): Column = kind match {
+    case "dbl" => format_string("%.6f", c)
+    case "ts"  => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    case _     => c.cast("string")
+  }
+
+  /** Per-column profile of `lineitem`: row count, null count, exact
+    * distinct count, min/max rendered portably. ONE aggregation over the
+    * table computes every column's stats (Catalyst plans the N distinct
+    * aggregates via Expand — still a single scan + one shuffle round),
+    * then an in-row explode unpivots the 1-row result into the
+    * per-column relation.
+    *
+    * Scale: the exact `count(DISTINCT)` per column is the oracle-exact
+    * formulation; at 100 TB swap it for `approx_count_distinct` (same
+    * single-scan shape, no Expand multiplication) — the rest of the
+    * profile is algebraic and already map-side. The reference profiles
+    * its metadata the same way, column by column, before set-making
+    * (`main/metadata_set_maker.py` nunique/value_counts passes). */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
+      liCols.flatMap { case (c, _) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c"))
+      }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = array(liCols.map { case (c, k) =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        col(s"nn_$c").as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        repr(col(s"mn_$c"), k).as("min_repr"),
+        repr(col(s"mx_$c"), k).as("max_repr"))
+    }: _*)
+    one.select(explode(rows).as("p")).select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val columnProfileSql: String = {
+    val selects = liCols.map { case (c, k) =>
+      val (mn, mx) = k match {
+        case "dbl" => (s"printf('%.6f', min($c))", s"printf('%.6f', max($c))")
+        case "ts" => (s"strftime(min($c), '%Y-%m-%d %H:%M:%S.%f')",
+          s"strftime(max($c), '%Y-%m-%d %H:%M:%S.%f')")
+        case _ => (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mn AS min_repr, $mx AS max_repr
+         |FROM lineitem""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Per-group winsorization: clip `l_extendedprice` to its group's
+    * [p05, p95] and report the bounds, clip counts, and winsorized mean
+    * — the robust-stats guard every quality-score distribution gets
+    * before thresholding (outlier documents would otherwise set the
+    * scale).
+    *
+    * Percentiles are DISCRETE (type-1: the ceil(p·n)-th order statistic
+    * under the total order (price, orderkey, linenumber)) and the ranks
+    * are integer arithmetic (`(n+19) div 20`) — so the bounds are actual
+    * data values, bit-identical cross-engine, and the clip COUNTS are
+    * exact integers (an interpolated percentile would put the boundary a
+    * float-ulp away from agreement). One window shuffle on the group key
+    * + one aggregation.
+    *
+    * Scale: with a handful of giant groups the per-group sort is the
+    * honest cost of EXACT order statistics; at 100 TB the standard swap
+    * is `approx_percentile` cut points (one pass, no window, clip counts
+    * then approximate) or a two-round distributed selection — the
+    * downstream clip + mean stays identical. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val w = byFlag.orderBy(col("p"), col("l_orderkey"),
+      col("l_linenumber"))
+    val r = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    val bounds = r
+      .withColumn("klo", expr("(n + 19) div 20"))
+      .withColumn("khi", expr("(19 * n + 19) div 20"))
+      .filter(col("rn") === col("klo") || col("rn") === col("khi"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("rn") === col("klo"), col("p"))).as("p05"),
+        min(when(col("rn") === col("khi"), col("p"))).as("p95"))
+    r.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        sum(when(col("p") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("p") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(avg(least(greatest(col("p"), col("p05")), col("p95"))), 6)
+          .as("win_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val winsorizeSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice AS p,
+      |         row_number() OVER w AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice, l_orderkey, l_linenumber)),
+      |b AS (
+      |  SELECT l_returnflag,
+      |         min(CASE WHEN rn = (n + 19) // 20 THEN p END) AS p05,
+      |         min(CASE WHEN rn = (19 * n + 19) // 20 THEN p END) AS p95
+      |  FROM r GROUP BY l_returnflag)
+      |SELECT r.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       min(b.p05) AS p05, min(b.p95) AS p95,
+      |       CAST(sum(CASE WHEN p < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_clip_lo,
+      |       CAST(sum(CASE WHEN p > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_clip_hi,
+      |       round(avg(least(greatest(p, b.p05), b.p95)), 6) AS win_mean
+      |FROM r JOIN b USING (l_returnflag)
+      |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("column_profile", columnProfile _, Some(columnProfileSql)),
+      ("winsorize", winsorize _, Some(winsorizeSql)))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Events
+import graft.core.{Events, Tables}
 
 /** Warehouse history/sequence operators over the event feed: the SCD
   * type-2 dimension build, batch sessionization, and per-entity anomaly
@@ -255,11 +255,139 @@ object WarehouseQueries {
       |       round(max(roll_v), 6) AS max_roll_v
       |FROM r GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
 
+  /** Time-series calendar densification + LOCF imputation: per user,
+    * materialize EVERY day of their active span (`sequence` + explode —
+    * the generate_series idiom), left-join the daily aggregates,
+    * zero-fill counts, and carry the last observed daily sum forward
+    * across gap days (last-observation-carried-forward). The
+    * forecasting/feature prerequisite: models read a dense regular grid,
+    * event stores record a sparse one.
+    *
+    * Shape: daily rollup is one map-side-combined shuffle on
+    * (user, day); the span relation is per-user min/max (same shuffle
+    * grain); the grid explode is map-side from the tiny span relation;
+    * the LOCF window sorts per user only. Grid size is
+    * sum(user spans) — bounded by users × horizon, never events². */
+  def timeseriesFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Events(s, dir)
+      .groupBy(col("user_id"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("raw_sum"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      // DATE-typed outputs compare messily across engines (house rule:
+      // cast to TIMESTAMP on both sides)
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("is_gap"),
+        round(col("raw_sum"), 6).as("day_sum"),
+        round(last(col("raw_sum"), ignoreNulls = true).over(locf), 6)
+          .as("locf_sum"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val timeseriesFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         count(*) AS n_events, sum(value) AS raw_sum
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(min(day), max(day),
+      |           INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+      |       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+      |       d.n_events IS NULL AS is_gap,
+      |       round(d.raw_sum, 6) AS day_sum,
+      |       round(last_value(d.raw_sum IGNORE NULLS) OVER (
+      |         PARTITION BY g.user_id ORDER BY g.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+      |         AS locf_sum
+      |FROM grid g LEFT JOIN daily d
+      |  ON g.user_id = d.user_id AND g.day = d.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
+  /** Snapshot diff — the table-versioning primitive (what `DESCRIBE
+    * HISTORY` + `table_changes` answer in Delta/Iceberg): given the base
+    * `orders` snapshot and the next snapshot (the same deterministic CDC
+    * feed as `etl_merge_upsert`: every 5th order repriced decimal-exact,
+    * every 7th key inserted as a new negative key, plus every 11th key
+    * DELETED), emit the row-level change relation — added / removed /
+    * changed with both sides' values. One full outer join on the key;
+    * unchanged rows never leave the join (filtered before the sort), so
+    * output is proportional to the CHANGE volume, not the table.
+    *
+    * The reprice arithmetic is DECIMAL(18,2) end-to-end (the
+    * merge_upsert precedent): rounding the DOUBLE product diverges
+    * between engines at half-way points. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val base = o.select(col("o_orderkey").as("key"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").as("price"))
+    val next = base.filter(col("key") % 11 =!= 0)
+      .select(col("key"), col("priority"),
+        when(col("key") % 5 === 0,
+          round(col("price").cast("decimal(18,2)") *
+            lit(new java.math.BigDecimal("1.1")), 2).cast("double"))
+          .otherwise(col("price")).as("price"))
+      .unionByName(base.filter(col("key") % 7 === 0)
+        .select((-col("key") - 1L).as("key"), col("priority"),
+          col("price")))
+    base.select(col("key"), col("priority").as("old_priority"),
+        col("price").as("old_price"))
+      .join(next.select(col("key"), col("priority").as("new_priority"),
+        col("price").as("new_price")), Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("new_price") =!= col("old_price"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("key"), col("change"),
+        coalesce(col("old_priority"), col("new_priority")).as("priority"),
+        col("old_price"), col("new_price"))
+      .orderBy(col("change"), col("key"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderpriority AS priority,
+      |         o_totalprice AS price
+      |  FROM orders),
+      |next AS (
+      |  SELECT key, priority,
+      |         CASE WHEN key % 5 = 0
+      |              THEN CAST(round(CAST(price AS DECIMAL(18,2)) * 1.1, 2)
+      |                     AS DOUBLE)
+      |              ELSE price END AS price
+      |  FROM base WHERE key % 11 <> 0
+      |  UNION ALL
+      |  SELECT -key - 1, priority, price FROM base WHERE key % 7 = 0)
+      |SELECT coalesce(b.key, n.key) AS key,
+      |       CASE WHEN b.price IS NULL THEN 'added'
+      |            WHEN n.price IS NULL THEN 'removed'
+      |            WHEN n.price <> b.price THEN 'changed' END AS change,
+      |       coalesce(b.priority, n.priority) AS priority,
+      |       b.price AS old_price, n.price AS new_price
+      |FROM base b FULL OUTER JOIN next n ON b.key = n.key
+      |WHERE (CASE WHEN b.price IS NULL THEN 'added'
+      |            WHEN n.price IS NULL THEN 'removed'
+      |            WHEN n.price <> b.price THEN 'changed' END) IS NOT NULL
+      |ORDER BY change, key""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("scd2_history", scd2History _, Some(scd2HistorySql)),
       ("event_sessionize", eventSessionize _, Some(eventSessionizeSql)),
       ("anomaly_zscore", anomalyZscore _, Some(anomalyZscoreSql)),
       ("temporal_join", temporalJoin _, Some(temporalJoinSql)),
-      ("rolling_features", rollingFeatures _, Some(rollingFeaturesSql)))
+      ("rolling_features", rollingFeatures _, Some(rollingFeaturesSql)),
+      ("timeseries_fill", timeseriesFill _, Some(timeseriesFillSql)),
+      ("snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)))
 }

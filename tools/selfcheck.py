@@ -79,6 +79,9 @@ ROUNDED_COLS = {
     "rolling_features": {"avg_roll_n", "max_roll_v"},
     "bm25_search": {"score"},
     "pagerank_neardup": {"pagerank"},
+    "triangle_count": {"clustering"},
+    "winsorize": {"win_mean"},
+    "timeseries_fill": {"day_sum", "locf_sum"},
 }
 
 

@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Events
+import graft.functions.WelchTTest.welch_t
 
 /** Behavioral/sequence analytics over the event stream — the funnel and
   * cohort-retention primitives every product-analytics engine ships
@@ -124,8 +126,192 @@ object BehaviorQueries {
       |GROUP BY a.cohort, date_diff('day', a.cohort, act.day)
       |ORDER BY cohort, day_offset""".stripMargin
 
+  /** A/B experiment readout — the product-experimentation primitive:
+    * users are deterministically hash-assigned to arms (the house 60-bit
+    * md5 hash, so both engines derive the identical assignment), the
+    * metric is aggregated to PER-USER means first (the
+    * unit-of-randomization discipline — pooling raw events would let
+    * heavy users dominate and correlate observations within a user),
+    * and each event_type's arm contrast gets the Welch t / df / p-value
+    * through the SAME native [[graft.functions.WelchTTest]] expression
+    * the MWAS kernel uses. p hash-oracles through [[TCdfSql]]'s
+    * continued-fraction incomplete beta, the q23_welch_full machinery.
+    *
+    * Shape: one shuffle to (user, event_type) grain, one to event_type
+    * grain — both map-side combined; the t/p arithmetic is per-group
+    * scalar work on a 5-row relation. */
+  def experimentTtest(s: SparkSession, dir: String): DataFrame = {
+    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 2) === 0
+    val um = Events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(avg(col("value")).as("um"))
+      .withColumn("arm", arm)
+    um.groupBy(col("event_type"))
+      .agg(
+        count(when(col("arm"), 1)).as("n_a"),
+        count(when(!col("arm"), 1)).as("n_b"),
+        avg(when(col("arm"), col("um"))).as("m_a"),
+        avg(when(!col("arm"), col("um"))).as("m_b"),
+        stddev_samp(when(col("arm"), col("um"))).as("s_a"),
+        stddev_samp(when(!col("arm"), col("um"))).as("s_b"))
+      .withColumn("w", welch_t(col("m_a"), col("s_a"),
+        col("n_a").cast("double"),
+        col("m_b"), col("s_b"), col("n_b").cast("double")))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("m_a"), col("m_b"),
+        ((col("m_b") - col("m_a")) / col("m_a")).as("lift"),
+        col("w.t").as("t"), col("w.df").as("df"), col("w.p").as("p"))
+      .orderBy(col("event_type"))
+  }
+
+  val experimentTtestSql: String =
+    s"""WITH RECURSIVE um AS (
+       |  SELECT user_id, event_type, avg(value) AS um,
+       |         (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |            AS BIGINT) % 2) = 0 AS arm
+       |  FROM events GROUP BY user_id, event_type),
+       |s AS (
+       |  SELECT event_type,
+       |    count(*) FILTER (WHERE arm) AS n_a,
+       |    count(*) FILTER (WHERE NOT arm) AS n_b,
+       |    avg(um) FILTER (WHERE arm) AS m_a,
+       |    avg(um) FILTER (WHERE NOT arm) AS m_b,
+       |    stddev_samp(um) FILTER (WHERE arm) AS s_a,
+       |    stddev_samp(um) FILTER (WHERE NOT arm) AS s_b
+       |  FROM um GROUP BY 1),
+       |s2 AS (
+       |  -- WelchTTest.compute mirrored (zero-variance semantics incl.)
+       |  SELECT event_type, n_a, n_b, m_a, m_b,
+       |    CASE WHEN (s_a*s_a/n_a + s_b*s_b/n_b) > 0
+       |         THEN (m_a - m_b) / sqrt(s_a*s_a/n_a + s_b*s_b/n_b)
+       |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) = 0 AND m_a > m_b
+       |         THEN CAST('infinity' AS DOUBLE)
+       |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) = 0 AND m_a < m_b
+       |         THEN CAST('-infinity' AS DOUBLE)
+       |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) = 0
+       |         THEN CAST('nan' AS DOUBLE) END AS t,
+       |    CASE WHEN (s_a*s_a/n_a + s_b*s_b/n_b) > 0
+       |         THEN pow(s_a*s_a/n_a + s_b*s_b/n_b, 2) /
+       |              (pow(s_a*s_a/n_a, 2)/(n_a-1)
+       |               + pow(s_b*s_b/n_b, 2)/(n_b-1))
+       |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) = 0
+       |         THEN CAST(1.0 AS DOUBLE) END AS df
+       |  FROM s),
+       |tdf_in AS (
+       |  SELECT event_type, CASE WHEN isfinite(t) THEN t END AS t, df
+       |  FROM s2),
+       |${TCdfSql.fragment(Seq("event_type"))}
+       |SELECT s2.event_type, s2.n_a, s2.n_b, s2.m_a, s2.m_b,
+       |  (s2.m_b - s2.m_a) / s2.m_a AS lift, s2.t, s2.df,
+       |  CASE WHEN isinf(s2.t) THEN CAST(0.0 AS DOUBLE)
+       |       WHEN isnan(s2.t) THEN CAST('nan' AS DOUBLE)
+       |       ELSE tp.p_cf END AS p
+       |FROM s2 LEFT JOIN tcdf_p tp USING (event_type)
+       |ORDER BY s2.event_type""".stripMargin
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence — P(next event type | current), the sequence-model
+    * baseline and the sanity check behind session-based features. One
+    * per-user lead() window (shuffle on user_id, the store's natural
+    * key), then a tiny (types × types) aggregation; probabilities are
+    * per-row divisions of exact counts. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wcur = Window.partitionBy(col("cur"))
+    Events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("next", lead(col("cur"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("cur"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wcur), 6))
+      .orderBy(col("cur"), col("next"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS cur,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS next
+      |  FROM events),
+      |cnt AS (
+      |  SELECT cur, next, count(*) AS n FROM seq
+      |  WHERE next IS NOT NULL GROUP BY 1, 2)
+      |SELECT cur, next, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6)
+      |         AS p
+      |FROM cnt ORDER BY cur, next""".stripMargin
+
+  /** Interval union (coverage) per user: extend every event to a
+    * 15-minute activity interval, merge overlaps (gaps-and-islands over
+    * a running max of interval ends), and report interval count, total
+    * covered time and the longest merged span — the "how much of the
+    * day was this entity active" primitive (uptime/SLA math, ad
+    * exposure, active-time billing). All arithmetic in integer
+    * microseconds: bit-identical cross-engine, no float drift anywhere.
+    * One window per user, one aggregation — shuffle on user_id only. */
+  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val span = 900000000L // 15 min in micros
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("en"))
+    val prevMax = max(col("en"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    Events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + span)
+      .withColumn("brk",
+        when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("ien") - col("ist")).as("covered_us"),
+        max(col("ien") - col("ist")).as("max_span_us"),
+        sum(col("n_ev")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val intervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + 900000000 AS en
+      |  FROM events),
+      |mk AS (
+      |  SELECT user_id, st, en,
+      |         max(en) OVER (PARTITION BY user_id ORDER BY st, en
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS prev_max
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, st, en,
+      |         sum(CASE WHEN prev_max IS NULL OR st > prev_max
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY st, en
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS island
+      |  FROM mk),
+      |m AS (
+      |  SELECT user_id, island, min(st) AS ist, max(en) AS ien,
+      |         count(*) AS n_ev
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |       CAST(sum(ien - ist) AS BIGINT) AS covered_us,
+      |       CAST(max(ien - ist) AS BIGINT) AS max_span_us,
+      |       CAST(sum(n_ev) AS BIGINT) AS n_events
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("funnel_conversion", funnelConversion _, Some(funnelConversionSql)),
-      ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)))
+      ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
+      ("experiment_ttest", experimentTtest _, Some(experimentTtestSql)),
+      ("markov_transitions", markovTransitions _,
+        Some(markovTransitionsSql)),
+      ("interval_merge", intervalMerge _, Some(intervalMergeSql)))
 }

@@ -157,8 +157,58 @@ object ProfileQueries {
       |FROM r JOIN b USING (l_returnflag)
       |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin
 
+  /** Equi-width histogram of `l_extendedprice` per group, 20 buckets —
+    * the distribution-shape primitive behind drift monitors and quality
+    * dashboards. Unlike equi-DEPTH binning (a per-group sort — see
+    * [[winsorize]]'s rank machinery), equi-width is fully map-side once
+    * the per-group min/max broadcast: bucket assignment is one
+    * arithmetic expression inside whole-stage codegen, so the operator
+    * is a scan + two tiny shuffles at ANY scale.
+    *
+    * The bucket expression is written identically on both engines —
+    * `floor((p - mn) * 20.0 / (mx - mn))` — so IEEE evaluation order
+    * matches and edge-straddling values land in the same bucket
+    * bit-for-bit. */
+  def equiwidthHist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("bucket",
+        least(floor((col("p") - col("mn")) * lit(20.0) /
+          (col("mx") - col("mn"))).cast("int"), lit(19)))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("p")), 6).as("avg_p"),
+        min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+      .withColumn("bucket_lo",
+        round(col("mn") + col("bucket") * (col("mx") - col("mn")) / 20.0,
+          6))
+      .select(col("l_returnflag"), col("bucket"), col("bucket_lo"),
+        col("n"), col("avg_p"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
+  val equiwidthHistSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, min(l_extendedprice) AS mn,
+      |         max(l_extendedprice) AS mx
+      |  FROM lineitem GROUP BY 1),
+      |h AS (
+      |  SELECT l.l_returnflag,
+      |         least(CAST(floor((l.l_extendedprice - b.mn) * 20.0
+      |                 / (b.mx - b.mn)) AS INT), 19) AS bucket,
+      |         l.l_extendedprice AS p, b.mn, b.mx
+      |  FROM lineitem l JOIN b USING (l_returnflag))
+      |SELECT l_returnflag, bucket,
+      |       round(min(mn) + bucket * (min(mx) - min(mn)) / 20.0, 6)
+      |         AS bucket_lo,
+      |       CAST(count(*) AS BIGINT) AS n, round(avg(p), 6) AS avg_p
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("column_profile", columnProfile _, Some(columnProfileSql)),
-      ("winsorize", winsorize _, Some(winsorizeSql)))
+      ("winsorize", winsorize _, Some(winsorizeSql)),
+      ("equiwidth_hist", equiwidthHist _, Some(equiwidthHistSql)))
 }

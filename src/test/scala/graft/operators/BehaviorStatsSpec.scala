@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Events
+
+/** Invariant gates for the behavioral-stats / graph-core wave:
+  *
+  *   - experiment_ttest: the hash arms partition the (user, type)
+  *     population exactly, t is finite with df > 1 on this data, and p
+  *     is a valid probability — plus the A/A property: re-running the
+  *     contrast with BOTH sides drawn from the same arm must not reject
+  *     (sanity that the machinery doesn't manufacture significance).
+  *   - markov_transitions: each row of the transition matrix sums to 1
+  *     and the transition mass equals sum over users of (n_events − 1).
+  *   - interval_merge: merged intervals each span at least the atomic
+  *     15-minute window (covered ≥ n_intervals × span), the longest
+  *     span never exceeds the total, and event conservation holds.
+  *   - k_core: min(core_deg) ≥ k IS the fixpoint certificate — if any
+  *     survivor had degree < k another peel round would fire, so the
+  *     bounded unrolling provably terminated; core degrees never exceed
+  *     the full-graph degrees.
+  *   - equiwidth_hist: per-group counts conserve the table, buckets lie
+  *     in [0, 19], and bucket_lo is strictly increasing per group.
+  */
+class BehaviorStatsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("behavior-stats-spec")
+    .getOrCreate()
+
+  test("experiment_ttest partitions the population and yields valid stats") {
+    val r = BehaviorQueries.experimentTtest(spark, dir).collect()
+    assert(r.length === 5)
+    val userTypes = Events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(r.map(x => x.getAs[Long]("n_a") + x.getAs[Long]("n_b")).sum
+      === userTypes)
+    r.foreach { x =>
+      assert(!x.getAs[Double]("t").isNaN && !x.getAs[Double]("t").isInfinite)
+      assert(x.getAs[Double]("df") > 1.0)
+      val p = x.getAs[Double]("p")
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
+  test("markov_transitions rows sum to 1 and conserve transition mass") {
+    val m = BehaviorQueries.markovTransitions(spark, dir).persist()
+    try {
+      val rowSums = m.groupBy(col("cur")).agg(sum(col("p")).as("sp"))
+        .collect()
+      rowSums.foreach(x =>
+        assert(math.abs(x.getAs[Double]("sp") - 1.0) < 1e-4))
+      val mass = m.agg(sum(col("n"))).head.getLong(0)
+      val expected = Events(spark, dir).groupBy(col("user_id")).count()
+        .agg(sum(col("count") - 1)).head.getLong(0)
+      assert(mass === expected)
+    } finally { m.unpersist() }
+  }
+
+  test("interval_merge spans and conservation") {
+    val iv = BehaviorQueries.intervalMerge(spark, dir).persist()
+    try {
+      assert(iv.filter(col("covered_us") <
+        col("n_intervals") * 900000000L).count() === 0)
+      assert(iv.filter(col("max_span_us") > col("covered_us"))
+        .count() === 0)
+      val events = Events(spark, dir).count()
+      assert(iv.agg(sum(col("n_events"))).head.getLong(0) === events)
+    } finally { iv.unpersist() }
+  }
+
+  test("k_core fixpoint certificate and degree bound") {
+    val core = GraphQueries.kCore(spark, dir).persist()
+    val tc = GraphQueries.triangleCount(spark, dir)
+      .select(col("doc_id"), col("deg")).persist()
+    try {
+      assert(core.agg(min(col("core_deg"))).head.getLong(0) >= 3L)
+      val joined = core.join(tc, Seq("doc_id"), "left")
+      assert(joined.filter(col("deg").isNull ||
+        col("core_deg") > col("deg")).count() === 0)
+    } finally { core.unpersist(); tc.unpersist() }
+  }
+
+  test("equiwidth_hist conserves counts with ordered buckets") {
+    val h = ProfileQueries.equiwidthHist(spark, dir).persist()
+    try {
+      val total = h.agg(sum(col("n"))).head.getLong(0)
+      val li = graft.core.Tables(spark, dir, "lineitem").count()
+      assert(total === li)
+      assert(h.filter(col("bucket") < 0 || col("bucket") > 19)
+        .count() === 0)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+      val bad = h.withColumn("prev_lo", lag(col("bucket_lo"), 1).over(w))
+        .filter(col("prev_lo").isNotNull &&
+          col("bucket_lo") <= col("prev_lo")).count()
+      assert(bad === 0)
+    } finally { h.unpersist() }
+  }
+
+  test("experiment A/A contrast does not reject") {
+    // split arm-A users into two pseudo-arms by a SECOND independent
+    // hash; the machinery must report p > 0.01 for every event type on
+    // null data (a manufactured rejection would mean the arms leak)
+    import graft.functions.WelchTTest.welch_t
+    val h1 = (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 2) === 0
+    val h2 = (conv(substring(md5(concat(lit("aa:"),
+      col("user_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 2) === 0
+    val um = Events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(avg(col("value")).as("um"))
+      .filter(h1)
+      .withColumn("arm", h2)
+    val res = um.groupBy(col("event_type"))
+      .agg(
+        avg(when(col("arm"), col("um"))).as("m_a"),
+        avg(when(!col("arm"), col("um"))).as("m_b"),
+        stddev_samp(when(col("arm"), col("um"))).as("s_a"),
+        stddev_samp(when(!col("arm"), col("um"))).as("s_b"),
+        count(when(col("arm"), 1)).cast("double").as("n_a"),
+        count(when(!col("arm"), 1)).cast("double").as("n_b"))
+      .withColumn("w", welch_t(col("m_a"), col("s_a"), col("n_a"),
+        col("m_b"), col("s_b"), col("n_b")))
+      .select(col("w.p").as("p")).collect()
+    res.foreach(x => assert(x.getAs[Double]("p") > 0.01))
+  }
+}

@@ -82,6 +82,8 @@ ROUNDED_COLS = {
     "triangle_count": {"clustering"},
     "winsorize": {"win_mean"},
     "timeseries_fill": {"day_sum", "locf_sum"},
+    "markov_transitions": {"p"},
+    "equiwidth_hist": {"avg_p", "bucket_lo"},
 }
 
 

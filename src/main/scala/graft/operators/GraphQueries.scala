@@ -34,8 +34,11 @@ object GraphQueries {
   /** Full rank relation (doc_id, deg, pr) — shared by the top-k query
     * and the mass-conservation spec. */
   private[operators] def fullRanks(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint BEFORE the both-directions union: the union's two
+    // branches are two consumers of the expensive pair subtree
     val pairs = DedupQueries.jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
@@ -114,8 +117,13 @@ object GraphQueries {
     * the orientation's provable bound. All joins shuffle on node keys;
     * nothing global, nothing driver-side. */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    // materialize the pair generation once: the word self-join is the
+    // expensive subtree and the plan below consumes pairs/edges from
+    // SIX positions — un-checkpointed, Spark re-derives it per consumer
+    // (the pagerank/CC precedent; plans/triangle_count.txt before/after)
     val pairs = DedupQueries.jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val deg = pairs.select(col("doc_a").as("node"))
       .unionByName(pairs.select(col("doc_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -134,6 +142,7 @@ object GraphQueries {
           .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst"),
             col("da").as("dd"))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.dd"))
+      .localCheckpoint(true)
     // wedges at the source, dst1 < dst2 under the SAME (deg, id) order,
     // closed against the oriented edges
     val tri = e.as("e1")
@@ -221,6 +230,7 @@ object GraphQueries {
   def kCore(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupQueries.jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     var edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))

@@ -140,13 +140,19 @@ object BehaviorQueries {
     * Shape: one shuffle to (user, event_type) grain, one to event_type
     * grain — both map-side combined; the t/p arithmetic is per-group
     * scalar work on a 5-row relation. */
-  def experimentTtest(s: SparkSession, dir: String): DataFrame = {
+  def experimentTtest(s: SparkSession, dir: String): DataFrame =
+    experimentReadout(Events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(avg(col("value")).as("um")))
+
+  /** Arm assignment + per-type Welch readout over a (user_id,
+    * event_type, um) relation — shared verbatim by the batch query and
+    * the streaming accumulation ([[StreamingExperimentQueries]]), which
+    * is why the stream hash-oracles against the literally-same SQL. */
+  private[operators] def experimentReadout(umRel: DataFrame): DataFrame = {
     val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 15),
       16, 10).cast("long") % 2) === 0
-    val um = Events(s, dir)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(avg(col("value")).as("um"))
-      .withColumn("arm", arm)
+    val um = umRel.withColumn("arm", arm)
     um.groupBy(col("event_type"))
       .agg(
         count(when(col("arm"), 1)).as("n_a"),

@@ -107,6 +107,26 @@ class BehaviorStatsSpec extends AnyFunSuite {
     } finally { h.unpersist() }
   }
 
+  test("stream_experiment reproduces the batch readout") {
+    // sums re-associate across batches, so floats agree to tolerance,
+    // counts exactly
+    val b = BehaviorQueries.experimentTtest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val st = StreamingExperimentQueries.streamExperiment(spark, dir)
+      .collect()
+    assert(st.length === b.size)
+    st.foreach { r =>
+      val e = b(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_a") === e.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("n_b") === e.getAs[Long]("n_b"))
+      Seq("m_a", "m_b", "t", "p").foreach { c =>
+        val (x, y) = (r.getAs[Double](c), e.getAs[Double](c))
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+          s"$c drifted: $x vs $y")
+      }
+    }
+  }
+
   test("experiment A/A contrast does not reject") {
     // split arm-A users into two pseudo-arms by a SECOND independent
     // hash; the machinery must report p > 0.01 for every event type on

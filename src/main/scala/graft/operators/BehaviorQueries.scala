@@ -312,6 +312,123 @@ object BehaviorQueries {
       |       CAST(sum(n_ev) AS BIGINT) AS n_events
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Session path mining — the top entry paths (first three event types
+    * of each 30-minute session), the "how do users start" funnel
+    * discovery primitive (what Amplitude calls Pathfinder). Sessions by
+    * the same µs-exact gaps-and-islands rule as `event_sessionize`; the
+    * path string is assembled IN-ROW from a sorted collect (sort_array
+    * over (ts, event_id, type) structs — a deterministic total order, so
+    * both engines concatenate the identical sequence).
+    *
+    * Shape: one window + one aggregation per user (session assembly),
+    * then a tiny path-frequency aggregation; the collect is bounded by
+    * session length, never the stream. */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val upTo = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val sess = Events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUser) > 1800000000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("brk")).over(upTo))
+    sess.groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(array_join(slice(expr("transform(evs, x -> x.event_type)"),
+        1, 3), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val topPathsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id))
+      |           > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |se AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS session_seq
+      |  FROM g),
+      |paths AS (
+      |  SELECT array_to_string(
+      |           list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+      |           '>') AS path
+      |  FROM se GROUP BY user_id, session_seq)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  /** Item co-occurrence similarity — the collaborative-filtering
+    * primitive ("users who touched i also touched j"): the item key is
+    * parsed from the `props` JSON (F12), the user×item interaction
+    * matrix is exact integer counts, and item–item cosine is computed
+    * over the user dimension via the classic self-join on user. All
+    * dot products and norms are exact integers; the only float is the
+    * final `dot / sqrt(na*nb)`, written token-identically on both
+    * engines.
+    *
+    * Scale shape: the self-join fans out per-user as (items/user)² —
+    * bounded by capping per-user history (the standard production move;
+    * here the natural bound is events/user), shuffled on user_id then
+    * on the (i, j) pair grain, both map-side combined. The item-norm
+    * relation is item-cardinality-sized and broadcasts. */
+  def itemCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val ui = Events(s, dir)
+      .select(col("user_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("item"))
+      .groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("w"))
+    val norms = ui.groupBy(col("item"))
+      .agg(sum(col("w") * col("w")).as("nsq"))
+    ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"),
+        count(lit(1)).as("n_users"))
+      .join(broadcast(norms.select(col("item").as("item_a"),
+        col("nsq").as("na"))), "item_a")
+      .join(broadcast(norms.select(col("item").as("item_b"),
+        col("nsq").as("nb"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_users"), col("dot"),
+        round(col("dot") / sqrt((col("na") * col("nb")).cast("double")),
+          6).as("cosine"))
+      .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+      .limit(30)
+  }
+
+  val itemCooccurrenceSql: String =
+    """WITH ui AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS INT) AS item,
+      |         count(*) AS w
+      |  FROM events GROUP BY 1, 2),
+      |norms AS (SELECT item, sum(w * w) AS nsq FROM ui GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b,
+      |         sum(a.w * b.w) AS dot, count(*) AS n_users
+      |  FROM ui a JOIN ui b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(dot AS BIGINT) AS dot,
+      |       round(CAST(dot AS BIGINT) / sqrt(CAST(na.nsq * nb.nsq
+      |           AS DOUBLE)), 6) AS cosine
+      |FROM pairs
+      |JOIN norms na ON pairs.item_a = na.item
+      |JOIN norms nb ON pairs.item_b = nb.item
+      |ORDER BY cosine DESC, item_a, item_b LIMIT 30""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("funnel_conversion", funnelConversion _, Some(funnelConversionSql)),
@@ -319,5 +436,8 @@ object BehaviorQueries {
       ("experiment_ttest", experimentTtest _, Some(experimentTtestSql)),
       ("markov_transitions", markovTransitions _,
         Some(markovTransitionsSql)),
-      ("interval_merge", intervalMerge _, Some(intervalMergeSql)))
+      ("interval_merge", intervalMerge _, Some(intervalMergeSql)),
+      ("top_paths", topPaths _, Some(topPathsSql)),
+      ("item_cooccurrence", itemCooccurrence _,
+        Some(itemCooccurrenceSql)))
 }

@@ -127,6 +127,34 @@ class BehaviorStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("top_paths sessions conserve and paths are bounded") {
+    val p = BehaviorQueries.topPaths(spark, dir).collect()
+    assert(p.nonEmpty && p.length <= 20)
+    // descending frequency with path tiebreak
+    val ns = p.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // every path has 1..3 steps drawn from the event vocabulary
+    val types = Set("view", "click", "purchase", "signup", "error")
+    p.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.length >= 1 && steps.length <= 3)
+      steps.foreach(t => assert(types.contains(t)))
+    }
+  }
+
+  test("item_cooccurrence cosine is a valid bounded similarity") {
+    val c = BehaviorQueries.itemCooccurrence(spark, dir).collect()
+    assert(c.length === 30)
+    c.foreach { r =>
+      val cos = r.getAs[Double]("cosine")
+      assert(cos > 0.0 && cos <= 1.0)
+      assert(r.getAs[Long]("n_users") >= 1L)
+      assert(r.getAs[Int]("item_a") < r.getAs[Int]("item_b"))
+    }
+    val cs = c.map(_.getAs[Double]("cosine"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("experiment A/A contrast does not reject") {
     // split arm-A users into two pseudo-arms by a SECOND independent
     // hash; the machinery must report p > 0.01 for every event type on

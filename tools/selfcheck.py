@@ -84,6 +84,7 @@ ROUNDED_COLS = {
     "timeseries_fill": {"day_sum", "locf_sum"},
     "markov_transitions": {"p"},
     "equiwidth_hist": {"avg_p", "bucket_lo"},
+    "item_cooccurrence": {"cosine"},
 }
 
 

@@ -15,11 +15,14 @@ import graft.functions.{DotProduct, NgramHashes, SortedLongJaccard, WelchTTest}
   * or `.withExtensions`).
   *
   * This is the (c)-tier of the custom-operator ladder (SURVEY §7.3):
-  * injected scalar functions; no custom Rule or Strategy is needed —
-  * every other operator is expressible with stock Catalyst plans.
+  * injected scalar functions plus ONE optimizer rule
+  * ([[graft.plans.LevenshteinPrefilter]] — the edit-distance length
+  * lower bound as an automatic codegen short-circuit); everything else
+  * is expressible with stock Catalyst plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     ext.injectFunction((
       new FunctionIdentifier("welch_t"),
       new ExpressionInfo(classOf[WelchTTest].getName, "welch_t"),

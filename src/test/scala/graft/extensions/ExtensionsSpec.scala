@@ -57,6 +57,29 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(nerr.getMessage.contains("INT literal") ||
         nerr.getMessage.toLowerCase.contains("invalid"))
+
+      // LevenshteinPrefilter: the optimizer injects the length lower
+      // bound ahead of the DP...
+      import spark.implicits._
+      val names = Seq("cold widget", "cold widgt", "large bolt",
+        "blue rod", "tiny connector assembly").toDF("name")
+      names.createOrReplaceTempView("lp_names")
+      val q = spark.sql(
+        """SELECT a.name, b.name FROM lp_names a JOIN lp_names b
+          |ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
+          |""".stripMargin)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("abs(") && opt.contains("length("),
+        s"guard not injected:\n$opt")
+      // ...exactly once (idempotent under the optimizer's fixpoint loop)
+      assert(opt.sliding("abs((length(".length)
+        .count(_.startsWith("abs((length(")) <= 2, opt)
+      // ...and never changes results (the bound is a theorem, not a
+      // heuristic): the one distance<=2 pair survives
+      val rows = q.collect()
+      assert(rows.length === 1)
+      assert(rows.head.getString(0) === "cold widget" ||
+        rows.head.getString(1) === "cold widget")
     } finally spark.stop()
   }
 }

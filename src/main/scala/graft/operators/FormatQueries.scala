@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Events
+import graft.core.{Events, Tables}
 
 /** Storage-format round-trips beyond parquet: the reference's data moves
   * through CSV and pickles only (SURVEY §2.2), but a Spark-native engine
@@ -98,8 +98,63 @@ object FormatQueries {
       |         6) AS avg_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private lazy val evoDir = graft.core.TempDirs.create("graft_schema_evo")
+
+  /** Schema evolution — the append-only table whose schema GREW: v=1
+    * files predate the `priority` column, v=2 files carry it. One read
+    * with `mergeSchema` reconciles the partitions (old rows surface
+    * NULL for the new column — exactly Parquet's evolution contract);
+    * downstream fills the legacy default and aggregates across both
+    * vintages. The everyday lakehouse situation every engine must
+    * handle without a rewrite of history — at 100 TB "rewrite the old
+    * files" is not an option, the READER carries the evolution.
+    *
+    * mergeSchema is the honest cost: schema reconciliation reads every
+    * file's footer (a metadata pass, not a data pass). With a table
+    * catalog the merged schema is known up front and the option is
+    * unnecessary — documented here as the scale posture. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").as("price"))
+      .write.mode("overwrite").parquet(s"$evoDir/v=1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").as("price"),
+        col("o_orderpriority").as("priority"))
+      .write.mode("overwrite").parquet(s"$evoDir/v=2")
+    s.read.option("mergeSchema", "true").parquet(evoDir)
+      .groupBy(col("v"),
+        coalesce(col("priority"), lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        // 2-decimal quantities: exact long-cents sum, order-independent
+        (sum(round(col("price") * 100).cast("long")).cast("double") /
+          100.0).as("total"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy(col("v"), col("priority"))
+  }
+
+  /** The oracle replays the evolution logically: even keys are the
+    * pre-migration vintage (v=1, LEGACY), odd keys the post-migration
+    * one. */
+  val schemaEvolutionSql: String =
+    """WITH evo AS (
+      |  SELECT 1 AS v, o_orderkey AS key, o_totalprice AS price,
+      |         'LEGACY' AS priority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 2, o_orderkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 <> 0)
+      |SELECT CAST(v AS INT) AS v, priority, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS total,
+      |       min(key) AS min_key, max(key) AS max_key
+      |FROM evo GROUP BY 1, 2 ORDER BY v, priority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)),
-      ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)))
+      ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
+      ("schema_evolution", schemaEvolution _, Some(schemaEvolutionSql)))
 }

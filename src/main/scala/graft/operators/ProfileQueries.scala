@@ -218,9 +218,80 @@ object ProfileQueries {
       |       CAST(count(*) AS BIGINT) AS n, round(avg(p), 6) AS avg_p
       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Declarative data-quality rule audit (the Deequ/dbt-test class):
+    * each rule is a violation predicate over `lineitem`; the relation
+    * reports, per rule, rows checked, violations, the violation rate
+    * and the smallest violating order key (the "show me one" handle).
+    * A rule with zero violations stays in the output — a PASSING
+    * constraint is evidence too.
+    *
+    * ALL rules evaluate in ONE aggregation pass (conditional sums are
+    * algebraic — map-side combined, no Expand, no per-rule scan), then
+    * an in-row unpivot emits the per-rule relation: the audit costs one
+    * scan no matter how many rules, which is what makes a 100-rule
+    * suite viable at 100 TB. */
+  def dqRules(s: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "discount_le_008" -> (col("l_discount") > 0.08),
+      "flag_in_anr" -> !col("l_returnflag").isin("A", "N", "R"),
+      "price_lt_100k" -> (col("l_extendedprice") >= 100000.0),
+      "quantity_le_45" -> (col("l_quantity") > 45.0),
+      "shipdate_lt_2001" ->
+        (col("l_shipdate") >= lit("2001-01-01").cast("timestamp")))
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_checked")) ++
+      rules.flatMap { case (n, cond) =>
+        Seq(sum(when(cond, 1L).otherwise(0L)).as(s"v_$n"),
+          min(when(cond, col("l_orderkey"))).as(s"k_$n"))
+      }
+    val one = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val rows = array(rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col("n_checked"),
+        col(s"v_$n").as("n_violations"),
+        (col(s"v_$n").cast("double") / col("n_checked"))
+          .as("violation_rate"),
+        col(s"k_$n").as("first_bad_key"))
+    }: _*)
+    one.select(explode(rows).as("r")).select(col("r.*"))
+      .orderBy(col("rule"))
+  }
+
+  val dqRulesSql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n_checked,
+      |    sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS v1,
+      |    min(CASE WHEN l_discount > 0.08 THEN l_orderkey END) AS k1,
+      |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0
+      |        END) AS v2,
+      |    min(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN l_orderkey
+      |        END) AS k2,
+      |    sum(CASE WHEN l_extendedprice >= 100000.0 THEN 1 ELSE 0 END)
+      |      AS v3,
+      |    min(CASE WHEN l_extendedprice >= 100000.0 THEN l_orderkey END)
+      |      AS k3,
+      |    sum(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS v4,
+      |    min(CASE WHEN l_quantity > 45.0 THEN l_orderkey END) AS k4,
+      |    sum(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01' THEN 1
+      |        ELSE 0 END) AS v5,
+      |    min(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+      |        THEN l_orderkey END) AS k5
+      |  FROM lineitem)
+      |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+      |       CAST(nv AS BIGINT) AS n_violations,
+      |       CAST(nv AS DOUBLE) / n_checked AS violation_rate,
+      |       kk AS first_bad_key
+      |FROM (
+      |  SELECT 'discount_le_008' AS rule, n_checked, v1 AS nv, k1 AS kk
+      |    FROM a
+      |  UNION ALL SELECT 'flag_in_anr', n_checked, v2, k2 FROM a
+      |  UNION ALL SELECT 'price_lt_100k', n_checked, v3, k3 FROM a
+      |  UNION ALL SELECT 'quantity_le_45', n_checked, v4, k4 FROM a
+      |  UNION ALL SELECT 'shipdate_lt_2001', n_checked, v5, k5 FROM a)
+      |ORDER BY rule""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("column_profile", columnProfile _, Some(columnProfileSql)),
       ("winsorize", winsorize _, Some(winsorizeSql)),
-      ("equiwidth_hist", equiwidthHist _, Some(equiwidthHistSql)))
+      ("equiwidth_hist", equiwidthHist _, Some(equiwidthHistSql)),
+      ("dq_rules", dqRules _, Some(dqRulesSql)))
 }

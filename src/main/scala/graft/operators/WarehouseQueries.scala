@@ -381,6 +381,78 @@ object WarehouseQueries {
       |            WHEN n.price <> b.price THEN 'changed' END) IS NOT NULL
       |ORDER BY change, key""".stripMargin
 
+  /** Right-to-be-forgotten cascade audit: a deterministic 5% of
+    * customers request deletion (house 60-bit hash), and the referential
+    * chain customer → orders → lineitem must follow. The relation
+    * reports, per table, total rows, rows the cascade removes, and the
+    * remainder — the compliance evidence a deletion job has to produce
+    * BEFORE it mutates anything.
+    *
+    * Shape: the deletion key set is customer-grain (broadcastable); the
+    * order-level key set comes from one semi join; lineitem counts from
+    * a semi join against the order keys (shuffle on the join key at
+    * scale — the natural key chain). Counts are conditional sums in
+    * single aggregation passes; nothing is rewritten. */
+  def cascadeDeleteAudit(s: SparkSession, dir: String): DataFrame = {
+    val hash20 = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long") % 20 === 0
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), hash20(col("c_custkey")).as("del"))
+    val delKeys = cust.filter(col("del")).select(col("c_custkey"))
+    val orders = Tables(s, dir, "orders")
+      .join(broadcast(delKeys.withColumn("d", lit(1))
+        .withColumnRenamed("c_custkey", "o_custkey")),
+        Seq("o_custkey"), "left")
+      .select(col("o_orderkey"), col("d").isNotNull.as("del"))
+    val delOrders = orders.filter(col("del")).select(col("o_orderkey"))
+    val li = Tables(s, dir, "lineitem")
+      .join(delOrders.withColumn("d", lit(1))
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left")
+      .select(col("d").isNotNull.as("del"))
+    def audit(df: DataFrame, table: String): DataFrame =
+      df.agg(count(lit(1)).as("n_total"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"))
+        .select(lit(table).as("table_name"), col("n_total"),
+          col("n_deleted"),
+          (col("n_total") - col("n_deleted")).as("n_after"))
+    audit(cust, "customer")
+      .unionByName(audit(orders, "orders"))
+      .unionByName(audit(li, "lineitem"))
+      .orderBy(col("table_name"))
+  }
+
+  val cascadeDeleteAuditSql: String =
+    """WITH del AS (
+      |  SELECT c_custkey FROM customer
+      |  WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+      |          AS BIGINT) % 20 = 0),
+      |do_ AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM del)),
+      |c AS (
+      |  SELECT 'customer' AS table_name, count(*) AS n_total,
+      |         sum(CASE WHEN c_custkey IN (SELECT c_custkey FROM del)
+      |             THEN 1 ELSE 0 END) AS n_deleted
+      |  FROM customer),
+      |o AS (
+      |  SELECT 'orders', count(*),
+      |         sum(CASE WHEN o_orderkey IN (SELECT o_orderkey FROM do_)
+      |             THEN 1 ELSE 0 END)
+      |  FROM orders),
+      |l AS (
+      |  SELECT 'lineitem', count(*),
+      |         sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM do_)
+      |             THEN 1 ELSE 0 END)
+      |  FROM lineitem),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+      |      UNION ALL SELECT * FROM l)
+      |SELECT table_name, CAST(n_total AS BIGINT) AS n_total,
+      |       CAST(n_deleted AS BIGINT) AS n_deleted,
+      |       CAST(n_total - n_deleted AS BIGINT) AS n_after
+      |FROM u ORDER BY table_name""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("scd2_history", scd2History _, Some(scd2HistorySql)),
@@ -389,5 +461,7 @@ object WarehouseQueries {
       ("temporal_join", temporalJoin _, Some(temporalJoinSql)),
       ("rolling_features", rollingFeatures _, Some(rollingFeaturesSql)),
       ("timeseries_fill", timeseriesFill _, Some(timeseriesFillSql)),
-      ("snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)))
+      ("snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)),
+      ("cascade_delete_audit", cascadeDeleteAudit _,
+        Some(cascadeDeleteAuditSql)))
 }

@@ -135,6 +135,59 @@ class ProfileLinkageGraphSpec extends AnyFunSuite {
     } finally { d.unpersist(); orders.unpersist() }
   }
 
+  test("schema_evolution reconciles vintages with the legacy default") {
+    val e = FormatQueries.schemaEvolution(spark, dir).collect()
+    val orders = graft.core.Tables(spark, dir, "orders")
+    assert(e.map(_.getAs[Long]("n")).sum === orders.count())
+    // the v=1 vintage surfaces ONLY the filled legacy default; v=2 never
+    e.foreach { r =>
+      if (r.getAs[Int]("v") == 1)
+        assert(r.getAs[String]("priority") === "LEGACY")
+      else assert(r.getAs[String]("priority") !== "LEGACY")
+    }
+    // vintage key parity: v=1 holds even keys, v=2 odd
+    e.foreach { r =>
+      val parity = if (r.getAs[Int]("v") == 1) 0L else 1L
+      assert(r.getAs[Long]("min_key") % 2 === parity)
+      assert(r.getAs[Long]("max_key") % 2 === parity)
+    }
+  }
+
+  test("cascade_delete_audit is non-vacuous and self-consistent") {
+    val a = WarehouseQueries.cascadeDeleteAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(a.keySet === Set("customer", "orders", "lineitem"))
+    a.values.foreach { r =>
+      assert(r.getAs[Long]("n_after") ===
+        r.getAs[Long]("n_total") - r.getAs[Long]("n_deleted"))
+      assert(r.getAs[Long]("n_deleted") > 0L, "vacuous cascade")
+    }
+    // nominal 5% hash selection; at the 150-customer fixture the
+    // binomial spread is wide — bound loosely, non-vacuity is the gate
+    val c = a("customer")
+    val frac = c.getAs[Long]("n_deleted").toDouble / c.getAs[Long]("n_total")
+    assert(frac > 0.0 && frac < 0.15, s"selection fraction $frac")
+  }
+
+  test("dq_rules: one scan, passing rules included, rates valid") {
+    val r = ProfileQueries.dqRules(spark, dir).collect()
+      .map(x => x.getAs[String]("rule") -> x).toMap
+    assert(r.size === 5)
+    val li = graft.core.Tables(spark, dir, "lineitem").count()
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("n_checked") === li)
+      val rate = x.getAs[Double]("violation_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the enum constraint PASSES (zero violations, no sample key)...
+    assert(r("flag_in_anr").getAs[Long]("n_violations") === 0L)
+    assert(r("flag_in_anr").isNullAt(
+      r("flag_in_anr").fieldIndex("first_bad_key")))
+    // ...while the range constraints actually catch rows
+    assert(r("quantity_le_45").getAs[Long]("n_violations") > 0L)
+    assert(r("discount_le_008").getAs[Long]("n_violations") > 0L)
+  }
+
   test("column_profile row/distinct invariants hold") {
     val p = ProfileQueries.columnProfile(spark, dir).collect()
     assert(p.length === 11)

@@ -127,6 +127,60 @@ object StressFixture {
     replicate("customer", Map("c_custkey" -> 1000000L))
   }
 
+  private case class Ev(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** `genev <outDir> [mult]`: a mult× events fixture with the sf0.1
+    * character (1500·mult users, 100k·mult events, the same 30-day
+    * window, 5 uniform event types, 2-decimal values, `{"k": 0..99}`
+    * props). Per-row seeded RNG keyed on event id — deterministic under
+    * any partitioning. The scale direction matches production event
+    * stores: MORE USERS at similar per-user volume, so per-user windows
+    * stay constant-cost and the slope isolates the shuffle/agg terms. */
+  private def genEvents(spark: SparkSession, outDir: String,
+      mult: Int): Unit = {
+    import spark.implicits._
+    val types = Array("click", "error", "purchase", "signup", "view")
+    val nEvents = 100000L * mult
+    val nUsers = 1500L * mult
+    val startUs = 1704067200000000L // 2024-01-01 UTC
+    val spanUs = 30L * 86400L * 1000000L
+    spark.range(nEvents).as[Long].map { id =>
+      val r = new scala.util.Random(
+        id * 6364136223846793005L + 1442695040888963407L)
+      Ev(id,
+        startUs + (math.abs(r.nextLong()) % spanUs),
+        math.abs(r.nextLong()) % nUsers,
+        types(r.nextInt(types.length)),
+        math.rint(r.nextDouble() * 20000.0) / 100.0,
+        s"""{"k": ${r.nextInt(100)}}""")
+    }.toDF()
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/events.parquet")
+    val n = spark.read.parquet(s"$outDir/events.parquet").count()
+    println(s"[stress] wrote $n events to $outDir")
+  }
+
+  /** `measureq <dir> <ops-csv> [reps]`: time ANY registry queries by
+    * name against a fixture dir — the generic slope harness for
+    * operators outside the original dedup/ANN set. */
+  private def measureQ(spark: SparkSession, dir: String,
+      ops: Seq[String], reps: Int): Unit = {
+    ops.foreach { name =>
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = ts.sorted.apply(ts.size / 2)
+      println(f"[stress] $name%-20s median=$med%6.2f s  " +
+        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+    }
+  }
+
   private def measure(spark: SparkSession, dir: String, reps: Int,
       only: Option[Set[String]]): Unit = {
     def time(tag: String)(mk: => DataFrame): Unit = {
@@ -171,9 +225,14 @@ object StressFixture {
           rest.drop(1).headOption.map(_.toInt).getOrElse(1))
       case "genrel" :: out :: rest =>
         genRel(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
+      case "genev" :: out :: rest =>
+        genEvents(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
       case "measure" :: dir :: rest =>
         measure(spark, dir, rest.headOption.map(_.toInt).getOrElse(3),
           rest.drop(1).headOption.map(_.split(",").toSet))
+      case "measureq" :: dir :: ops :: rest =>
+        measureQ(spark, dir, ops.split(",").toSeq,
+          rest.headOption.map(_.toInt).getOrElse(3))
       case other => sys.error(s"usage: gen <outDir> [mult] [vocabMult] | " +
         s"genrel <outDir> [mult] | measure <dir> [reps] [ops-csv]; " +
         s"got $other")

@@ -155,6 +155,16 @@ class BehaviorStatsSpec extends AnyFunSuite {
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("stream_markov is bit-identical to the batch transition matrix") {
+    // counts are integers and p divides the same integers, so the
+    // streamed decomposition (within-batch + junction pairs) must
+    // reproduce the batch relation EXACTLY, not just to tolerance
+    val b = BehaviorQueries.markovTransitions(spark, dir).collect()
+    val st = StreamingMarkovQueries.streamMarkov(spark, dir).collect()
+    assert(st.map(_.toString).sorted.toSeq ===
+      b.map(_.toString).sorted.toSeq)
+  }
+
   test("experiment A/A contrast does not reject") {
     // split arm-A users into two pseudo-arms by a SECOND independent
     // hash; the machinery must report p > 0.01 for every event type on

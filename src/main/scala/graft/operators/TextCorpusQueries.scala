@@ -209,10 +209,66 @@ object TextCorpusQueries {
       |            ((cg + 1.0) / (ng + 200.0)))), 6) AS kl_vs_corpus
       |FROM grid GROUP BY source ORDER BY source""".stripMargin
 
+  /** Vocabulary coverage curve — the tokenizer-design artifact: "what
+    * fraction of the token stream does a vocab of size K cover?",
+    * sampled at the standard size checkpoints. Words ranked by (count
+    * desc, word) so the curve is total-order deterministic; coverage is
+    * a cumulative-sum window over exact integer counts divided by the
+    * exact total (one IEEE division, identical both engines).
+    *
+    * Shape: one map-side-combined word-count shuffle, then window +
+    * filter over the VOCABULARY-sized relation (never the token
+    * stream) — the curve costs the same as the word count at any
+    * corpus size. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val checkpoints = Seq(1, 2, 5, 10, 20, 50, 100, 200, 500, 1000)
+    val counts = docs(s, dir)
+      .select(explode(words).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    val cum = Window.orderBy(col("cnt").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("vocab_size", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cum))
+      .filter(col("vocab_size")
+        .isin(checkpoints.map(_.asInstanceOf[Any]): _*))
+      // scalar-1-row total — broadcast cross join, the tf-idf precedent
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(col("vocab_size"), col("word").as("boundary_word"),
+        col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total"))
+          .as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT w AS word, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT word, cnt,
+      |         CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INT)
+      |           AS vocab_size,
+      |         sum(cnt) OVER (ORDER BY cnt DESC, word
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum_cnt
+      |  FROM c)
+      |SELECT vocab_size, word AS boundary_word,
+      |       CAST(cum_cnt AS BIGINT) AS cum_cnt,
+      |       CAST(cum_cnt AS DOUBLE) / (SELECT sum(cnt) FROM c)
+      |         AS coverage
+      |FROM r
+      |WHERE vocab_size IN (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000)
+      |ORDER BY vocab_size""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("text_vocab_oov", textVocabOov _, Some(textVocabOovSql)),
       ("text_token_budget_sample", textTokenBudgetSample _,
         Some(textTokenBudgetSampleSql)),
-      ("text_dist_drift", textDistDrift _, Some(textDistDriftSql)))
+      ("text_dist_drift", textDistDrift _, Some(textDistDriftSql)),
+      ("vocab_coverage", vocabCoverage _, Some(vocabCoverageSql)))
 }

@@ -429,6 +429,68 @@ object BehaviorQueries {
       |JOIN norms nb ON pairs.item_b = nb.item
       |ORDER BY cosine DESC, item_a, item_b LIMIT 30""".stripMargin
 
+  /** Last-touch marketing attribution: every purchase is credited to
+    * the user's most recent prior CLICK within a 7-day window, the
+    * click's `props.k` acting as the campaign id; revenue rolls up per
+    * campaign with an explicit unattributed bucket.
+    *
+    * Formulated WITHOUT a join: one per-user window carries the last
+    * click's (ts, campaign) forward across the ordered event stream
+    * (`last(ignoreNulls)` — the LOCF idiom), and each purchase row
+    * reads the carried value map-side. On a user-bucketed event store
+    * this is sort-only; the as-of JOIN formulation (`asof_join`) pays a
+    * range join for the same answer — carrying state in a window is
+    * the cheaper shape when both sides live in ONE ordered stream.
+    * Revenue sums in exact long cents (2-decimal values). */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .withColumn("last_click", last(
+        when(col("event_type") === "click",
+          struct(col("ts").as("cts"), col("k").as("campaign"))),
+        ignoreNulls = true).over(byUser))
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("campaign",
+        when(col("last_click").isNotNull &&
+          unix_micros(col("ts")) -
+            unix_micros(col("last_click.cts")) <= 604800000000L,
+          col("last_click.campaign")))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") /
+          100.0).as("revenue"))
+      .orderBy(col("campaign").asc_nulls_first)
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |         CAST(json_extract(props, '$.k') AS INT) AS k
+      |  FROM events),
+      |carried AS (
+      |  SELECT *,
+      |         last_value(CASE WHEN event_type = 'click'
+      |             THEN struct_pack(cts := ts, campaign := k)
+      |             END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS last_click
+      |  FROM ev)
+      |SELECT CASE WHEN last_click IS NOT NULL
+      |            AND epoch_us(ts) - epoch_us((last_click).cts)
+      |                <= 604800000000
+      |            THEN (last_click).campaign END AS campaign,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM carried WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY campaign NULLS FIRST""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("funnel_conversion", funnelConversion _, Some(funnelConversionSql)),
@@ -439,5 +501,7 @@ object BehaviorQueries {
       ("interval_merge", intervalMerge _, Some(intervalMergeSql)),
       ("top_paths", topPaths _, Some(topPathsSql)),
       ("item_cooccurrence", itemCooccurrence _,
-        Some(itemCooccurrenceSql)))
+        Some(itemCooccurrenceSql)),
+      ("last_touch_attribution", lastTouchAttribution _,
+        Some(lastTouchAttributionSql)))
 }

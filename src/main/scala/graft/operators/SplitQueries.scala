@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Train/validation split integrity — the audit every training-data
@@ -91,7 +92,100 @@ object SplitQueries {
       |FROM d LEFT JOIN leaked l ON d.doc_id = l.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * every document gets up to 3 negatives drawn by hash-indexing into
+    * a broadcast 5% candidate pool, with the anchor itself and any
+    * NEAR-DUPLICATE of the anchor excluded (a near-dup "negative" is a
+    * false negative — the classic contrastive-data bug this operator
+    * exists to prevent; exclusion composes the same pair graph as
+    * [[splitLeakageAudit]]).
+    *
+    * Scale shape: the pool is a constant-size broadcast array; each
+    * anchor's 5 draws are pure map-side arithmetic (`element_at` on the
+    * array — never a join against the corpus); the only shuffles are
+    * the near-dup anti-join (pair-relation-sized) and the final
+    * per-anchor dedup/rank. No RNG: draw i of anchor a is the house
+    * 60-bit hash of "a:i", so both engines derive identical samples. */
+  def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val K = 3
+    val draws = 5
+    val d = DedupQueries.docs(s, dir).select(col("doc_id"))
+    val pool = d.filter(bucketMod(col("doc_id"), 20) === 0)
+      .agg(sort_array(collect_list(col("doc_id"))).as("pool"))
+      .withColumn("psize", size(col("pool")))
+    val cand = d.select(col("doc_id").as("anchor"))
+      .crossJoin(broadcast(pool))
+      .select(col("anchor"), col("pool"), col("psize"),
+        explode(sequence(lit(0), lit(draws - 1))).as("i"))
+      .withColumn("idx",
+        (bucketMod(concat(col("anchor").cast("string"), lit(":"),
+          col("i").cast("string")), 1000000) % col("psize")).cast("int"))
+      .select(col("anchor"), col("i"),
+        element_at(col("pool"), col("idx") + 1).as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor"))
+    val pairs = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val clean = cand
+      .join(pairs,
+        least(col("anchor"), col("neg_id")) === col("doc_a") &&
+          greatest(col("anchor"), col("neg_id")) === col("doc_b"),
+        "left_anti")
+      .groupBy(col("anchor"), col("neg_id"))
+      .agg(min(col("i")).as("i"))
+    val byAnchor = Window.partitionBy(col("anchor"))
+      .orderBy(col("i"), col("neg_id"))
+    clean.withColumn("rank", row_number().over(byAnchor))
+      .filter(col("rank") <= K)
+      .select(col("anchor"), col("rank"), col("neg_id"))
+      .orderBy(col("anchor"), col("rank"))
+  }
+
+  /** The house 60-bit md5 hash mod m, applied to a string or numeric
+    * key (numeric keys are rendered as their integer string). */
+  private def bucketMod(c: org.apache.spark.sql.Column, m: Int) =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+      .cast("long") % m
+
+  val negativeSamplingSql: String =
+    """WITH pool AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) % 20 = 0),
+      |pl AS (SELECT list_sort(list(doc_id)) AS l, count(*) AS n FROM pool),
+      |cand AS (
+      |  SELECT d.doc_id AS anchor, i.i,
+      |         pl.l[CAST(CAST(('0x' || substr(md5(
+      |             CAST(d.doc_id AS VARCHAR) || ':' ||
+      |             CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 1000000 % pl.n AS INT) + 1] AS neg_id
+      |  FROM documents d, pl,
+      |       (SELECT unnest(range(0, 5)) AS i) i),
+      |w AS (SELECT doc_id, source,
+      |  list_distinct(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) >= 0.7),
+      |clean AS (
+      |  SELECT anchor, neg_id, min(i) AS i FROM cand
+      |  WHERE neg_id <> anchor
+      |    AND NOT EXISTS (SELECT 1 FROM pairs p
+      |      WHERE p.doc_a = least(anchor, neg_id)
+      |        AND p.doc_b = greatest(anchor, neg_id))
+      |  GROUP BY anchor, neg_id),
+      |ranked AS (
+      |  SELECT anchor, neg_id,
+      |         CAST(row_number() OVER (PARTITION BY anchor
+      |           ORDER BY i, neg_id) AS INT) AS rank
+      |  FROM clean)
+      |SELECT anchor, rank, neg_id FROM ranked WHERE rank <= 3
+      |ORDER BY anchor, rank""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("split_leakage_audit", splitLeakageAudit _,
-      Some(splitLeakageAuditSql)))
+    Seq(
+      ("split_leakage_audit", splitLeakageAudit _,
+        Some(splitLeakageAuditSql)),
+      ("negative_sampling", negativeSampling _,
+        Some(negativeSamplingSql)))
 }

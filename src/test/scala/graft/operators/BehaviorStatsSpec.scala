@@ -165,6 +165,38 @@ class BehaviorStatsSpec extends AnyFunSuite {
       b.map(_.toString).sorted.toSeq)
   }
 
+  test("last_touch_attribution conserves purchases and revenue") {
+    val a = BehaviorQueries.lastTouchAttribution(spark, dir).collect()
+    val purchases = Events(spark, dir)
+      .filter(col("event_type") === "purchase")
+    assert(a.map(_.getAs[Long]("n_purchases")).sum === purchases.count())
+    val total = purchases
+      .agg((sum(round(col("value") * 100).cast("long")).cast("double") /
+        100.0).as("t")).head.getDouble(0)
+    assert(math.abs(a.map(_.getAs[Double]("revenue")).sum - total) < 0.011)
+  }
+
+  test("negative_sampling excludes anchors and near-dup partners") {
+    val n = SplitQueries.negativeSampling(spark, dir).persist()
+    val pairs = DedupQueries.jaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    try {
+      assert(n.filter(col("neg_id") === col("anchor")).count() === 0)
+      val bad = n.join(pairs,
+        least(col("anchor"), col("neg_id")) === col("doc_a") &&
+          greatest(col("anchor"), col("neg_id")) === col("doc_b"))
+        .count()
+      assert(bad === 0, "a near-dup partner leaked into the negatives")
+      val over = n.groupBy(col("anchor")).count()
+        .filter(col("count") > 3).count()
+      assert(over === 0)
+      // within an anchor, negatives are distinct
+      val dup = n.groupBy(col("anchor"), col("neg_id")).count()
+        .filter(col("count") > 1).count()
+      assert(dup === 0)
+    } finally { n.unpersist(); pairs.unpersist() }
+  }
+
   test("experiment A/A contrast does not reject") {
     // split arm-A users into two pseudo-arms by a SECOND independent
     // hash; the machinery must report p > 0.01 for every event type on

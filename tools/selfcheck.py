@@ -85,6 +85,7 @@ ROUNDED_COLS = {
     "markov_transitions": {"p"},
     "equiwidth_hist": {"avg_p", "bucket_lo"},
     "item_cooccurrence": {"cosine"},
+    "last_touch_attribution": {"revenue"},
 }
 
 

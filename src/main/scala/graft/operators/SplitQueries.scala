@@ -105,7 +105,13 @@ object SplitQueries {
     * array — never a join against the corpus); the only shuffles are
     * the near-dup anti-join (pair-relation-sized) and the final
     * per-anchor dedup/rank. No RNG: draw i of anchor a is the house
-    * 60-bit hash of "a:i", so both engines derive identical samples. */
+    * 60-bit hash of "a:i", so both engines derive identical samples.
+    *
+    * Cost lever (measured 5.95 s at sf0.1, pair generation dominated):
+    * the exclusion only needs pairs whose one side is a POOL member, so
+    * at scale restrict one side of the pair self-join to the pool
+    * before joining — a ~1/poolFrac cut of the similarity join that
+    * this fixture-sized query doesn't bother with. */
   def negativeSampling(s: SparkSession, dir: String): DataFrame = {
     val K = 3
     val draws = 5

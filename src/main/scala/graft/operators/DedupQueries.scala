@@ -141,6 +141,39 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric variant for consumers that only need pairs TOUCHING a
+    * given id set (e.g. [[SplitQueries.negativeSampling]]'s exclusion,
+    * where one side is always a pool member): the right stream is
+    * semi-joined to `rightIds` BEFORE the (source, word) join, cutting
+    * the similarity join's right input to the pool fraction. Same
+    * prefilter, same J ≥ 0.7 — the result is exactly the subset of
+    * [[jaccardPairs]] (normalized to unordered) touching `rightIds`,
+    * with both orientations emitted (doc_x is unrestricted). */
+  private[operators] def jaccardPairsTo(s: SparkSession, dir: String,
+      rightIds: DataFrame): DataFrame = {
+    val w = docs(s, dir).select(col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val wp = w.join(broadcast(rightIds.select(col("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    w.select(col("source"), col("doc_id").as("doc_x"), col("word"))
+      .join(broadcast(nw.select(col("doc_id").as("doc_x"),
+        col("nw").as("nx"))), "doc_x")
+      .join(wp.select(col("source"), col("doc_id").as("doc_p"),
+        col("word"))
+        .join(broadcast(nw.select(col("doc_id").as("doc_p"),
+          col("nw").as("np"))), "doc_p"),
+        Seq("source", "word"))
+      .filter(col("doc_x") =!= col("doc_p") &&
+        least(col("nx"), col("np")).cast("double") >=
+          lit(0.7) * greatest(col("nx"), col("np")))
+      .groupBy(col("doc_x"), col("doc_p"), col("nx"), col("np"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("nx") + col("np") - col("inter")).cast("double") >= 0.7)
+      .select(col("doc_x"), col("doc_p"))
+  }
+
   val dedupJaccardPairsSql: String =
     """WITH w AS (SELECT doc_id, source,
       |  list_distinct(string_split(text, ' ')) AS w FROM documents)

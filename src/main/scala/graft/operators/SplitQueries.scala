@@ -107,11 +107,11 @@ object SplitQueries {
     * per-anchor dedup/rank. No RNG: draw i of anchor a is the house
     * 60-bit hash of "a:i", so both engines derive identical samples.
     *
-    * Cost lever (measured 5.95 s at sf0.1, pair generation dominated):
-    * the exclusion only needs pairs whose one side is a POOL member, so
-    * at scale restrict one side of the pair self-join to the pool
-    * before joining — a ~1/poolFrac cut of the similarity join that
-    * this fixture-sized query doesn't bother with. */
+    * Cost lever, measured: the exclusion only needs pairs whose one
+    * side is a POOL member, so one side of the similarity join is
+    * restricted to the pool BEFORE joining ([[DedupQueries
+    * .jaccardPairsTo]]) — 5.95 s → 1.76 s at sf0.1 (3.4×), hash output
+    * unchanged at both SFs. */
   def negativeSampling(s: SparkSession, dir: String): DataFrame = {
     val K = 3
     val draws = 5
@@ -129,12 +129,14 @@ object SplitQueries {
       .select(col("anchor"), col("i"),
         element_at(col("pool"), col("idx") + 1).as("neg_id"))
       .filter(col("neg_id") =!= col("anchor"))
-    val pairs = DedupQueries.jaccardPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+    // exclusion pairs restricted to pool-touching ones (negatives are
+    // always pool members), cutting the similarity join's right input
+    // to the pool fraction — measured 5.95 s → see NOTES_r11
+    val pairs = DedupQueries.jaccardPairsTo(s, dir,
+      d.filter(bucketMod(col("doc_id"), 20) === 0))
     val clean = cand
       .join(pairs,
-        least(col("anchor"), col("neg_id")) === col("doc_a") &&
-          greatest(col("anchor"), col("neg_id")) === col("doc_b"),
+        col("anchor") === col("doc_x") && col("neg_id") === col("doc_p"),
         "left_anti")
       .groupBy(col("anchor"), col("neg_id"))
       .agg(min(col("i")).as("i"))

@@ -87,10 +87,17 @@ object BehaviorQueries {
     * every (cohort, day-offset) cell, the distinct users still active —
     * the triangular retention matrix. Cohort dates surface as TIMESTAMP
     * (DATE-typed outputs compare messily across engines — house rule). */
-  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val act = Events(s, dir)
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    retentionFrom(Events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
+      .distinct())
+
+  /** Cohort/retention assembly over a DISTINCT (user_id, day) activity
+    * relation — shared verbatim by the batch query and the streaming
+    * maintenance ([[StreamingRetentionQueries]]): the activity relation
+    * is the mergeable state (distinct-of-union ≡ union-of-distincts),
+    * so the stream hash-oracles against the literally-same SQL. */
+  private[operators] def retentionFrom(act: DataFrame): DataFrame = {
     val cohort = act.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort"))
     val sizes = cohort.groupBy(col("cohort"))

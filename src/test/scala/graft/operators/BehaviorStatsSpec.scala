@@ -197,6 +197,16 @@ class BehaviorStatsSpec extends AnyFunSuite {
     } finally { n.unpersist(); pairs.unpersist() }
   }
 
+  test("stream_retention is bit-identical to the batch cohort matrix") {
+    // the state is the distinct (user, day) relation and distinct is
+    // mergeable, so the streamed readout must match the batch EXACTLY
+    val b = BehaviorQueries.retentionCohorts(spark, dir).collect()
+    val st = StreamingRetentionQueries.streamRetention(spark, dir)
+      .collect()
+    assert(st.map(_.toString).sorted.toSeq ===
+      b.map(_.toString).sorted.toSeq)
+  }
+
   test("experiment A/A contrast does not reject") {
     // split arm-A users into two pseudo-arms by a SECOND independent
     // hash; the machinery must report p > 0.01 for every event type on

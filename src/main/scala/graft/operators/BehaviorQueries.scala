@@ -498,6 +498,68 @@ object BehaviorQueries {
       |FROM carried WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY campaign NULLS FIRST""".stripMargin
 
+
+  /** Cohort lifetime-value curves — the revenue sibling of
+    * [[retentionCohorts]]: per signup cohort (first active day),
+    * cumulative purchase revenue per member by day offset. Revenue in
+    * exact long cents; the cumulative window runs over the
+    * (cohorts × offsets)-sized rollup, never the event stream; ltv is
+    * one division of the exact cum-cents by the cohort size. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    val sizes = cohort.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val daily = ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_cents", sum(col("cents")).over(cum))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort").cast("timestamp").as("cohort"),
+        col("day_offset"),
+        (col("cum_cents").cast("double") / 100.0).as("cum_revenue"),
+        col("cohort_size"),
+        (col("cum_cents").cast("double") / 100.0 /
+          col("cohort_size").cast("double")).as("ltv"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort, count(*) AS cohort_size FROM cohort GROUP BY 1),
+      |daily AS (
+      |  SELECT c.cohort,
+      |         CAST(datediff('day', c.cohort, e.day) AS BIGINT)
+      |           AS day_offset,
+      |         sum(CAST(round(e.value * 100) AS BIGINT)) AS cents
+      |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, day_offset,
+      |         sum(cents) OVER (PARTITION BY cohort ORDER BY day_offset
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum_cents
+      |  FROM daily)
+      |SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, c.day_offset,
+      |       CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+      |       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      |       CAST(c.cum_cents AS DOUBLE) / 100.0 / s.cohort_size AS ltv
+      |FROM cum c JOIN sizes s ON c.cohort = s.cohort
+      |ORDER BY cohort, day_offset""".stripMargin
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("funnel_conversion", funnelConversion _, Some(funnelConversionSql)),
@@ -510,5 +572,6 @@ object BehaviorQueries {
       ("item_cooccurrence", itemCooccurrence _,
         Some(itemCooccurrenceSql)),
       ("last_touch_attribution", lastTouchAttribution _,
-        Some(lastTouchAttributionSql)))
+        Some(lastTouchAttributionSql)),
+      ("cohort_ltv", cohortLtv _, Some(cohortLtvSql)))
 }

@@ -230,21 +230,30 @@ object ProfileQueries {
     * an in-row unpivot emits the per-rule relation: the audit costs one
     * scan no matter how many rules, which is what makes a 100-rule
     * suite viable at 100 TB. */
-  def dqRules(s: SparkSession, dir: String): DataFrame = {
-    val rules: Seq[(String, Column)] = Seq(
-      "discount_le_008" -> (col("l_discount") > 0.08),
-      "flag_in_anr" -> !col("l_returnflag").isin("A", "N", "R"),
-      "price_lt_100k" -> (col("l_extendedprice") >= 100000.0),
-      "quantity_le_45" -> (col("l_quantity") > 45.0),
-      "shipdate_lt_2001" ->
-        (col("l_shipdate") >= lit("2001-01-01").cast("timestamp")))
+  private[operators] val dqRuleSet: Seq[(String, Column)] = Seq(
+    "discount_le_008" -> (col("l_discount") > 0.08),
+    "flag_in_anr" -> !col("l_returnflag").isin("A", "N", "R"),
+    "price_lt_100k" -> (col("l_extendedprice") >= 100000.0),
+    "quantity_le_45" -> (col("l_quantity") > 45.0),
+    "shipdate_lt_2001" ->
+      (col("l_shipdate") >= lit("2001-01-01").cast("timestamp")))
+
+  /** One-row rule counters over any lineitem-shaped relation — every
+    * counter is mergeable (sums and a min), which is what the streaming
+    * twin [[StreamingDqQueries]] folds per batch. */
+  private[operators] def dqAgg(df: DataFrame): DataFrame = {
     val aggs: Seq[Column] = Seq(count(lit(1)).as("n_checked")) ++
-      rules.flatMap { case (n, cond) =>
+      dqRuleSet.flatMap { case (n, cond) =>
         Seq(sum(when(cond, 1L).otherwise(0L)).as(s"v_$n"),
           min(when(cond, col("l_orderkey"))).as(s"k_$n"))
       }
-    val one = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-    val rows = array(rules.map { case (n, _) =>
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** In-row unpivot of the one-row counters into the per-rule
+    * relation — shared verbatim by batch and stream. */
+  private[operators] def dqUnpivot(one: DataFrame): DataFrame = {
+    val rows = array(dqRuleSet.map { case (n, _) =>
       struct(lit(n).as("rule"), col("n_checked"),
         col(s"v_$n").as("n_violations"),
         (col(s"v_$n").cast("double") / col("n_checked"))
@@ -254,6 +263,9 @@ object ProfileQueries {
     one.select(explode(rows).as("r")).select(col("r.*"))
       .orderBy(col("rule"))
   }
+
+  def dqRules(s: SparkSession, dir: String): DataFrame =
+    dqUnpivot(dqAgg(Tables(s, dir, "lineitem")))
 
   val dqRulesSql: String =
     """WITH a AS (
@@ -288,10 +300,44 @@ object ProfileQueries {
       |  UNION ALL SELECT 'shipdate_lt_2001', n_checked, v5, k5 FROM a)
       |ORDER BY rule""".stripMargin
 
+  /** Equi-DEPTH binning (deciles) per group — the feature-discretizer
+    * twin of [[equiwidthHist]]: `ntile(10)` under the same total order
+    * as [[winsorize]] assigns exactly-even bucket populations (earlier
+    * tiles absorb remainders — identical semantics on both engines), so
+    * bucket boundaries ARE data values and counts are integer-exact.
+    * Same scale posture as winsorize: exact rank assignment is a
+    * per-group sort; at 100 TB swap for approx_percentile cut points
+    * and a map-side bucket expression (the equiwidthHist shape). */
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("tile", ntile(10).over(w))
+      .groupBy(col("l_returnflag"), col("tile"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("lo"),
+        max(col("p")).as("hi"), round(avg(col("p")), 6).as("avg_p"))
+      .orderBy(col("l_returnflag"), col("tile"))
+  }
+
+  val quantileBinsSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_extendedprice AS p,
+      |         ntile(10) OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |           AS tile
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(tile AS INT) AS tile,
+      |       CAST(count(*) AS BIGINT) AS n, min(p) AS lo, max(p) AS hi,
+      |       round(avg(p), 6) AS avg_p
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("column_profile", columnProfile _, Some(columnProfileSql)),
       ("winsorize", winsorize _, Some(winsorizeSql)),
       ("equiwidth_hist", equiwidthHist _, Some(equiwidthHistSql)),
-      ("dq_rules", dqRules _, Some(dqRulesSql)))
+      ("dq_rules", dqRules _, Some(dqRulesSql)),
+      ("quantile_bins", quantileBins _, Some(quantileBinsSql)))
 }

@@ -207,6 +207,47 @@ class BehaviorStatsSpec extends AnyFunSuite {
       b.map(_.toString).sorted.toSeq)
   }
 
+  test("stream_dq is bit-identical to the batch rule audit") {
+    val b = ProfileQueries.dqRules(spark, dir).collect()
+    val st = StreamingDqQueries.streamDq(spark, dir).collect()
+    assert(st.map(_.toString).sorted.toSeq ===
+      b.map(_.toString).sorted.toSeq)
+  }
+
+  test("quantile_bins partitions each group into even ordered tiles") {
+    val q = ProfileQueries.quantileBins(spark, dir).collect()
+    val byFlag = q.groupBy(_.getAs[String]("l_returnflag"))
+    val li = graft.core.Tables(spark, dir, "lineitem")
+    byFlag.foreach { case (flag, rows) =>
+      assert(rows.map(_.getAs[Int]("tile")).sorted.toSeq === (1 to 10))
+      val expect = li.filter(col("l_returnflag") === flag).count()
+      assert(rows.map(_.getAs[Long]("n")).sum === expect)
+      // even: max tile size - min tile size <= 1
+      val ns = rows.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1)
+      // bucket ranges ordered and non-overlapping
+      val sorted = rows.sortBy(_.getAs[Int]("tile"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+        case _ =>
+      }
+    }
+  }
+
+  test("cohort_ltv curves are cumulative per cohort") {
+    val c = BehaviorQueries.cohortLtv(spark, dir).collect()
+    c.groupBy(_.getAs[java.sql.Timestamp]("cohort")).foreach {
+      case (_, rows) =>
+        val s = rows.sortBy(_.getAs[Long]("day_offset"))
+        val revs = s.map(_.getAs[Double]("cum_revenue"))
+        assert(revs.zip(revs.tail).forall { case (a, b) => b >= a })
+        s.foreach(r => assert(math.abs(r.getAs[Double]("ltv") -
+          r.getAs[Double]("cum_revenue") /
+            r.getAs[Long]("cohort_size")) < 1e-9))
+    }
+  }
+
   test("experiment A/A contrast does not reject") {
     // split arm-A users into two pseudo-arms by a SECOND independent
     // hash; the machinery must report p > 0.01 for every event type on

@@ -86,6 +86,7 @@ ROUNDED_COLS = {
     "equiwidth_hist": {"avg_p", "bucket_lo"},
     "item_cooccurrence": {"cosine"},
     "last_touch_attribution": {"revenue"},
+    "quantile_bins": {"avg_p"},
 }
 
 

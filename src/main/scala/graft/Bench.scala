@@ -34,6 +34,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production posture: the engine's extensions (custom SQL fns +
+      // the LevenshteinPrefilter rule) are installed for the bench too
+      .withExtensions(new graft.extensions.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

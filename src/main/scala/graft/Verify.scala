@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine runs with its own extensions installed (custom SQL
+      // functions + the LevenshteinPrefilter optimizer rule) — the
+      // correctness gate exercises the production session posture
+      .withExtensions(new graft.extensions.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -27,9 +27,7 @@ import org.apache.spark.sql.functions._
   * pair generation's cost. */
 object SplitQueries {
 
-  private def bucket(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-      .cast("long") % 10
+  private def bucket(c: org.apache.spark.sql.Column) = bucketMod(c, 10)
 
   def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(s, dir)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BehaviorQueries, BloomQueries, BpeQueries, BucketQueries, CollocationQueries, DedupQueries, EtlQueries, FormatQueries, GraphQueries, IvfQueries, LayoutQueries, LinkageQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, OpsQueries, ProfileQueries, RelationalExtraQueries, RelationalQueries, RetrievalQueries, SemDedupQueries, SketchQueries, SplitQueries, SkewQueries, StreamingExperimentQueries, StreamingDqQueries, StreamingMarkovQueries, StreamingRetentionQueries, TextCorpusQueries, TextQueries, TypeQueries, WarehouseQueries}
+import graft.operators.{BehaviorQueries, BloomQueries, BpeQueries, BucketQueries, CollocationQueries, DedupQueries, EtlQueries, FormatQueries, GraphQueries, IvfQueries, LayoutQueries, LinkageQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, OpsQueries, ProfileQueries, RelationalExtraQueries, RelationalQueries, RetrievalQueries, SemDedupQueries, SketchQueries, SplitQueries, SkewQueries, StreamingExperimentQueries, StreamingDqQueries, StreamingFunnelQueries, StreamingMarkovQueries, StreamingRetentionQueries, TextCorpusQueries, TextQueries, TypeQueries, WarehouseQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -28,7 +28,7 @@ object SparkEntry {
       WarehouseQueries.all ++ graft.streaming.StreamingScd2.all ++
       RetrievalQueries.all ++ SplitQueries.all ++ BpeQueries.all ++
       GraphQueries.all ++ ProfileQueries.all ++ LinkageQueries.all ++
-      StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all
+      StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all ++ StreamingFunnelQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

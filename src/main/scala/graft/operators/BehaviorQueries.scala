@@ -30,9 +30,14 @@ object BehaviorQueries {
     * ClickHouse `windowFunnel(strict_order-less)` semantics. Output is
     * one row per step with reached-user counts and conversion vs the
     * funnel head (int/int division — bit-identical cross-engine). */
-  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
-    val ev = Events(s, dir).select(col("user_id"), col("event_type"),
-      col("ts"))
+  def funnelConversion(s: SparkSession, dir: String): DataFrame =
+    funnelFrom(Events(s, dir))
+
+  /** Funnel assembly over an events-shaped relation — shared with the
+    * streaming maintenance ([[StreamingFunnelQueries]]), whose state is
+    * the funnel-type-filtered projection of the stream. */
+  private[operators] def funnelFrom(evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("user_id"), col("event_type"), col("ts"))
     def step(prev: DataFrame, prevCol: String, typ: String,
         out: String): DataFrame =
       ev.filter(col("event_type") === typ)
@@ -229,11 +234,16 @@ object BehaviorQueries {
     * per-user lead() window (shuffle on user_id, the store's natural
     * key), then a tiny (types × types) aggregation; probabilities are
     * per-row divisions of exact counts. */
-  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+  def markovTransitions(s: SparkSession, dir: String): DataFrame =
+    markovFrom(Events(s, dir))
+
+  /** Core over any events-shaped relation — property-tested on random
+    * inputs against a plain-Scala reference in `BehaviorPropertySpec`. */
+  private[operators] def markovFrom(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val wcur = Window.partitionBy(col("cur"))
-    Events(s, dir)
+    ev
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("cur"))
       .withColumn("next", lead(col("cur"), 1).over(w))
@@ -267,13 +277,18 @@ object BehaviorQueries {
     * exposure, active-time billing). All arithmetic in integer
     * microseconds: bit-identical cross-engine, no float drift anywhere.
     * One window per user, one aggregation — shuffle on user_id only. */
-  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+  def intervalMerge(s: SparkSession, dir: String): DataFrame =
+    intervalMergeFrom(Events(s, dir))
+
+  /** Core over any events-shaped relation — property-tested on random
+    * inputs against a plain-Scala merge in `BehaviorPropertySpec`. */
+  private[operators] def intervalMergeFrom(ev: DataFrame): DataFrame = {
     val span = 900000000L // 15 min in micros
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("st"), col("en"))
     val prevMax = max(col("en"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    Events(s, dir)
+    ev
       .select(col("user_id"), unix_micros(col("ts")).as("st"))
       .withColumn("en", col("st") + span)
       .withColumn("brk",

@@ -26,6 +26,13 @@ import graft.core.Events
   * as the batch query ([[BehaviorQueries.markovTransitionsSql]]). Per
   * batch the work is one lead() window over the batch + one max-per-
   * user over state ∝ users — never historical raw events.
+  *
+  * Exactness assumption, stated: batch boundaries must not interleave
+  * a user's timeline — true here because event_id is assigned in
+  * arrival order, so the id-range staging is time-ordered per user
+  * (the event-log contract). An out-of-order source needs the
+  * watermark-and-reorder front the windowed streaming queries use, or
+  * a junction store keeping BOTH boundary events per (user, batch).
   */
 object StreamingMarkovQueries {
 

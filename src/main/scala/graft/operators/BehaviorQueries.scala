@@ -33,6 +33,11 @@ object BehaviorQueries {
   def funnelConversion(s: SparkSession, dir: String): DataFrame =
     funnelFrom(Events(s, dir))
 
+  /** The funnel's step types, in order — single-sourced so the
+    * streaming state filter can never drift from the batch assembly. */
+  private[operators] val funnelSteps: Seq[String] =
+    Seq("view", "click", "purchase")
+
   /** Funnel assembly over an events-shaped relation — shared with the
     * streaming maintenance ([[StreamingFunnelQueries]]), whose state is
     * the funnel-type-filtered projection of the stream. */
@@ -45,10 +50,10 @@ object BehaviorQueries {
         .filter(col("ts") > col(prevCol) &&
           col("ts") <= col(prevCol) + expr("INTERVAL 7 DAYS"))
         .groupBy(col("user_id")).agg(min(col("ts")).as(out))
-    val t1 = ev.filter(col("event_type") === "view")
+    val t1 = ev.filter(col("event_type") === funnelSteps(0))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val t2 = step(t1, "t1", "click", "t2")
-    val t3 = step(t2.select("user_id", "t2"), "t2", "purchase", "t3")
+    val t2 = step(t1, "t1", funnelSteps(1), "t2")
+    val t3 = step(t2.select("user_id", "t2"), "t2", funnelSteps(2), "t3")
     val u1 = t1.agg(count(lit(1)).as("u1"))
     val u2 = t2.agg(count(lit(1)).as("u2"))
     val u3 = t3.agg(count(lit(1)).as("u3"))
@@ -162,8 +167,7 @@ object BehaviorQueries {
     * the streaming accumulation ([[StreamingExperimentQueries]]), which
     * is why the stream hash-oracles against the literally-same SQL. */
   private[operators] def experimentReadout(umRel: DataFrame): DataFrame = {
-    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 15),
-      16, 10).cast("long") % 2) === 0
+    val arm = graft.functions.PortableHash.bucket(col("user_id"), 2) === 0
     val um = umRel.withColumn("arm", arm)
     um.groupBy(col("event_type"))
       .agg(

@@ -106,39 +106,57 @@ object DedupQueries {
 
   /** Unordered pair relation — shared by the pair query above and the
     * connected-components clustering below. */
-  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    // inclusion–exclusion formulation: explode words, count shared words
-    // per pair via a (source, word) join, J = |∩|/(|A|+|B|−|∩|). All
-    // codegen'd joins/aggregates — the array_intersect/array_union version
-    // ran interpreted per pair and cost ~14 s at sf0.1; pairs sharing zero
-    // words never materialize here.
-    val w = docs(s, dir).select(col("source"), col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("word"))
+  private[operators] val jaccardThreshold = 0.7
+
+  /** Shared inclusion–exclusion similarity join: explode words, count
+    * shared words per pair via a (source, word) join,
+    * J = |∩|/(|A|+|B|−|∩|). All codegen'd joins/aggregates — the
+    * array_intersect/array_union version ran interpreted per pair and
+    * cost ~14 s at sf0.1; pairs sharing zero words never materialize.
+    *
+    * Length prefilter: |∩| ≤ min(na,nb), so J ≥ t forces
+    * min(na,nb) ≥ t·(na+nb−min) ⇔ min/max ≥ t. Attaching the counts via
+    * BROADCAST joins (one small row per doc) lets the ratio test drop
+    * impossible pairs BEFORE the pair-aggregation shuffle — map-side,
+    * zero extra exchanges; the final J filter is unchanged, so the
+    * result set is identical.
+    *
+    * `wRight` may be a restricted subset of `w` (the asymmetric
+    * variant); `pred` fixes the pairing discipline (a<b for the
+    * unordered relation, != for both orientations). Single-sourced so
+    * the threshold/prefilter can never drift between consumers. */
+  private def jaccardJoin(w: DataFrame, wRight: DataFrame,
+      pred: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    // length prefilter: |∩| ≤ min(na,nb), so J ≥ t forces
-    // min(na,nb) ≥ t·(na+nb−min) ⇔ min/max ≥ t. Attaching the counts via
-    // BROADCAST joins (one small row per doc) lets the ratio test drop
-    // impossible pairs BEFORE the pair-aggregation shuffle — map-side,
-    // zero extra exchanges; the final J filter is unchanged, so the
-    // result set is identical.
-    val shared = w.select(col("source"), col("doc_id").as("doc_a"),
+    w.select(col("source"), col("doc_id").as("doc_l"), col("word"))
+      .join(broadcast(nw.select(col("doc_id").as("doc_l"),
+        col("nw").as("nl"))), "doc_l")
+      .join(wRight.select(col("source"), col("doc_id").as("doc_r"),
         col("word"))
-      .join(broadcast(nw.select(col("doc_id").as("doc_a"),
-        col("nw").as("na"))), "doc_a")
-      .join(w.select(col("source"), col("doc_id").as("doc_b"), col("word"))
-        .join(broadcast(nw.select(col("doc_id").as("doc_b"),
-          col("nw").as("nb"))), "doc_b"),
+        .join(broadcast(nw.select(col("doc_id").as("doc_r"),
+          col("nw").as("nr"))), "doc_r"),
         Seq("source", "word"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")).cast("double") >=
-          lit(0.7) * greatest(col("na"), col("nb")))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .filter(pred(col("doc_l"), col("doc_r")) &&
+        least(col("nl"), col("nr")).cast("double") >=
+          lit(jaccardThreshold) * greatest(col("nl"), col("nr")))
+      .groupBy(col("doc_l"), col("doc_r"), col("nl"), col("nr"))
       .agg(count(lit(1)).as("inter"))
-    shared
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        (col("nl") + col("nr") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_l"), col("doc_r"), col("jaccard"))
+  }
+
+  private def wordRel(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = wordRel(s, dir)
+    jaccardJoin(w, w, _ < _)
+      .select(col("doc_l").as("doc_a"), col("doc_r").as("doc_b"),
+        col("jaccard"))
   }
 
   /** Asymmetric variant for consumers that only need pairs TOUCHING a
@@ -151,27 +169,11 @@ object DedupQueries {
     * with both orientations emitted (doc_x is unrestricted). */
   private[operators] def jaccardPairsTo(s: SparkSession, dir: String,
       rightIds: DataFrame): DataFrame = {
-    val w = docs(s, dir).select(col("source"), col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("word"))
-    val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val w = wordRel(s, dir)
     val wp = w.join(broadcast(rightIds.select(col("doc_id"))),
       Seq("doc_id"), "left_semi")
-    w.select(col("source"), col("doc_id").as("doc_x"), col("word"))
-      .join(broadcast(nw.select(col("doc_id").as("doc_x"),
-        col("nw").as("nx"))), "doc_x")
-      .join(wp.select(col("source"), col("doc_id").as("doc_p"),
-        col("word"))
-        .join(broadcast(nw.select(col("doc_id").as("doc_p"),
-          col("nw").as("np"))), "doc_p"),
-        Seq("source", "word"))
-      .filter(col("doc_x") =!= col("doc_p") &&
-        least(col("nx"), col("np")).cast("double") >=
-          lit(0.7) * greatest(col("nx"), col("np")))
-      .groupBy(col("doc_x"), col("doc_p"), col("nx"), col("np"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter").cast("double") /
-        (col("nx") + col("np") - col("inter")).cast("double") >= 0.7)
-      .select(col("doc_x"), col("doc_p"))
+    jaccardJoin(w, wp, _ =!= _)
+      .select(col("doc_l").as("doc_x"), col("doc_r").as("doc_p"))
   }
 
   val dedupJaccardPairsSql: String =

@@ -33,12 +33,10 @@ object LinkageQueries {
     val parts = Tables(s, dir, "part")
       .select(col("p_partkey"), col("p_name"))
     val dirty = parts
-      .withColumn("h",
-        conv(substring(md5(col("p_partkey").cast("string")), 1, 15),
-          16, 10).cast("long"))
       // deletion position in [2, len] — never the blocking character
       .withColumn("pos",
-        (col("h") % (length(col("p_name")) - 1) + 2).cast("int"))
+        (graft.functions.PortableHash.raw(col("p_partkey")) %
+          (length(col("p_name")) - 1) + 2).cast("int"))
       .withColumn("dirty_name",
         concat(expr("substr(p_name, 1, pos - 1)"),
           expr("substr(p_name, pos + 1)")))

@@ -187,9 +187,14 @@ object ProfileQueries {
     val bounds = li.groupBy(col("l_returnflag"))
       .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
     li.join(broadcast(bounds), Seq("l_returnflag"))
+      // degenerate-group guard: a constant-valued group gives 0/0 = NaN,
+      // where the engines diverge (Spark casts NaN to 0, DuckDB errors
+      // on CAST) — route width-0 groups to bucket 0 explicitly
       .withColumn("bucket",
-        least(floor((col("p") - col("mn")) * lit(20.0) /
-          (col("mx") - col("mn"))).cast("int"), lit(19)))
+        when(col("mx") > col("mn"),
+          least(floor((col("p") - col("mn")) * lit(20.0) /
+            (col("mx") - col("mn"))).cast("int"), lit(19)))
+          .otherwise(lit(0)))
       .groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("n"), round(avg(col("p")), 6).as("avg_p"),
         min(col("mn")).as("mn"), min(col("mx")).as("mx"))
@@ -208,8 +213,10 @@ object ProfileQueries {
       |  FROM lineitem GROUP BY 1),
       |h AS (
       |  SELECT l.l_returnflag,
-      |         least(CAST(floor((l.l_extendedprice - b.mn) * 20.0
-      |                 / (b.mx - b.mn)) AS INT), 19) AS bucket,
+      |         CASE WHEN b.mx > b.mn
+      |              THEN least(CAST(floor((l.l_extendedprice - b.mn)
+      |                     * 20.0 / (b.mx - b.mn)) AS INT), 19)
+      |              ELSE 0 END AS bucket,
       |         l.l_extendedprice AS p, b.mn, b.mx
       |  FROM lineitem l JOIN b USING (l_returnflag))
       |SELECT l_returnflag, bucket,

@@ -146,11 +146,8 @@ object SplitQueries {
       .orderBy(col("anchor"), col("rank"))
   }
 
-  /** The house 60-bit md5 hash mod m, applied to a string or numeric
-    * key (numeric keys are rendered as their integer string). */
   private def bucketMod(c: org.apache.spark.sql.Column, m: Int) =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-      .cast("long") % m
+    graft.functions.PortableHash.bucket(c, m)
 
   val negativeSamplingSql: String =
     """WITH pool AS (

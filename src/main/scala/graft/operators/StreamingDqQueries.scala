@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Tables
 
@@ -18,34 +17,16 @@ import graft.core.Tables
 object StreamingDqQueries {
 
   def streamDq(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val li = Tables(s, dir, "lineitem")
-    val Array(kMin, kMax) = li
-      .agg(min(col("l_orderkey")), max(col("l_orderkey")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val b1 = kMin + (kMax - kMin) / 3
-    val b2 = kMin + 2 * (kMax - kMin) / 3
-    val staging = graft.streaming.StreamingQueries.stageBatches(
+    val staging = stageThirds(
       "graft_stream_dq_stage_" + Integer.toHexString(dir.hashCode),
-      Seq(li.filter(col("l_orderkey") <= b1),
-        li.filter(col("l_orderkey") > b1 && col("l_orderkey") <= b2),
-        li.filter(col("l_orderkey") > b2)))
+      li, "l_orderkey")
+    val store = s"${scratchDir("graft_stream_dq", dir)}/counters"
 
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_dq_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
-    val store = s"$base/counters"
-
-    val src = s.readStream.schema(li.schema)
-      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    runBatches(s, li.schema, staging) { batch =>
       ProfileQueries.dqAgg(batch).write.mode("append").parquet(store)
-      ()
-    }.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    }
 
     val merged = s.read.parquet(store)
       .agg(sum(col("n_checked")).as("n_checked"),

@@ -28,38 +28,20 @@ import graft.core.Events
 object StreamingExperimentQueries {
 
   def streamExperiment(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val ev = Events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
-    val Array(idMin, idMax) = ev
-      .agg(min(col("event_id")), max(col("event_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val b1 = idMin + (idMax - idMin) / 3
-    val b2 = idMin + 2 * (idMax - idMin) / 3
-    val staging = graft.streaming.StreamingQueries.stageBatches(
+    val staging = stageThirds(
       "graft_stream_exp_stage_" + Integer.toHexString(dir.hashCode),
-      Seq(ev.filter(col("event_id") <= b1),
-        ev.filter(col("event_id") > b1 && col("event_id") <= b2),
-        ev.filter(col("event_id") > b2)))
+      ev, "event_id")
+    val store = s"${scratchDir("graft_stream_exp", dir)}/user_type_sums"
 
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_exp_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
-    val store = s"$base/user_type_sums"
-
-    val src = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    runBatches(s, ev.schema, staging) { batch =>
       batch.groupBy(col("user_id"), col("event_type"))
         .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
         .write.mode("append").parquet(store)
-      ()
-    }.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    }
 
     val um = s.read.parquet(store)
       .groupBy(col("user_id"), col("event_type"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Events
 
@@ -24,41 +23,23 @@ import graft.core.Events
   */
 object StreamingFunnelQueries {
 
-  private val steps = Seq("view", "click", "purchase")
+  private val steps = BehaviorQueries.funnelSteps
 
   def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val ev = Events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"))
-    val Array(idMin, idMax) = ev
-      .agg(min(col("event_id")), max(col("event_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val b1 = idMin + (idMax - idMin) / 3
-    val b2 = idMin + 2 * (idMax - idMin) / 3
-    val staging = graft.streaming.StreamingQueries.stageBatches(
+    val staging = stageThirds(
       "graft_stream_fnl_stage_" + Integer.toHexString(dir.hashCode),
-      Seq(ev.filter(col("event_id") <= b1),
-        ev.filter(col("event_id") > b1 && col("event_id") <= b2),
-        ev.filter(col("event_id") > b2)))
+      ev, "event_id")
+    val store = s"${scratchDir("graft_stream_fnl", dir)}/funnel_events"
 
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_fnl_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
-    val store = s"$base/funnel_events"
-
-    val src = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    runBatches(s, ev.schema, staging) { batch =>
       batch.filter(col("event_type").isin(steps: _*))
         .select(col("user_id"), col("event_type"), col("ts"))
         .write.mode("append").parquet(store)
-      ()
-    }.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    }
 
     BehaviorQueries.funnelFrom(s.read.parquet(store))
   }

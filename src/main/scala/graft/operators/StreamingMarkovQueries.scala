@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Events
 
@@ -37,33 +36,18 @@ import graft.core.Events
 object StreamingMarkovQueries {
 
   def streamMarkov(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val ev = Events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"))
-    val Array(idMin, idMax) = ev
-      .agg(min(col("event_id")), max(col("event_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val b1 = idMin + (idMax - idMin) / 3
-    val b2 = idMin + 2 * (idMax - idMin) / 3
-    val staging = graft.streaming.StreamingQueries.stageBatches(
+    val staging = stageThirds(
       "graft_stream_mkv_stage_" + Integer.toHexString(dir.hashCode),
-      Seq(ev.filter(col("event_id") <= b1),
-        ev.filter(col("event_id") > b1 && col("event_id") <= b2),
-        ev.filter(col("event_id") > b2)))
-
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_mkv_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
+      ev, "event_id")
+    val base = scratchDir("graft_stream_mkv", dir)
     val pairsDir = s"$base/pairs"
     val lastDir = s"$base/last"
 
-    val src = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    runBatches(s, ev.schema, staging) { batch =>
       val ss = batch.sparkSession
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -105,9 +89,7 @@ object StreamingMarkovQueries {
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .write.mode("append").parquet(lastDir)
-      ()
-    }.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    }
 
     val wcur = Window.partitionBy(col("cur"))
     s.read.parquet(pairsDir)

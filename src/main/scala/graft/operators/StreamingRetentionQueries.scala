@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Events
 
@@ -25,37 +24,19 @@ import graft.core.Events
 object StreamingRetentionQueries {
 
   def streamRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val ev = Events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"))
-    val Array(idMin, idMax) = ev
-      .agg(min(col("event_id")), max(col("event_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val b1 = idMin + (idMax - idMin) / 3
-    val b2 = idMin + 2 * (idMax - idMin) / 3
-    val staging = graft.streaming.StreamingQueries.stageBatches(
+    val staging = stageThirds(
       "graft_stream_ret_stage_" + Integer.toHexString(dir.hashCode),
-      Seq(ev.filter(col("event_id") <= b1),
-        ev.filter(col("event_id") > b1 && col("event_id") <= b2),
-        ev.filter(col("event_id") > b2)))
+      ev, "event_id")
+    val store = s"${scratchDir("graft_stream_ret", dir)}/user_days"
 
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_ret_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
-    val store = s"$base/user_days"
-
-    val src = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    runBatches(s, ev.schema, staging) { batch =>
       batch.select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
         .write.mode("append").parquet(store)
-      ()
-    }.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    }
 
     BehaviorQueries.retentionFrom(
       s.read.parquet(store).select(col("user_id"), col("day")).distinct())

@@ -395,8 +395,7 @@ object WarehouseQueries {
     * single aggregation passes; nothing is rewritten. */
   def cascadeDeleteAudit(s: SparkSession, dir: String): DataFrame = {
     val hash20 = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-        .cast("long") % 20 === 0
+      graft.functions.PortableHash.bucket(c, 20) === 0
     val cust = Tables(s, dir, "customer")
       .select(col("c_custkey"), hash20(col("c_custkey")).as("del"))
     val delKeys = cust.filter(col("del")).select(col("c_custkey"))

@@ -149,8 +149,8 @@ object StressFixture {
       val r = new scala.util.Random(
         id * 6364136223846793005L + 1442695040888963407L)
       Ev(id,
-        startUs + (math.abs(r.nextLong()) % spanUs),
-        math.abs(r.nextLong()) % nUsers,
+        startUs + ((r.nextLong() >>> 1) % spanUs),
+        (r.nextLong() >>> 1) % nUsers,
         types(r.nextInt(types.length)),
         math.rint(r.nextDouble() * 20000.0) / 100.0,
         s"""{"k": ${r.nextInt(100)}}""")

@@ -38,13 +38,20 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(cond: Expression): Expression = {
     val conjuncts = splitConjunctivePredicates(cond)
     val guards = conjuncts.collect {
-      case LessThanOrEqual(Levenshtein(a, b, None), k: Literal) =>
+      // deterministic arguments only: the guard re-evaluates a and b,
+      // and duplicating a non-deterministic expression (uuid(), rand())
+      // would test the bound against DIFFERENT values than the DP sees
+      case LessThanOrEqual(Levenshtein(a, b, None), k: Literal)
+          if a.deterministic && b.deterministic =>
         guard(a, b, k, strict = false)
-      case GreaterThanOrEqual(k: Literal, Levenshtein(a, b, None)) =>
+      case GreaterThanOrEqual(k: Literal, Levenshtein(a, b, None))
+          if a.deterministic && b.deterministic =>
         guard(a, b, k, strict = false)
-      case LessThan(Levenshtein(a, b, None), k: Literal) =>
+      case LessThan(Levenshtein(a, b, None), k: Literal)
+          if a.deterministic && b.deterministic =>
         guard(a, b, k, strict = true)
-      case GreaterThan(k: Literal, Levenshtein(a, b, None)) =>
+      case GreaterThan(k: Literal, Levenshtein(a, b, None))
+          if a.deterministic && b.deterministic =>
         guard(a, b, k, strict = true)
     }.filterNot(g => conjuncts.exists(_.semanticEquals(g)))
     if (guards.isEmpty) cond else (guards :+ cond).reduce(And)

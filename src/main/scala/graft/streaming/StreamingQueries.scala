@@ -29,6 +29,50 @@ case class UserStats(user_id: Long, n: Long, sum: Double, max: Double)
   */
 object StreamingQueries {
 
+  /** Stage a relation as three deterministic batches split by thirds of
+    * a LONG key column — the incremental-maintenance suite's shared
+    * front (the key must be ordered consistently with the semantics the
+    * consumer assumes; for the event store that is arrival order). */
+  private[graft] def stageThirds(name: String, df: DataFrame,
+      keyCol: String): java.io.File = {
+    val Array(kMin, kMax) = df
+      .agg(min(col(keyCol)), max(col(keyCol)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val b1 = kMin + (kMax - kMin) / 3
+    val b2 = kMin + 2 * (kMax - kMin) / 3
+    stageBatches(name,
+      Seq(df.filter(col(keyCol) <= b1),
+        df.filter(col(keyCol) > b1 && col(keyCol) <= b2),
+        df.filter(col(keyCol) > b2)))
+  }
+
+  /** Fresh pid-scoped scratch dir for a streaming state store, wiped on
+    * create and removed on JVM exit (the stageBatches lifecycle). */
+  private[graft] def scratchDir(name: String, dir: String): java.io.File = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      name + "_" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid())
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    base.mkdirs()
+    graft.core.TempDirs.cleanOnExit(base.toPath)
+    base
+  }
+
+  /** Drive the staged batches through `f` one micro-batch at a time
+    * (maxFilesPerTrigger=1 + AvailableNow) and block to completion —
+    * the deterministic-replay driver every maintenance query shares. */
+  private[graft] def runBatches(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staging: java.io.File)(f: DataFrame => Unit): Unit = {
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        f(batch); ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Stage pre-split batches as single parquet files with ASCENDING
     * pinned mtimes, so a `maxFilesPerTrigger=1` file source replays them
     * as deterministic micro-batches in order. Shared by every multi-batch

@@ -87,6 +87,10 @@ ROUNDED_COLS = {
     "item_cooccurrence": {"cosine"},
     "last_touch_attribution": {"revenue"},
     "quantile_bins": {"avg_p"},
+    "stream_markov": {"p"},
+    "snapshot_diff": {"old_price", "new_price"},
+    "schema_evolution": {"total"},
+    "cohort_ltv": {"cum_revenue", "ltv"},
 }
 
 

@@ -80,6 +80,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rows.length === 1)
       assert(rows.head.getString(0) === "cold widget" ||
         rows.head.getString(1) === "cold widget")
+      // non-deterministic arguments are NOT rewritten: the guard would
+      // re-evaluate them to different values than the DP sees
+      val nd = spark.sql(
+        """SELECT count(*) FROM lp_names
+          |WHERE levenshtein(concat(name, uuid()), name) <= 40
+          |""".stripMargin)
+      val ndPlan = nd.queryExecution.optimizedPlan.toString
+      assert(!ndPlan.contains("abs((length("), s"nondet rewritten:\n$ndPlan")
     } finally spark.stop()
   }
 }

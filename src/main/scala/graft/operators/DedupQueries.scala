@@ -734,15 +734,20 @@ object DedupQueries {
     * whole operator is a deterministic function of (corpus, planes), so it
     * gets the same cross-engine hash oracle as every exact operator. The
     * recall-vs-budget quality gate on [[annLshNn]] (AnnRecallSpec) stays
-    * as the second, semantic check. */
+    * as the second, semantic check.
+    *
+    * `buckets` goes out as a '; '-joined STRING (house rule,
+    * [[MwasPipelineQueries.condenseQuery]]): the driver's pandas-based
+    * compare can't sort ARRAY cells (unhashable ndarray), and the join is
+    * a bijection on the ordered signature — no information loss. */
   def annLshBucket(s: SparkSession, dir: String): DataFrame = {
     val bv = lshBucketRel(s, dir, lshPlanes(16, 5))
     // 16-entry bucket signature per vector, table order — runs on |V|
     // rows post-aggregate, so the transform over sorted structs is cheap
     val sig = bv.groupBy(col("vec_id"))
-      .agg(transform(
+      .agg(array_join(transform(
         array_sort(collect_list(struct(col("tbl"), col("bucket")))),
-        e => e.getField("bucket")).as("buckets"))
+        e => e.getField("bucket").cast("string")), "; ").as("buckets"))
     sig.join(annLshNnFrom(s, dir, bv), Seq("vec_id"))
       .select(col("vec_id"), col("buckets"), col("n_candidates"),
         col("nn_id"), col("cosine"))
@@ -770,7 +775,9 @@ object DedupQueries {
        |  FROM n CROSS JOIN planes pl),
        |bk AS (SELECT vec_id, tbl, CAST(sum(bval) AS BIGINT) AS bucket
        |       FROM bits GROUP BY 1, 2),
-       |sig AS (SELECT vec_id, list(bucket ORDER BY tbl) AS buckets
+       |sig AS (SELECT vec_id,
+       |          array_to_string(list(bucket::VARCHAR ORDER BY tbl),
+       |            '; ') AS buckets
        |        FROM bk GROUP BY 1),
        |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
        |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket

@@ -192,11 +192,15 @@ object IvfQueries {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("rk"))
     val assign = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"))
+    // probes as a '; '-joined STRING (house rule,
+    // MwasPipelineQueries.condenseQuery): the driver's pandas compare
+    // can't sort ARRAY cells; the join is a bijection on the rk-ordered
+    // probe list — no information loss.
     val probeSig = ranked.filter(col("rk") <= nprobe)
       .groupBy(col("vec_id"))
-      .agg(transform(
+      .agg(array_join(transform(
         array_sort(collect_list(struct(col("rk"), col("cell")))),
-        e => e.getField("cell")).as("probes"))
+        e => e.getField("cell").cast("string")), "; ").as("probes"))
     val lists = assign
       .join(v, Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("nn_id"), col("v").as("vb"),
@@ -236,7 +240,9 @@ object IvfQueries {
       |        ORDER BY dist, cell) AS rk
       |      FROM d),
       |asg AS (SELECT vec_id, cell FROM r WHERE rk = 1),
-      |ps AS (SELECT vec_id, list(cell ORDER BY rk) AS probes
+      |ps AS (SELECT vec_id,
+      |         array_to_string(list(cell::VARCHAR ORDER BY rk),
+      |           '; ') AS probes
       |       FROM r WHERE rk <= $defaultNprobe GROUP BY 1),
       |lists AS (SELECT a.cell, a.vec_id AS nn_id, n.e AS eb, n.nrm AS nrmb
       |          FROM asg a JOIN n ON n.vec_id = a.vec_id),

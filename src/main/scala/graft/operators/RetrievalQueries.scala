@@ -24,7 +24,10 @@ object RetrievalQueries {
     * total term frequency, and the first 20 postings (sorted doc ids;
     * the bounded prefix keeps the relation summary-grain — a real index
     * shards full posting lists by range, same layout question as
-    * [[LayoutQueries]]). */
+    * [[LayoutQueries]]). `postings_head` goes out as a '; '-joined STRING
+    * (house rule, [[MwasPipelineQueries.condenseQuery]]): the driver's
+    * pandas compare can't sort ARRAY cells, and the join is a bijection
+    * on the sorted prefix — no information loss. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -32,8 +35,10 @@ object RetrievalQueries {
       .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
     tf.groupBy(col("w"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, 20)
-          .as("postings_head"))
+        array_join(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 20)
+            .cast("array<string>"),
+          "; ").as("postings_head"))
       .orderBy(col("w"))
   }
 
@@ -45,7 +50,8 @@ object RetrievalQueries {
       |  WHERE len(w) > 0 GROUP BY 1, 2)
       |SELECT w, CAST(count(*) AS BIGINT) AS df,
       |       CAST(sum(tf) AS BIGINT) AS tf_total,
-      |       (list(doc_id ORDER BY doc_id))[1:20] AS postings_head
+      |       array_to_string((list(doc_id ORDER BY doc_id))[1:20]::VARCHAR[],
+      |         '; ') AS postings_head
       |FROM tf GROUP BY w ORDER BY w""".stripMargin
 
   /** BM25 ranking (k1 = 1.2, b = 0.75) of the corpus against a

@@ -168,7 +168,9 @@ class SketchSemOpsSpec extends AnyFunSuite {
       val (df, tfTotal) = (r.getLong(1), r.getLong(2))
       assert(df >= 1 && df <= nDocs)
       assert(tfTotal >= df, "total tf at least one per posting")
-      val post = r.getSeq[Long](3)
+      // postings_head is a '; '-joined string (driver-comparable house
+      // rule) — parse it back for the order/length assertions
+      val post = r.getString(3).split("; ").toSeq.map(_.toLong)
       assert(post == post.sorted, "postings must be ordered")
       assert(post.length == math.min(df, 20L).toInt)
     }

@@ -203,9 +203,13 @@ object BehaviorQueries {
        |    stddev_samp(um) FILTER (WHERE NOT arm) AS s_b
        |  FROM um GROUP BY 1),
        |s2 AS (
-       |  -- WelchTTest.compute mirrored (zero-variance semantics incl.)
+       |  -- WelchTTest.compute mirrored (zero-variance semantics incl.;
+       |  -- the n<2 guard matches compute's None — a single-observation
+       |  -- arm otherwise diverges: Spark stddev_samp is NaN where
+       |  -- DuckDB's is NULL)
        |  SELECT event_type, n_a, n_b, m_a, m_b,
-       |    CASE WHEN (s_a*s_a/n_a + s_b*s_b/n_b) > 0
+       |    CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+       |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) > 0
        |         THEN (m_a - m_b) / sqrt(s_a*s_a/n_a + s_b*s_b/n_b)
        |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) = 0 AND m_a > m_b
        |         THEN CAST('infinity' AS DOUBLE)
@@ -213,7 +217,8 @@ object BehaviorQueries {
        |         THEN CAST('-infinity' AS DOUBLE)
        |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) = 0
        |         THEN CAST('nan' AS DOUBLE) END AS t,
-       |    CASE WHEN (s_a*s_a/n_a + s_b*s_b/n_b) > 0
+       |    CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+       |         WHEN (s_a*s_a/n_a + s_b*s_b/n_b) > 0
        |         THEN pow(s_a*s_a/n_a + s_b*s_b/n_b, 2) /
        |              (pow(s_a*s_a/n_a, 2)/(n_a-1)
        |               + pow(s_b*s_b/n_b, 2)/(n_b-1))
@@ -226,7 +231,8 @@ object BehaviorQueries {
        |${TCdfSql.fragment(Seq("event_type"))}
        |SELECT s2.event_type, s2.n_a, s2.n_b, s2.m_a, s2.m_b,
        |  (s2.m_b - s2.m_a) / s2.m_a AS lift, s2.t, s2.df,
-       |  CASE WHEN isinf(s2.t) THEN CAST(0.0 AS DOUBLE)
+       |  CASE WHEN s2.n_a < 2 OR s2.n_b < 2 THEN NULL
+       |       WHEN isinf(s2.t) THEN CAST(0.0 AS DOUBLE)
        |       WHEN isnan(s2.t) THEN CAST('nan' AS DOUBLE)
        |       ELSE tp.p_cf END AS p
        |FROM s2 LEFT JOIN tcdf_p tp USING (event_type)

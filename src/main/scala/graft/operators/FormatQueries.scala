@@ -17,10 +17,20 @@ import graft.core.{Events, Tables}
   */
 object FormatQueries {
 
-  // per-JVM unique scratch dirs, reused across bench reps, removed on
-  // JVM exit — see core.TempDirs for the race/leak rationale
-  private lazy val orcDir = graft.core.TempDirs.create("graft_orc_events")
-  private lazy val jsonlDir = graft.core.TempDirs.create("graft_jsonl_events")
+  // unique scratch dirs keyed by (tag, data dir), reused across bench
+  // reps, removed on JVM exit — see core.TempDirs for the race/leak
+  // rationale. Keying by the data dir matters because these queries
+  // return LAZY DataFrames over the scratch dir: a per-JVM singleton
+  // would be overwritten by a second call at a different SF while the
+  // first call's result is still being consumed (ADVICE r11).
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratch(tag: String, dir: String): String =
+    scratchDirs.computeIfAbsent(tag + "|" + dir,
+      _ => graft.core.TempDirs.create(
+        tag + "_" + Integer.toHexString(dir.hashCode)))
+  private def orcDir(dir: String) = scratch("graft_orc_events", dir)
+  private def jsonlDir(dir: String) = scratch("graft_jsonl_events", dir)
 
   /** ORC, written Hive-partitioned by event_type. The read-back filter is
     * on the PARTITION column, so the scan must prune directories — the
@@ -28,7 +38,7 @@ object FormatQueries {
     * the pruned partition filter, no row-level event_type predicate
     * left). */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = orcDir
+    val out = orcDir(dir)
     // core.Events, not Tables: the raw scan needs the nanos-timestamp
     // legacy conf, and relying on an earlier query having set it would be
     // run-order-dependent
@@ -66,7 +76,7 @@ object FormatQueries {
     * parsed back out with get_json_object, covering the
     * string-inside-JSON round-trip the naive path corrupts. */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = jsonlDir
+    val out = jsonlDir(dir)
     Events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("props"))
@@ -98,7 +108,7 @@ object FormatQueries {
       |         6) AS avg_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private lazy val evoDir = graft.core.TempDirs.create("graft_schema_evo")
+  private def evoDir(dir: String): String = scratch("graft_schema_evo", dir)
 
   /** Schema evolution — the append-only table whose schema GREW: v=1
     * files predate the `priority` column, v=2 files carry it. One read
@@ -114,17 +124,18 @@ object FormatQueries {
     * catalog the merged schema is known up front and the option is
     * unnecessary — documented here as the scale posture. */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val ed = evoDir(dir)
     val o = Tables(s, dir, "orders")
     o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey").as("key"),
         col("o_totalprice").as("price"))
-      .write.mode("overwrite").parquet(s"$evoDir/v=1")
+      .write.mode("overwrite").parquet(s"$ed/v=1")
     o.filter(col("o_orderkey") % 2 =!= 0)
       .select(col("o_orderkey").as("key"),
         col("o_totalprice").as("price"),
         col("o_orderpriority").as("priority"))
-      .write.mode("overwrite").parquet(s"$evoDir/v=2")
-    s.read.option("mergeSchema", "true").parquet(evoDir)
+      .write.mode("overwrite").parquet(s"$ed/v=2")
+    s.read.option("mergeSchema", "true").parquet(ed)
       .groupBy(col("v"),
         coalesce(col("priority"), lit("LEGACY")).as("priority"))
       .agg(count(lit(1)).as("n"),

@@ -35,8 +35,10 @@ object StreamingQueries {
     * consumer assumes; for the event store that is arrival order). */
   private[graft] def stageThirds(name: String, df: DataFrame,
       keyCol: String): java.io.File = {
+    // cast before the agg so an int-typed key column (a fixture
+    // regenerated with int32 keys) stages instead of ClassCastException
     val Array(kMin, kMax) = df
-      .agg(min(col(keyCol)), max(col(keyCol)))
+      .agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val b1 = kMin + (kMax - kMin) / 3
     val b2 = kMin + 2 * (kMax - kMin) / 3

@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * Workload: blocked fuzzy self-join over document TEXTS (hundreds of
   * chars — the O(|a|·|b|) DP is ~10⁵ cell updates per pair), distance
   * bound 50, within source blocks. Arms differ ONLY in whether the
-  * optimizer rule is installed; same data, same plan otherwise.
+  * optimizer rule is installed; same data, same plan otherwise. The arm
+  * ORDER alternates across reps (off-first on even reps, on-first on
+  * odd) so JIT warmup and OS page cache — both of which favor whichever
+  * arm runs later in the JVM — cancel instead of systematically
+  * inflating the rule-on arm (ADVICE r11).
   * Usage: sbt "runMain graft.tools.LevAb [sfDir] [reps]"
   */
 object LevAb {
@@ -16,7 +20,7 @@ object LevAb {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
 
-    def run(withRule: Boolean): Seq[Double] = {
+    def once(withRule: Boolean): Double = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       val b = SparkSession.builder()
@@ -33,20 +37,22 @@ object LevAb {
           .select(col("doc_id"), col("source"), col("text"))
           .filter(col("doc_id") % 4 === 0)
           .localCheckpoint(true)
-        (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          val n = d.as("a").join(d.as("b"),
-            col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              levenshtein(col("a.text"), col("b.text")) <= 50).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          println(f"[lev-ab] rule=$withRule pairs=$n t=$dt%.2f s")
-          dt
-        }
+        val t0 = System.nanoTime()
+        val n = d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            levenshtein(col("a.text"), col("b.text")) <= 50).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[lev-ab] rule=$withRule pairs=$n t=$dt%.2f s")
+        dt
       } finally s.stop()
     }
-    val off = run(withRule = false)
-    val on = run(withRule = true)
+    val timed = (0 until reps).flatMap { r =>
+      val order = if (r % 2 == 0) Seq(false, true) else Seq(true, false)
+      order.map(w => (w, once(w)))
+    }
+    val off = timed.collect { case (false, t) => t }
+    val on = timed.collect { case (true, t) => t }
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     println(f"[lev-ab] MEDIAN off=${med(off)}%.2f s on=${med(on)}%.2f s")
   }

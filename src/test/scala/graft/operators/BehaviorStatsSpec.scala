@@ -52,6 +52,29 @@ class BehaviorStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("experiment readout nulls t/df/p when an arm has one observation") {
+    // WelchTTest.compute returns None for n < 2; the oracle SQL mirrors
+    // it with an explicit n<2 guard (ADVICE r11). Pin the Spark side on
+    // a hand-built degenerate relation: user 4 is the arm-0 singleton
+    // (PortableHash.bucket assigns 1,2 -> arm 1 and 4 -> arm 0 — the
+    // assertion below re-derives it rather than trusting magic ids).
+    import spark.implicits._
+    val byArm = (1L to 20L).toDF("user_id")
+      .select(col("user_id"),
+        graft.functions.PortableHash.bucket(col("user_id"), 2).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (b, us) => b -> us.map(_._1) }
+    val users = (byArm(0L).take(1) ++ byArm(1L).take(2)).toSeq // 1-vs-2
+    val um = users.zipWithIndex
+      .map { case (u, i) => (u, "x", 3.0 + i) }
+      .toDF("user_id", "event_type", "um")
+    val r = BehaviorQueries.experimentReadout(um).collect()
+    assert(r.length === 1)
+    assert(r.head.isNullAt(r.head.fieldIndex("t")))
+    assert(r.head.isNullAt(r.head.fieldIndex("df")))
+    assert(r.head.isNullAt(r.head.fieldIndex("p")))
+  }
+
   test("markov_transitions rows sum to 1 and conserve transition mass") {
     val m = BehaviorQueries.markovTransitions(spark, dir).persist()
     try {

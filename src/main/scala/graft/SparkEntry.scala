@@ -30,6 +30,12 @@ object SparkEntry {
       GraphQueries.all ++ ProfileQueries.all ++ LinkageQueries.all ++
       StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all ++ StreamingFunnelQueries.all
 
+  /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
+    * assert uniqueness: a duplicate name across the 37 concatenated
+    * files would silently drop a query from the driver surface (last
+    * write wins in toMap) without any test failing. */
+  private[graft] def registryNames: Seq[String] = registry.map(_._1)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (name, fn, _) => name -> fn }.toMap

@@ -49,6 +49,17 @@ class RegistrySmokeSpec extends AnyFunSuite {
                            // codebook twin ann_ivf_assign is hash-oracled
                            // (r11), ann_lsh_bucket now hash-oracled too
 
+  test("registry names are unique across all contributing files") {
+    // SparkEntry.queries is a toMap over a hand-maintained concatenation;
+    // a name collision would silently DROP a query from the driver
+    // surface (last write wins) with every other test still green
+    val names = SparkEntry.registryNames
+    val dupes = names.groupBy(identity).collect {
+      case (n, hits) if hits.size > 1 => n
+    }
+    assert(dupes.isEmpty, s"duplicate registry names: ${dupes.toSeq.sorted}")
+  }
+
   test("every registry query is oracled or documented no-oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

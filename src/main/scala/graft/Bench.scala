@@ -40,6 +40,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Optional deployment profile (VERDICT r11 item 6): makes the sizing
+    // story EXECUTABLE — core.ClusterProfile's derived knobs land in the
+    // live session and are printed for the transcript. Unset (the
+    // driver's default) keeps the hand-pinned width: bench medians are
+    // compared against an append-only history, and re-balancing
+    // partitions mid-series would break comparability.
+    sys.env.get("SPARK_GRAFT_PROFILE").foreach { name =>
+      val p = graft.core.ClusterProfile.named(name)
+      p.applyTo(spark)
+      System.err.println(s"BENCH PROFILE $name -> " + p.confs.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(", "))
+    }
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -213,7 +226,9 @@ object Bench {
     // empty queries map would trip BenchDiff's malformed-line guard on
     // every future run — so it is NOT appended (the failure is still
     // fully visible via BENCH_FULL.json, stderr, and exit 1)
-    if (measured.nonEmpty) {
+    // a PROFILED run (different partitioning) must not enter the history
+    // its own comparability note says is pinned to the hand-set width
+    if (measured.nonEmpty && sys.env.get("SPARK_GRAFT_PROFILE").isEmpty) {
       val hw = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
       try hw.write(fullLine + "\n") finally hw.close()
     }

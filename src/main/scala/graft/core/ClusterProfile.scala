@@ -99,4 +99,27 @@ object ClusterProfile {
   val local: ClusterProfile = ClusterProfile(
     executors = 1, coresPerExecutor = 32, executorMemGb = 128,
     inputBytes = 0L)
+
+  /** The class doc's 100 TB deployment, as a named artifact: 1000
+    * executors × 8 cores × 32 GiB over 100 TB of input. The derived
+    * width is ~819k initial partitions (bytes term dominates) with AQE
+    * coalescing from there. */
+  val cluster100tb: ClusterProfile = ClusterProfile(
+    executors = 1000, coresPerExecutor = 8, executorMemGb = 32,
+    inputBytes = 100L << 40)
+
+  /** Resolve a profile by name (the `SPARK_GRAFT_PROFILE` env contract —
+    * see Bench): named presets, or `ExCxM@GB` geometry syntax, e.g.
+    * `16x8x64@4096` = 16 executors × 8 cores × 64 GiB over 4096 GiB. */
+  def named(name: String): ClusterProfile = name match {
+    case "local"        => local
+    case "cluster100tb" => cluster100tb
+    case geom =>
+      geom.split("[x@]") match {
+        case Array(e, c, m, gb) =>
+          ClusterProfile(e.toInt, c.toInt, m.toInt, gb.toLong << 30)
+        case _ => sys.error(
+          s"unknown profile '$geom' (local | cluster100tb | ExCxM@GB)")
+      }
+  }
 }

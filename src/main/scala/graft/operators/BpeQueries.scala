@@ -45,8 +45,18 @@ object BpeQueries {
   private val rounds = 3
 
   /** The shared train loop: runs the merge rounds and returns the final
-    * word-type state (word, cnt, merged symbol string) + merge rows. */
-  private def train(s: SparkSession, dir: String)
+    * word-type state (word, cnt, merged symbol string) + merge rows.
+    *
+    * The state is `localCheckpoint`ed once up front (so the corpus is
+    * scanned exactly once) and once per round (so round r plans O(1)
+    * work instead of re-deriving rounds 1..r−1 — without it the loop is
+    * O(rounds²) lineage recomputes, harmless at rounds=3 but the known
+    * killer at real merge counts; the connected-components precedent).
+    * The checkpointed relation is vocab-sized, so the materialization
+    * cost per round is negligible. `checkpointEachRound=false` exists
+    * only for the measurement arm (tools.BpeRoundsAb). */
+  private[operators] def train(s: SparkSession, dir: String,
+      nRounds: Int = rounds, checkpointEachRound: Boolean = true)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     var state = Tables(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
@@ -55,8 +65,9 @@ object BpeQueries {
       .withColumn("str", concat_ws("",
         expr("transform(sequence(1, length(word)), " +
           "i -> concat('<', substr(word, i, 1), '>'))")))
+    if (checkpointEachRound) state = state.localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 1 to rounds) {
+    for (r <- 1 to nRounds) {
       val syms = state
         .withColumn("syms",
           split(expr("substr(str, 2, length(str) - 2)"), "><"))
@@ -78,6 +89,7 @@ object BpeQueries {
         regexp_replace(col("str"),
           java.util.regex.Pattern.quote(s"<$l><$rr>"),
           java.util.regex.Matcher.quoteReplacement(s"<$l$rr>")))
+      if (checkpointEachRound) state = state.localCheckpoint(true)
     }
     (state, merges.result())
   }

@@ -200,14 +200,15 @@ object DedupQueries {
     * words, count shared per pair via the (source, word) join) but
     * WITHOUT the length-ratio prefilter — mismatched lengths are exactly
     * the pairs this operator exists for, so the only candidate bound is
-    * the source block (the house blocking key; at 100 TB the banded
-    * MinHash buckets take over candidate generation the same way they do
-    * for the Jaccard path). Measured cost of dropping the prefilter
-    * (r11 stress, local[32]): 3.5 s at sf0.1 → 50.3 s at 10× (≈14.5×,
-    * vs the prefiltered Jaccard's ≈8.9× on the same fixture) — the
-    * full word-sharing pair space is the price of catching asymmetric
-    * pairs, and band-tightening is the lever past 10×, exactly as for
-    * [[dedupJaccardPairs]]. Jaccard rides along per pair so the output
+    * the source block (the house blocking key). Measured cost of
+    * dropping the prefilter (r11 stress, local[32]): 3.5 s at sf0.1 →
+    * 50.3 s at 10× (≈14.5×, vs the prefiltered Jaccard's ≈8.9× on the
+    * same fixture) — the full word-sharing pair space is the price of
+    * catching asymmetric pairs. The measured scale lever is
+    * [[dedupContainmentPrefix]] (exact PPJoin prefix filtering —
+    * MinHash bands would be LOSSY here, see its scaladoc); this
+    * formulation stays as the oracle-direct baseline and the r12
+    * hash-identity gate's reference. Jaccard rides along per pair so the output
     * itself exhibits the asymmetry (high C, low J). Both ratios are
     * int/int divisions of identically-derived integers — bit-identical
     * cross-engine, no rounding needed. */
@@ -249,6 +250,80 @@ object DedupQueries {
       |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
       |WHERE containment >= 0.95
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Prefix-filtered containment — the EXACT scale arm of
+    * [[dedupContainment]] (same relation, same oracle SQL, no recall
+    * loss), via PPJoin-style prefix filtering (Xiao et al., WWW'08):
+    * for a qualifying pair with smaller-doc size m, at most
+    * floor((1−t)·m) of the smaller doc's words miss the other doc, so
+    * its floor((1−t)·m)+1 RAREST words (global (source, word) df
+    * ascending, ties on word — both engines would derive the same
+    * ordering) must intersect the other doc. Candidate generation joins
+    * only those prefix words against the full word relation (at t=0.95
+    * that is ~5% of each doc's words + 1), then exact |A∩B| is counted
+    * for candidate pairs only.
+    *
+    * Why not MinHash bands: Jaccard-band buckets MISS exactly the
+    * asymmetric pairs this operator exists for (a paragraph inside a
+    * 10× page has J ≈ 0.1 — band collision probability ≈ 0), so the
+    * "route through the LSH buckets" idea the r11 scaladoc floated is
+    * lossy for containment; prefix filtering is the standard exact
+    * lever. Its win scales with df skew: on hapax-rich corpora (real
+    * text) the rare prefix words have tiny df and candidates collapse;
+    * on the df-dense synthetic fixture (31-word vocab, every word a
+    * stopword) no word-level filter discriminates — measured numbers in
+    * NOTES_r12, both fixture shapes. */
+  def dedupContainmentPrefix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.95
+    val w = docs(s, dir).select(col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val dfRel = w.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("df"))
+    // rank each doc's words rarest-first; keep the prefix whose size the
+    // bound dictates (floor is safe: binary 0.05 rounds UP, so the
+    // computed prefix is never shorter than the exact bound requires)
+    val prefix = w.join(dfRel, Seq("source", "word"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
+      .join(broadcast(nw), Seq("doc_id"))
+      .filter(col("rk") <= floor(lit(1.0 - t) * col("nw")) + lit(1))
+      .select(col("source"), col("doc_id"), col("word"))
+    val cand = prefix
+      .select(col("source"), col("doc_id").as("doc_p"), col("word"))
+      .join(w.select(col("source"), col("doc_id").as("doc_o"), col("word")),
+        Seq("source", "word"))
+      .filter(col("doc_p") =!= col("doc_o"))
+      .select(least(col("doc_p"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_o")).as("doc_b"))
+      .distinct()
+    // exact verification per candidate pair against the COMPACT word
+    // arrays (two narrow doc-id joins + one codegen'd array_intersect
+    // per pair) — re-expanding candidates through the word relation
+    // costs |cand|·|doc| join rows and was measured to eat the entire
+    // candidate-generation win on the hapax fixture (NOTES_r12)
+    val docsArr = docs(s, dir).select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    cand
+      .join(docsArr.select(col("doc_id").as("doc_a"), col("ws").as("wa")),
+        "doc_a")
+      .join(docsArr.select(col("doc_id").as("doc_b"), col("ws").as("wb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long")
+          .as("inter"),
+        size(col("wa")).cast("long").as("na"),
+        size(col("wb")).cast("long").as("nb"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= t)
+      .select(col("doc_a"), col("doc_b"), col("containment"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   // ----------------------------------------------------- D3: MinHash + LSH
 
@@ -1096,5 +1171,7 @@ object DedupQueries {
       ("ann_cosine_topk", annCosineTopk _, Some(annCosineTopkSql)),
       ("ann_filtered_topk", annFilteredTopk _, Some(annFilteredTopkSql)),
       ("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),
+      ("dedup_containment_prefix", dedupContainmentPrefix _,
+        Some(dedupContainmentSql)), // same relation — shared oracle
       ("ann_lsh_bucket", annLshBucket _, Some(annLshBucketSql)))
 }

@@ -81,4 +81,16 @@ class ClusterProfileSpec extends AnyFunSuite {
       ClusterProfile(0, 8, 16, 0L)
     }
   }
+
+  test("named profiles resolve, incl. the geometry syntax") {
+    assert(ClusterProfile.named("local") == ClusterProfile.local)
+    val c = ClusterProfile.named("cluster100tb")
+    assert(c.totalCores == 8000)
+    // 100 TB / 128 MiB = 819200 initial partitions — the bytes term
+    // dominates the 2x-cores floor at this scale
+    assert(c.shufflePartitions == 819200)
+    val g = ClusterProfile.named("16x8x64@4096")
+    assert(g == ClusterProfile(16, 8, 64, 4096L << 30))
+    intercept[RuntimeException] { ClusterProfile.named("nonsense") }
+  }
 }

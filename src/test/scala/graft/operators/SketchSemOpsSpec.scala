@@ -77,6 +77,21 @@ class SketchSemOpsSpec extends AnyFunSuite {
       "no high-containment/low-jaccard pair — the operator's point")
   }
 
+  test("prefix-filtered containment is row-identical to the exact arm") {
+    // the PPJoin prefix filter is exact by construction (no recall
+    // loss); this pins it — both ratio columns are int/int divisions of
+    // identically-derived integers, so compare bit-exactly
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "containment", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val exact = rows(DedupQueries.dedupContainment(spark, dir))
+    val prefix = rows(DedupQueries.dedupContainmentPrefix(spark, dir))
+    assert(exact.nonEmpty)
+    assert(prefix == exact,
+      s"missed=${(exact -- prefix).take(5)} extra=${(prefix -- exact).take(5)}")
+  }
+
   test("compaction plan partitions the listing and conserves bytes") {
     val plan = OpsQueries.compactionPlan(spark, dir)
       .select("lang", "bin", "n_files", "n_docs", "total_bytes").collect()

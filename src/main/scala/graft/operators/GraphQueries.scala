@@ -33,10 +33,20 @@ object GraphQueries {
 
   /** Full rank relation (doc_id, deg, pr) — shared by the top-k query
     * and the mass-conservation spec. */
-  private[operators] def fullRanks(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def fullRanks(s: SparkSession, dir: String): DataFrame =
+    fullRanksFrom(DedupQueries.jaccardPairs(s, dir))
+
+  /** The iteration engine over ANY (doc_a, doc_b) pair relation. Split
+    * out because the operator's measured 30× slope is ~entirely the
+    * EXACT pair derivation feeding it (NOTES_r12: 256 s total vs 3.5 s
+    * for the banded MinHash pair relation on the same fixture) — the
+    * power iteration itself is the small term, and tools.StressFixture's
+    * pagerank_banded arm measures exactly that by swapping the edge
+    * source. */
+  private[operators] def fullRanksFrom(pairRel: DataFrame): DataFrame = {
     // checkpoint BEFORE the both-directions union: the union's two
     // branches are two consumers of the expensive pair subtree
-    val pairs = DedupQueries.jaccardPairs(s, dir)
+    val pairs = pairRel
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val edges = pairs

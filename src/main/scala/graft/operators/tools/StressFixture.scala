@@ -212,6 +212,16 @@ object StressFixture {
       graft.operators.DedupQueries.simhashNear(spark, dir, 16))
     time("simhash_20bit") (
       graft.operators.DedupQueries.simhashNear(spark, dir, 20))
+    // PageRank with the iteration engine fed by the BANDED pair relation
+    // instead of the exact Jaccard derivation — isolates the iteration's
+    // own slope from the edge-derivation term that dominates the
+    // registry query's cost at 30× (NOTES_r12)
+    time("pagerank_banded") (
+      graft.operators.GraphQueries.fullRanksFrom(
+        graft.operators.DedupQueries.dedupMinhashLsh(spark, dir))
+        .select(col("doc_id"), col("deg"),
+          round(col("pr"), 6).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("doc_id")))
   }
 
   def main(args: Array[String]): Unit = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, NgramHashes, SortedLongJaccard, WelchTTest}
+import graft.functions.{DotProduct, NgramHashes, SortedLongJaccard, StringArrayIntersectSize, WelchTTest}
 
 /** Session extension registering the engine's custom expressions as SQL
   * functions — `welch_t`, `dot_product`, `ngram_hashes`,
@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"sorted_jaccard takes 2 arguments, got ${args.length}")
         SortedLongJaccard(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[StringArrayIntersectSize].getName,
+        "intersect_size"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          s"intersect_size takes 2 arguments, got ${args.length}")
+        StringArrayIntersectSize(args(0), args(1))
       }))
   }
 }

@@ -311,8 +311,8 @@ object DedupQueries {
       .join(docsArr.select(col("doc_id").as("doc_b"), col("ws").as("wb")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("wa"), col("wb"))).cast("long")
-          .as("inter"),
+        graft.functions.ArrayOps.intersect_size(col("wa"), col("wb"))
+          .cast("long").as("inter"),
         size(col("wa")).cast("long").as("na"),
         size(col("wb")).cast("long").as("nb"))
       .withColumn("containment", col("inter").cast("double") /

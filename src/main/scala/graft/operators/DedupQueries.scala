@@ -1157,6 +1157,109 @@ object DedupQueries {
       |FROM joined j JOIN surv s ON s.component = j.component
       |ORDER BY j.doc_id""".stripMargin
 
+  // ------------------------- D9: the composed curation funnel (r12)
+
+  /** The curation pipeline a training-data team actually runs, composed
+    * from this engine's own stages into ONE relation: raw corpus →
+    * quality floor ([[TextQueries.qualityScore]], the oracle-proven
+    * composite at the textFilterPipeline bar) → exact dedup (min doc_id
+    * per md5(text)) → near-dup contraction (the word-Jaccard pair graph
+    * at 0.7 through [[connectedComponents]], component-min survivor).
+    * Output is the FUNNEL — per stage, surviving docs and bytes — the
+    * report that tells you what each stage costs before you commit a
+    * 100 TB run to it.
+    *
+    * Every stage reuses the exact operator subtree its standalone query
+    * ships (qualityScore, jaccardJoin incl. the length-ratio prefilter,
+    * the star-contraction rounds), so the funnel's cross-engine hash
+    * oracle transitively re-proves the composition, not just the parts.
+    * Scale shape: four aggregates over successively smaller relations;
+    * the near-dup stage is the standalone components plan restricted to
+    * exact-dedup survivors (strictly cheaper than the full-corpus run).
+    * The four stage subtrees share the s1/s2 lineage lazily — each
+    * stage is one job over pruned columns; nothing is collected. */
+  def corpusCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val s1 = d.join(TextQueries.qualityScore(s, dir), Seq("doc_id"))
+      .filter(col("quality") >= 0.35)
+      .select(col("doc_id"), col("source"), col("text"))
+    val s2 = s1.join(
+      s1.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val w2 = s2.select(col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val comp = connectedComponents(
+      jaccardJoin(w2, w2, _ < _)
+        .select(col("doc_l").as("u"), col("doc_r").as("v")))
+      .select(col("u").as("doc_id"), col("v").as("component"))
+    val s3 = s2.join(comp, Seq("doc_id"), "left_outer")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+    def stat(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(lit(stage).cast("long").as("stage"),
+          lit(name).as("stage_name"), col("n_docs"), col("n_chars"))
+    stat(0, "raw", d)
+      .unionByName(stat(1, "quality", s1))
+      .unionByName(stat(2, "exact_dedup", s2))
+      .unionByName(stat(3, "near_dedup", s3))
+      .orderBy(col("stage"))
+  }
+
+  val corpusCurationFunnelSql: String =
+    """WITH RECURSIVE sc AS (
+      |  SELECT doc_id, source, text,
+      |    round(least(len(string_split(text,' ')) / 200.0, 1.0) * 0.5
+      |      + (CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |          ('the','a','and','of','to','in','is','it','that','for')))
+      |          AS DOUBLE) / len(string_split(text,' '))) * 0.3
+      |      + (1.0 - CAST(length(text) - length(regexp_replace(text,
+      |          '[.,;:!?()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.2,
+      |      6) AS quality
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, source, text FROM sc WHERE quality >= 0.35),
+      |s2 AS (SELECT doc_id, source, text FROM s1
+      |       WHERE doc_id IN (SELECT min(doc_id) FROM s1
+      |                        GROUP BY md5(text))),
+      |w AS (SELECT doc_id, source,
+      |      list_distinct(string_split(text, ' ')) AS w FROM s2),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) >= 0.7),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |  WHERE s.b <> r.a),
+      |comp AS (SELECT d.doc_id,
+      |           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      |         FROM s2 d LEFT JOIN reach r ON r.a = d.doc_id
+      |         GROUP BY d.doc_id),
+      |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+      |       JOIN comp ON comp.doc_id = s2.doc_id
+      |       WHERE comp.component = s2.doc_id)
+      |SELECT stage, stage_name, n_docs, n_chars FROM (
+      |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), 'quality', CAST(count(*) AS BIGINT),
+      |         CAST(sum(length(text)) AS BIGINT) FROM s1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+      |         CAST(sum(length(text)) AS BIGINT) FROM s2
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'near_dedup', CAST(count(*) AS BIGINT),
+      |         CAST(sum(length(text)) AS BIGINT) FROM s3)
+      |ORDER BY stage""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -1173,5 +1276,7 @@ object DedupQueries {
       ("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),
       ("dedup_containment_prefix", dedupContainmentPrefix _,
         Some(dedupContainmentSql)), // same relation — shared oracle
+      ("corpus_curation_funnel", corpusCurationFunnel _,
+        Some(corpusCurationFunnelSql)),
       ("ann_lsh_bucket", annLshBucket _, Some(annLshBucketSql)))
 }

@@ -92,6 +92,27 @@ class SketchSemOpsSpec extends AnyFunSuite {
       s"missed=${(exact -- prefix).take(5)} extra=${(prefix -- exact).take(5)}")
   }
 
+  test("curation funnel stages are monotone and consistent with parts") {
+    val rows = DedupQueries.corpusCurationFunnel(spark, dir)
+      .select("stage", "stage_name", "n_docs", "n_chars").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("raw", "quality", "exact_dedup", "near_dedup"))
+    // each stage only ever removes documents (and their bytes)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) <= a.getLong(2), s"docs grew: $a -> $b")
+        assert(b.getLong(3) <= a.getLong(3), s"bytes grew: $a -> $b")
+      case _ =>
+    }
+    // stage 0 must agree with the corpus itself
+    val d = graft.core.Tables(spark, dir, "documents")
+    assert(rows.head.getLong(2) == d.count())
+    assert(rows.head.getLong(3) ==
+      d.agg(sum(length(col("text")))).head().getLong(0))
+    assert(rows.last.getLong(2) > 0, "near-dedup must keep survivors")
+  }
+
   test("compaction plan partitions the listing and conserves bytes") {
     val plan = OpsQueries.compactionPlan(spark, dir)
       .select("lang", "bin", "n_files", "n_docs", "total_bytes").collect()

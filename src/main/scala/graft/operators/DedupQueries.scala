@@ -1180,14 +1180,22 @@ object DedupQueries {
     * stage is one job over pruned columns; nothing is collected. */
   def corpusCurationFunnel(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    // each survivor set feeds THREE downstream consumers (its own stat
+    // branch + the next stage's derivation); localCheckpoint computes
+    // the quality explode and the md5 dedup ONCE instead of per branch
+    // (measured 5.24 → see NOTES_r12). The materialization is bounded
+    // by the surviving corpus — the same budget any staged pipeline run
+    // pays between stages.
     val s1 = d.join(TextQueries.qualityScore(s, dir), Seq("doc_id"))
       .filter(col("quality") >= 0.35)
       .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
     val s2 = s1.join(
       s1.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val w2 = s2.select(col("source"), col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("word"))
     val comp = connectedComponents(

@@ -126,7 +126,13 @@ object Bench {
     // Any parse/IO failure here degrades to "no second chance" — by the
     // time this runs the full measurement loop has completed, and a
     // corrupt history byte must not discard ~95 s of results
-    val histBest: Map[String, Double] = try {
+    // comparability cuts BOTH ways for profiled runs: they stay out of
+    // the history (below) AND must not be judged against unprofiled
+    // historical bests — an 819200-partition run would trip the 2x
+    // criterion on nearly every query and re-measure the whole surface
+    val histBest: Map[String, Double] = if (
+      sys.env.get("SPARK_GRAFT_PROFILE").nonEmpty) Map.empty
+    else try {
       val src = scala.io.Source.fromFile("BENCH_HISTORY.jsonl")
       // same-SF lines only: a local sf0.001 run's medians must never
       // become the "historical best" a sf0.1 run is compared against.

@@ -115,8 +115,11 @@ object ClusterProfile {
     case "local"        => local
     case "cluster100tb" => cluster100tb
     case geom =>
+      // a typo must surface the syntax contract, not a bare
+      // NumberFormatException from a 4-token near-miss like "8x4x16@4g"
       geom.split("[x@]") match {
-        case Array(e, c, m, gb) =>
+        case Array(e, c, m, gb) if Seq(e, c, m, gb).forall(t =>
+            t.nonEmpty && t.length <= 9 && t.forall(_.isDigit)) =>
           ClusterProfile(e.toInt, c.toInt, m.toInt, gb.toLong << 30)
         case _ => sys.error(
           s"unknown profile '$geom' (local | cluster100tb | ExCxM@GB)")

@@ -213,8 +213,7 @@ object DedupQueries {
     * int/int divisions of identically-derived integers — bit-identical
     * cross-engine, no rounding needed. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val w = docs(s, dir).select(col("source"), col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val w = wordRel(s, dir)
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val shared = w.select(col("source"), col("doc_id").as("doc_a"),
         col("word"))
@@ -276,8 +275,7 @@ object DedupQueries {
   def dedupContainmentPrefix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = 0.95
-    val w = docs(s, dir).select(col("source"), col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val w = wordRel(s, dir)
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val dfRel = w.groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("df"))

@@ -38,11 +38,11 @@ object GraphQueries {
 
   /** The iteration engine over ANY (doc_a, doc_b) pair relation. Split
     * out because the operator's measured 30× slope is ~entirely the
-    * EXACT pair derivation feeding it (NOTES_r12: 256 s total vs 3.5 s
-    * for the banded MinHash pair relation on the same fixture) — the
-    * power iteration itself is the small term, and tools.StressFixture's
-    * pagerank_banded arm measures exactly that by swapping the edge
-    * source. */
+    * EXACT pair derivation feeding it (NOTES_r12: 256 s total vs ~5.5 s
+    * for iteration over the banded MinHash pair relation on the same
+    * fixture) — the power iteration itself is the small term, and
+    * tools.StressFixture's pagerank_banded arm measures exactly that by
+    * swapping the edge source. */
   private[operators] def fullRanksFrom(pairRel: DataFrame): DataFrame = {
     // checkpoint BEFORE the both-directions union: the union's two
     // branches are two consumers of the expensive pair subtree

@@ -32,15 +32,9 @@ object BpeRoundsAb {
         f"types=$n merges=${merges.size} t=$dt%.2f s")
       dt
     }
-    val timed = (0 until reps).flatMap { r =>
-      val order = if (r % 2 == 0) Seq(true, false) else Seq(false, true)
-      order.map(c => (c, once(c)))
-    }
-    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-    val on = timed.collect { case (true, t) => t }
-    val off = timed.collect { case (false, t) => t }
-    println(f"[bpe-ab] MEDIAN checkpoint=${med(on)}%.2f s " +
-      f"no-checkpoint=${med(off)}%.2f s (rounds=$nRounds)")
+    val (on, off) = graft.tools.AbHarness.interleaved(reps)(once)
+    println(f"[bpe-ab] MEDIAN checkpoint=$on%.2f s " +
+      f"no-checkpoint=$off%.2f s (rounds=$nRounds)")
     spark.stop()
   }
 }

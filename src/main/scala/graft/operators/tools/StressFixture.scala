@@ -216,9 +216,12 @@ object StressFixture {
     // instead of the exact Jaccard derivation — isolates the iteration's
     // own slope from the edge-derivation term that dominates the
     // registry query's cost at 30× (NOTES_r12)
+    // minhashPairs, not dedupMinhashLsh: the public query ends in a
+    // global orderBy the checkpoint would immediately discard — timing
+    // it here would inflate the iteration attribution with a wasted sort
     time("pagerank_banded") (
       graft.operators.GraphQueries.fullRanksFrom(
-        graft.operators.DedupQueries.dedupMinhashLsh(spark, dir))
+        graft.operators.DedupQueries.minhashPairs(spark, dir))
         .select(col("doc_id"), col("deg"),
           round(col("pr"), 6).as("pagerank"))
         .orderBy(col("pagerank").desc, col("doc_id")))

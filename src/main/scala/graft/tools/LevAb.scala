@@ -47,13 +47,7 @@ object LevAb {
         dt
       } finally s.stop()
     }
-    val timed = (0 until reps).flatMap { r =>
-      val order = if (r % 2 == 0) Seq(false, true) else Seq(true, false)
-      order.map(w => (w, once(w)))
-    }
-    val off = timed.collect { case (false, t) => t }
-    val on = timed.collect { case (true, t) => t }
-    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-    println(f"[lev-ab] MEDIAN off=${med(off)}%.2f s on=${med(on)}%.2f s")
+    val (on, off) = AbHarness.interleaved(reps)(once)
+    println(f"[lev-ab] MEDIAN off=$off%.2f s on=$on%.2f s")
   }
 }

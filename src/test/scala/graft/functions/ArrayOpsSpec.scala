@@ -27,7 +27,11 @@ class ArrayOpsSpec extends AnyFunSuite {
       (Seq("a", "a", "b"), Seq("a")),           // dupes left
       (Seq("a"), Seq("a", "a", "b")),           // dupes right
       (Seq.empty[String], Seq("a")),            // empty side
-      (Seq("a", "b"), Seq.empty[String]))
+      (Seq("a", "b"), Seq.empty[String]),
+      // null ELEMENTS: array_intersect counts a both-sides null once
+      (Seq("a", null), Seq(null, "b")),
+      (Seq(null, null, "a"), Seq(null, "a")),
+      (Seq("a", null), Seq("b")))
   }
 
   test("matches size(array_intersect) incl. duplicate semantics") {

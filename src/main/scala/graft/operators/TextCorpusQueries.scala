@@ -264,11 +264,88 @@ object TextCorpusQueries {
       |WHERE vocab_size IN (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000)
       |ORDER BY vocab_size""".stripMargin
 
+  /** Mixture rebalancer — the "data mixing weights" op of a multi-source
+    * pretraining corpus: downsample every source toward a common token
+    * target (here the FLOOR of the median source's total — a
+    * data-derived balance point; production passes explicit weights,
+    * same plan) with a deterministic per-doc hash draw, so two cluster
+    * runs — and both engines — keep the identical document set.
+    *
+    * The keep rule is ALL int64: doc survives iff
+    * `bucket(doc_id, 10⁶) · n_tokens_total < target · 10⁶` — equivalent
+    * to a uniform draw < target/total but with no float boundary to
+    * straddle cross-engine, and an under-target source keeps everything
+    * (the inequality is vacuously true), so the cap is downsample-only
+    * by construction. Overflow headroom: bucket < 10⁶ and target ≤
+    * total, so both products stay under 10⁶·total — safe through
+    * ~9·10¹² tokens per source in int64; past that, scale the bucket
+    * modulus down.
+    *
+    * Plan shape: one map-side-combined (source) aggregate for the
+    * stats, a |sources|-row broadcast + one scalar broadcast back onto
+    * the doc relation, one final (source) aggregate. The doc relation
+    * is touched twice (stats, then flagging) — the two-pass artifact
+    * shape of this file's header. */
+  def corpusMixRebalance(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("source"), col("doc_id"),
+      size(words).cast("long").as("n_tokens"))
+    val stats = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens_total"))
+    val target = stats.agg(
+      floor(percentile(col("n_tokens_total"), lit(0.5)))
+        .cast("long").as("t"))
+    base
+      .join(broadcast(stats), Seq("source"))
+      .crossJoin(broadcast(target))
+      .withColumn("keep",
+        graft.functions.PortableHash.bucket(col("doc_id"), 1000000) *
+          col("n_tokens_total") < col("t") * lit(1000000L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        max(col("t")).as("target_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .withColumn("realized_frac",
+        round(col("n_tokens_kept").cast("double") /
+          col("n_tokens_total").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixRebalanceSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) % 1000000 AS bkt
+      |  FROM documents),
+      |stats AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)
+      |            AS n_tokens_total
+      |          FROM base GROUP BY 1),
+      |tgt AS (SELECT CAST(floor(quantile_cont(n_tokens_total, 0.5))
+      |          AS BIGINT) AS t FROM stats)
+      |SELECT b.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens_total,
+      |  CAST(max(tgt.t) AS BIGINT) AS target_tokens,
+      |  CAST(sum(CASE WHEN b.bkt * st.n_tokens_total < tgt.t * 1000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+      |  CAST(sum(CASE WHEN b.bkt * st.n_tokens_total < tgt.t * 1000000
+      |    THEN b.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+      |  round(CAST(sum(CASE WHEN b.bkt * st.n_tokens_total
+      |      < tgt.t * 1000000 THEN b.n_tokens ELSE 0 END) AS DOUBLE)
+      |    / sum(b.n_tokens), 6) AS realized_frac
+      |FROM base b JOIN stats st USING (source) CROSS JOIN tgt
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("text_vocab_oov", textVocabOov _, Some(textVocabOovSql)),
       ("text_token_budget_sample", textTokenBudgetSample _,
         Some(textTokenBudgetSampleSql)),
       ("text_dist_drift", textDistDrift _, Some(textDistDriftSql)),
+      ("corpus_mix_rebalance", corpusMixRebalance _,
+        Some(corpusMixRebalanceSql)),
       ("vocab_coverage", vocabCoverage _, Some(vocabCoverageSql)))
 }

@@ -64,6 +64,32 @@ class TextCorpusSpec extends AnyFunSuite {
       "budget never bound — raise SF or lower budget")
   }
 
+  test("mixture rebalancer: downsample-only toward the median target") {
+    val rows = TextCorpusQueries.corpusMixRebalance(spark, dir)
+      .select("source", "n_tokens_total", "target_tokens",
+        "n_docs", "n_docs_kept", "n_tokens_kept", "realized_frac")
+      .collect()
+    assert(rows.nonEmpty)
+    val target = rows.head.getAs[Long]("target_tokens")
+    assert(rows.forall(_.getAs[Long]("target_tokens") == target),
+      "target must be one corpus-level scalar")
+    rows.foreach { r =>
+      val (total, kept) = (r.getAs[Long]("n_tokens_total"),
+        r.getAs[Long]("n_tokens_kept"))
+      assert(kept <= total, s"kept tokens exceed the source: $r")
+      assert(r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs"))
+      val frac = r.getAs[Double]("realized_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+      // an under-target source is never touched (downsample-only cap)
+      if (total <= target)
+        assert(kept == total, s"under-target source was sampled: $r")
+    }
+    // the rebalance binds somewhere at this SF, or the query degenerates
+    assert(rows.exists(r => r.getAs[Long]("n_tokens_kept") <
+      r.getAs[Long]("n_tokens_total")),
+      "no source above target — fixture can't exercise the draw")
+  }
+
   test("sampler order is the md5 shuffle, not doc_id order") {
     import spark.implicits._
     // reconstruct the kept set for one source directly and check the

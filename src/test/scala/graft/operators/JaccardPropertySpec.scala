@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property gate for the word-Jaccard pair relation: over random
+  * corpora, `dedupJaccardPairs` must equal a plain-Scala brute force —
+  * which pins the length-ratio prefilter's claimed result-neutrality
+  * (J ≥ t ⟹ min/max ≥ t) on shapes the fixtures can't produce:
+  * single-word docs, identical texts, docs whose sizes straddle the
+  * ratio bound exactly, and sources with one doc. The DuckDB oracle
+  * proves the same on corpus fixtures; this covers the adversarial
+  * boundary cases.
+  */
+class JaccardPropertySpec extends Properties("DedupJaccardPairs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("jaccard-prop")
+    .getOrCreate()
+
+  private val vocab = Vector("ax", "bx", "cx", "dx", "ex", "fx", "gx",
+    "hx", "ix", "jx")
+
+  private val genDocs: Gen[Seq[(Long, String, String)]] = for {
+    nDocs <- Gen.choose(3, 12)
+    nSources <- Gen.choose(1, 2)
+    docs <- Gen.sequence[Seq[(Long, String, String)], (Long, String, String)](
+      (0 until nDocs).map { i =>
+        for {
+          src <- Gen.choose(1, nSources)
+          nWords <- Gen.choose(1, 8)
+          words <- Gen.listOfN(nWords, Gen.oneOf(vocab))
+        } yield (i.toLong, s"s$src", words.mkString(" "))
+      })
+  } yield docs
+
+  private def expected(docs: Seq[(Long, String, String)])
+      : Set[(Long, Long, Double)] = {
+    val sets = docs.map { case (id, src, text) =>
+      (id, src, text.split(" ").filter(_.nonEmpty).toSet)
+    }
+    (for {
+      a <- sets; b <- sets
+      if a._2 == b._2 && a._1 < b._1
+      inter = (a._3 & b._3).size
+      if inter > 0
+      j = inter.toDouble / (a._3.size + b._3.size - inter)
+      if j >= 0.7
+    } yield (a._1, b._1, j)).toSet
+  }
+
+  property("pair relation equals the plain-Scala brute force") =
+    Prop.forAll(genDocs) { docs =>
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("jaccard_prop").toString
+      graft.core.TempDirs.cleanOnExit(java.nio.file.Paths.get(dir))
+      docs.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = DedupQueries.dedupJaccardPairs(spark, dir)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exp = expected(docs)
+      if (got != exp) println(s"docs=$docs\ngot=$got\nexp=$exp")
+      got == exp
+    }
+}

@@ -15,14 +15,18 @@ import graft.functions.{DotProduct, NgramHashes, SortedLongJaccard, StringArrayI
   * or `.withExtensions`).
   *
   * This is the (c)-tier of the custom-operator ladder (SURVEY §7.3):
-  * injected scalar functions plus ONE optimizer rule
+  * injected scalar functions plus TWO optimizer rules
   * ([[graft.plans.LevenshteinPrefilter]] — the edit-distance length
-  * lower bound as an automatic codegen short-circuit); everything else
-  * is expressible with stock Catalyst plans.
+  * lower bound as an automatic codegen short-circuit — and
+  * [[graft.plans.IntersectSizeRewrite]] — the stock
+  * `size(array_intersect)` spelling rewritten to the allocation-free
+  * native count); everything else is expressible with stock Catalyst
+  * plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
     ext.injectFunction((
       new FunctionIdentifier("welch_t"),
       new ExpressionInfo(classOf[WelchTTest].getName, "welch_t"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BehaviorQueries, BloomQueries, BpeQueries, BucketQueries, CollocationQueries, DedupQueries, EtlQueries, FormatQueries, GraphQueries, IvfQueries, LayoutQueries, LinkageQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, OpsQueries, ProfileQueries, RelationalExtraQueries, RelationalQueries, RetrievalQueries, SemDedupQueries, SketchQueries, SplitQueries, SkewQueries, StreamingExperimentQueries, StreamingDqQueries, StreamingFunnelQueries, StreamingMarkovQueries, StreamingRetentionQueries, TextCorpusQueries, TextQueries, TypeQueries, WarehouseQueries}
+import graft.operators.{BehaviorQueries, BloomQueries, BpeQueries, BucketQueries, CollocationQueries, DedupQueries, EmbeddingQueries, EtlQueries, FormatQueries, GraphQueries, IvfQueries, LayoutQueries, LinkageQueries, MultimodalQueries, MwasPipelineQueries, MwasQueries, OpsQueries, ProfileQueries, RelationalExtraQueries, RelationalQueries, RetrievalQueries, SemDedupQueries, SketchQueries, SplitQueries, SkewQueries, StreamingExperimentQueries, StreamingDqQueries, StreamingFunnelQueries, StreamingMarkovQueries, StreamingRetentionQueries, SubstringQueries, TextCorpusQueries, TextQueries, TypeQueries, WarehouseQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -28,10 +28,11 @@ object SparkEntry {
       WarehouseQueries.all ++ graft.streaming.StreamingScd2.all ++
       RetrievalQueries.all ++ SplitQueries.all ++ BpeQueries.all ++
       GraphQueries.all ++ ProfileQueries.all ++ LinkageQueries.all ++
-      StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all ++ StreamingFunnelQueries.all
+      StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all ++ StreamingFunnelQueries.all ++
+      SubstringQueries.all ++ EmbeddingQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
-    * assert uniqueness: a duplicate name across the 37 concatenated
+    * assert uniqueness: a duplicate name across the 39 concatenated
     * files would silently drop a query from the driver surface (last
     * write wins in toMap) without any test failing. */
   private[graft] def registryNames: Seq[String] = registry.map(_._1)

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Cross-document repeated-substring statistics — the span-level dedup
+  * primitive of Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better" (ACL'22): instead of deduplicating whole documents, find
+  * the word n-gram surface that repeats ACROSS documents (boilerplate,
+  * licenses, quoted blocks) and report, per document, how much of it is
+  * such repeated material. A training pipeline uses the fraction as a
+  * drop/trim signal and `max_df` as a boilerplate-virality probe.
+  *
+  * Shape (all relational, nothing all-pairs):
+  *   1. shingle relation: one [[graft.functions.NgramHashes]] call per row
+  *      (compiled loop, sorted-distinct 3-gram xxhash64s) + explode —
+  *      O(total tokens) rows, narrow.
+  *   2. per-shingle stats: groupBy(hash) with COUNT/MIN/MAX only — all
+  *      algebraic, so map-side partial aggregation absorbs hot boilerplate
+  *      shingles before the shuffle (the skew class this operator exists
+  *      to find is exactly the one partial agg flattens). A shingle is
+  *      cross-doc repeated iff min(doc_id) != max(doc_id) — no
+  *      count(DISTINCT) anywhere.
+  *   3. join back on the hash (both sides already partitioned by it after
+  *      stage 2's shuffle) and re-aggregate per doc_id.
+  * At 100 TB each stage is one bounded shuffle keyed by a high-cardinality
+  * column; the only skew risk (mega-df shingles fanning out in stage 3) is
+  * bounded by corpus size — each occurrence row joins exactly once.
+  *
+  * The DuckDB oracle re-derives grams as STRINGS (the house convention:
+  * hash equality == gram equality modulo 64-bit collisions, same caveat as
+  * every shingle-based query since `dedup_minhash_lsh`).
+  */
+object SubstringQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Per-doc repeated 3-gram coverage: how many of the doc's distinct word
+    * 3-grams occur in at least one other document, and the doc frequency of
+    * its most widely shared gram. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"),
+      explode(graft.functions.ShingleOps
+        .ngram_hashes(split(col("text"), " "), 3)).as("h"))
+    val stats = sh.groupBy(col("h"))
+      .agg(count(lit(1L)).as("df"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .select(col("h"), col("df"),
+        (col("mn") =!= col("mx")).cast("long").as("rep"))
+    sh.join(stats, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1L)).cast("long").as("n_shingles"),
+        sum(col("rep")).cast("long").as("n_repeated"),
+        max(col("df")).cast("long").as("max_df"))
+      .select(col("doc_id"), col("n_shingles"), col("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_shingles"), 6)
+          .as("repeated_frac"),
+        col("max_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |st AS (
+      |  SELECT g, count(*) AS df,
+      |    CASE WHEN min(doc_id) <> max(doc_id) THEN 1 ELSE 0 END AS rep
+      |  FROM sh GROUP BY g)
+      |SELECT s.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(st.rep) AS BIGINT) AS n_repeated,
+      |  round(CAST(sum(st.rep) AS DOUBLE) / count(*), 6) AS repeated_frac,
+      |  CAST(max(st.df) AS BIGINT) AS max_df
+      |FROM sh s JOIN st USING (g)
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)))
+}

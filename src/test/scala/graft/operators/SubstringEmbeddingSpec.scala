@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts for the round-12 continuation operators on
+  * constructed fixtures (cross-engine value agreement is the DuckDB
+  * oracle's job):
+  *   - dedup_substring: cross-doc repetition counts, WITHIN-doc repetition
+  *     does not, max_df tracks the most widely shared gram.
+  *   - emb_project_rp: basis vectors read the pinned sign matrix back out
+  *     (projection is exactly scale·r_k[d] on e_d).
+  *   - emb_quantize_int8: known bounds → known codes; constant dims code
+  *     to 0; saturation counts the clipped dims.
+  */
+class SubstringEmbeddingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("substring-embedding-spec")
+    .getOrCreate()
+
+  private def tmp(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    graft.core.TempDirs.cleanOnExit(java.nio.file.Paths.get(dir))
+    dir
+  }
+
+  test("dedup_substring: cross-doc grams count, self-repeats do not") {
+    import spark.implicits._
+    val dir = tmp("substr_spec")
+    // doc 0 and 1 share the 5-word sentence (3 shared trigrams); doc 2 is
+    // disjoint; doc 3 repeats ITS OWN trigram twice but shares nothing.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one alpha beta gamma delta epsilon two"),
+      (2L, "completely different words only here"),
+      (3L, "x y z x y z"))
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = SubstringQueries.dedupSubstring(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+
+    // doc 0: 4 trigrams, 3 of them inside doc 1 ("alpha beta gamma",
+    // "beta gamma delta", "gamma delta epsilon")
+    assert(out(0L) == ((4L, 3L, 0.75, 2L)), s"doc0=${out(0L)}")
+    // doc 1: 5 trigrams, the same 3 shared
+    assert(out(1L)._1 == 5L && out(1L)._2 == 3L, s"doc1=${out(1L)}")
+    // doc 2: nothing shared
+    assert(out(2L)._2 == 0L && out(2L)._4 == 1L, s"doc2=${out(2L)}")
+    // doc 3: its distinct trigram set {x y z, y z x, z x y, x y z} has
+    // 3 DISTINCT members, none cross-doc — self-repetition is invisible
+    assert(out(3L) == ((3L, 0L, 0.0, 1L)), s"doc3=${out(3L)}")
+  }
+
+  test("emb_project_rp: basis vector e_d reads the sign matrix back out") {
+    import spark.implicits._
+    val dir = tmp("rp_spec")
+    // e_0 and e_5: projection p_k must equal scale * rpSign(k, d) exactly
+    val basis = Seq(0, 5).zipWithIndex.map { case (d, id) =>
+      (id.toLong, Seq.tabulate(64)(i => if (i == d) 1.0f else 0.0f), 0)
+    }
+    basis.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = EmbeddingQueries.embProjectRp(spark, dir).collect()
+    val scale = EmbeddingQueries.rpScale
+    for ((d, id) <- Seq(0, 5).zipWithIndex; k <- 0 until 8) {
+      val got = rows(id).getDouble(2 + k)
+      val want = BigDecimal(EmbeddingQueries.rpSign(k, d) * scale)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == want, s"e_$d p$k: got $got want $want")
+    }
+    // the pinned matrix is Achlioptas-sparse: signs hit all of {-1,0,1}
+    val signs = (0 until 8).flatMap(k => (0 until 64).map(d =>
+      EmbeddingQueries.rpSign(k, d))).toSet
+    assert(signs == Set(-1.0, 0.0, 1.0))
+  }
+
+  test("emb_quantize_int8: known bounds, constant dim, saturation") {
+    import spark.implicits._
+    val dir = tmp("quant_spec")
+    // dim 0 constant 7.0 everywhere (code 0); other dims span [0, 1]
+    def vec(x: Float) = Seq.tabulate(64)(i => if (i == 0) 7.0f else x)
+    Seq((0L, vec(0.0f), 0), (1L, vec(1.0f), 0), (2L, vec(0.5f), 0))
+      .toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = EmbeddingQueries.embQuantizeInt8(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val (c0, mn0, mx0, sat0) = out(0L)
+    assert(c0.split("; ").forall(_ == "0") && sat0 == 0L, s"v0=$c0")
+    assert(mn0 == 0L && mx0 == 0L)
+    val (c1, _, mx1, sat1) = out(1L)
+    // 63 spanning dims clip to 255; the constant dim stays 0
+    assert(mx1 == 255L && sat1 == 63L, s"v1 mx=$mx1 sat=$sat1")
+    assert(c1.startsWith("0; ") && c1.endsWith("; 255"), s"v1=$c1")
+    val (c2, _, _, _) = out(2L)
+    // 0.5 → floor(127.5) = 127 on every spanning dim
+    assert(c2 == ("0" +: Seq.fill(63)("127")).mkString("; "), s"v2=$c2")
+  }
+}

@@ -91,6 +91,8 @@ ROUNDED_COLS = {
     "snapshot_diff": {"old_price", "new_price"},
     "schema_evolution": {"total"},
     "cohort_ltv": {"cum_revenue", "ltv"},
+    "dedup_substring": {"repeated_frac"},
+    "emb_project_rp": {"p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7"},
 }
 
 

@@ -29,7 +29,8 @@ object SparkEntry {
       RetrievalQueries.all ++ SplitQueries.all ++ BpeQueries.all ++
       GraphQueries.all ++ ProfileQueries.all ++ LinkageQueries.all ++
       StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all ++ StreamingFunnelQueries.all ++
-      SubstringQueries.all ++ EmbeddingQueries.all
+      SubstringQueries.all ++ EmbeddingQueries.all ++
+      graft.operators.StreamingMixQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name across the 39 concatenated

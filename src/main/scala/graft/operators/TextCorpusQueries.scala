@@ -281,31 +281,54 @@ object TextCorpusQueries {
     * ~9·10¹² tokens per source in int64; past that, scale the bucket
     * modulus down.
     *
-    * Plan shape: one map-side-combined (source) aggregate for the
-    * stats, a |sources|-row broadcast + one scalar broadcast back onto
-    * the doc relation, one final (source) aggregate. The doc relation
-    * is touched twice (stats, then flagging) — the two-pass artifact
-    * shape of this file's header. */
-  def corpusMixRebalance(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("source"), col("doc_id"),
+    * Plan shape: the doc relation folds into a per-(source, hash-bucket)
+    * HISTOGRAM first (map-side-combined; ≤ |sources|·10⁶ rows no matter
+    * the corpus size) — the keep rule only reads (source, bucket), so
+    * every decision downstream of the histogram is exact. Stats are a
+    * |sources|-row broadcast + one scalar broadcast back onto the
+    * histogram, then one final (source) aggregate. The histogram is also
+    * the MERGEABLE state of the streaming twin
+    * ([[StreamingMixQueries]]): counters sum across batches, and the
+    * readout replays literally this code path. */
+  def corpusMixRebalance(s: SparkSession, dir: String): DataFrame =
+    mixReadout(mixHist(mixBase(s, dir)))
+
+  /** (source, doc_id, n_tokens) — the rebalancer's input projection. */
+  private[operators] def mixBase(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("source"), col("doc_id"),
       size(words).cast("long").as("n_tokens"))
-    val stats = base.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("n_tokens_total"))
+
+  /** Per-(source, hash-bucket) counters — algebraic, so partials from
+    * independent batches merge by plain sums. */
+  private[operators] def mixHist(base: DataFrame): DataFrame =
+    base
+      .withColumn("bkt",
+        graft.functions.PortableHash.bucket(col("doc_id"), 1000000))
+      .groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("n_docs_b"),
+        sum(col("n_tokens")).as("n_tokens_b"))
+
+  /** Target derivation + keep decision over the histogram. The int64 keep
+    * rule depends only on (bucket, source totals), so bucket-grouped
+    * counters lose nothing. */
+  private[operators] def mixReadout(hist: DataFrame): DataFrame = {
+    val stats = hist.groupBy(col("source"))
+      .agg(sum(col("n_tokens_b")).as("n_tokens_total"))
     val target = stats.agg(
       floor(percentile(col("n_tokens_total"), lit(0.5)))
         .cast("long").as("t"))
-    base
+    hist
       .join(broadcast(stats), Seq("source"))
       .crossJoin(broadcast(target))
       .withColumn("keep",
-        graft.functions.PortableHash.bucket(col("doc_id"), 1000000) *
-          col("n_tokens_total") < col("t") * lit(1000000L))
+        col("bkt") * col("n_tokens_total") < col("t") * lit(1000000L))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens_total"),
+      .agg(sum(col("n_docs_b")).as("n_docs"),
+        sum(col("n_tokens_b")).as("n_tokens_total"),
         max(col("t")).as("target_tokens"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
-        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+        sum(when(col("keep"), col("n_docs_b")).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tokens_b")).otherwise(0L))
           .as("n_tokens_kept"))
       .withColumn("realized_frac",
         round(col("n_tokens_kept").cast("double") /

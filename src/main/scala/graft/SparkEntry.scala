@@ -30,7 +30,8 @@ object SparkEntry {
       GraphQueries.all ++ ProfileQueries.all ++ LinkageQueries.all ++
       StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all ++ StreamingFunnelQueries.all ++
       SubstringQueries.all ++ EmbeddingQueries.all ++
-      graft.operators.StreamingMixQueries.all
+      graft.operators.StreamingMixQueries.all ++
+      graft.operators.StreamingRetrievalQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name across the 39 concatenated

@@ -28,11 +28,19 @@ object RetrievalQueries {
     * (house rule, [[MwasPipelineQueries.condenseQuery]]): the driver's
     * pandas compare can't sort ARRAY cells, and the join is a bijection
     * on the sorted prefix — no information loss. */
-  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedFrom(tfRel(Tables(s, dir, "documents")))
+
+  /** (word, doc_id, tf) postings — the index's grain, and the MERGEABLE
+    * state of the streaming twins ([[StreamingRetrievalQueries]]): a
+    * document's postings live wholly inside the batch that carries the
+    * document, so appended partials are disjoint and merge by sum. */
+  private[operators] def tfRel(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  private[operators] def invertedFrom(tf: DataFrame): DataFrame =
     tf.groupBy(col("w"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
         array_join(
@@ -40,7 +48,6 @@ object RetrievalQueries {
             .cast("array<string>"),
           "; ").as("postings_head"))
       .orderBy(col("w"))
-  }
 
   val invertedIndexSql: String =
     """WITH tf AS (
@@ -62,16 +69,18 @@ object RetrievalQueries {
     * ln((N − df + 0.5)/(df + 0.5) + 1) ≥ 0 form. Top 20 by
     * (score, doc_id) — the 3-term float sum follows the house K-term
     * rounding precedent. */
-  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25From(tfRel(Tables(s, dir, "documents")))
+
+  /** BM25 from the postings relation alone: doc length is the postings'
+    * own row-sum (dl = Σ_w tf), so the scoring pipeline needs NO second
+    * pass over raw text — which is exactly what lets the streaming twin
+    * score from its accumulated index without re-reading history. */
+  private[operators] def bm25From(tf: DataFrame): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val dlen = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val scalars = dlen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val tf = docs.groupBy(col("w"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qterms = df
       .orderBy(col("df").desc, col("w")).limit(13)

@@ -31,7 +31,8 @@ object SparkEntry {
       StreamingExperimentQueries.all ++ StreamingMarkovQueries.all ++ StreamingRetentionQueries.all ++ StreamingDqQueries.all ++ StreamingFunnelQueries.all ++
       SubstringQueries.all ++ EmbeddingQueries.all ++
       graft.operators.StreamingMixQueries.all ++
-      graft.operators.StreamingRetrievalQueries.all
+      graft.operators.StreamingRetrievalQueries.all ++
+      graft.operators.QualityModelQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name across the 39 concatenated

@@ -32,7 +32,8 @@ object SparkEntry {
       SubstringQueries.all ++ EmbeddingQueries.all ++
       graft.operators.StreamingMixQueries.all ++
       graft.operators.StreamingRetrievalQueries.all ++
-      graft.operators.QualityModelQueries.all
+      graft.operators.QualityModelQueries.all ++
+      graft.operators.StreamingSubstringQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name across the 39 concatenated

@@ -41,10 +41,20 @@ object SubstringQueries {
   /** Per-doc repeated 3-gram coverage: how many of the doc's distinct word
     * 3-grams occur in at least one other document, and the doc frequency of
     * its most widely shared gram. */
-  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir).select(col("doc_id"),
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringFrom(shingleRel(docs(s, dir)))
+
+  /** (doc_id, shingle-hash) occurrence relation — distinct per doc by
+    * NgramHashes construction, and the MERGEABLE state of the streaming
+    * twin ([[StreamingSubstringQueries]]): a document's shingle rows live
+    * wholly inside the batch that carries it, so appended partials are
+    * disjoint and the store needs no re-aggregation at all. */
+  private[operators] def shingleRel(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       explode(graft.functions.ShingleOps
         .ngram_hashes(split(col("text"), " "), 3)).as("h"))
+
+  private[operators] def substringFrom(sh: DataFrame): DataFrame = {
     val stats = sh.groupBy(col("h"))
       .agg(count(lit(1L)).as("df"),
         min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

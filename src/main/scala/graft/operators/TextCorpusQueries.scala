@@ -336,6 +336,80 @@ object TextCorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** Temperature-weighted mixture (UniMax/DoReMi family, α = 0.5): the
+    * per-source token target interpolates geometrically between "keep
+    * everything" (α = 1, t = total) and "flatten to the median" (α = 0,
+    * t = t_med): t_s = floor(√(total_s · t_med)) — over-represented
+    * sources shrink toward the median, under-median sources keep all
+    * (the int64 keep rule is vacuously true when t_s > total_s, so the
+    * cap stays downsample-only by construction).
+    *
+    * Cross-engine exactness: t_s is per-ROW arithmetic on two int64
+    * aggregates (exact ≤ 2⁵³ tokens/source) through IEEE
+    * correctly-rounded sqrt — no float SUM anywhere, so no
+    * accumulation-order hazard. Shares [[mixHist]] with the rebalancer:
+    * same sufficient-statistic state, same scale posture. */
+  def corpusMixTemperature(s: SparkSession, dir: String): DataFrame =
+    mixTempReadout(mixHist(mixBase(s, dir)))
+
+  private[operators] def mixTempReadout(hist: DataFrame): DataFrame = {
+    val stats = hist.groupBy(col("source"))
+      .agg(sum(col("n_tokens_b")).as("n_tokens_total"))
+    val tmed = stats.agg(
+      floor(percentile(col("n_tokens_total"), lit(0.5)))
+        .cast("long").as("t_med"))
+    hist
+      .join(broadcast(stats), Seq("source"))
+      .crossJoin(broadcast(tmed))
+      .withColumn("t_s",
+        floor(sqrt(col("n_tokens_total").cast("double") *
+          col("t_med").cast("double"))).cast("long"))
+      .withColumn("keep",
+        col("bkt") * col("n_tokens_total") < col("t_s") * lit(1000000L))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs_b")).as("n_docs"),
+        sum(col("n_tokens_b")).as("n_tokens_total"),
+        max(col("t_s")).as("target_tokens"),
+        sum(when(col("keep"), col("n_docs_b")).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tokens_b")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .withColumn("realized_frac",
+        round(col("n_tokens_kept").cast("double") /
+          col("n_tokens_total").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixTemperatureSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) % 1000000 AS bkt
+      |  FROM documents),
+      |stats AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)
+      |            AS n_tokens_total
+      |          FROM base GROUP BY 1),
+      |tgt AS (SELECT CAST(floor(quantile_cont(n_tokens_total, 0.5))
+      |          AS BIGINT) AS t_med FROM stats),
+      |ts AS (SELECT st.source, st.n_tokens_total,
+      |         CAST(floor(sqrt(CAST(st.n_tokens_total AS DOUBLE)
+      |           * CAST(tgt.t_med AS DOUBLE))) AS BIGINT) AS t_s
+      |       FROM stats st CROSS JOIN tgt)
+      |SELECT b.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens_total,
+      |  CAST(max(ts.t_s) AS BIGINT) AS target_tokens,
+      |  CAST(sum(CASE WHEN b.bkt * ts.n_tokens_total < ts.t_s * 1000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+      |  CAST(sum(CASE WHEN b.bkt * ts.n_tokens_total < ts.t_s * 1000000
+      |    THEN b.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+      |  round(CAST(sum(CASE WHEN b.bkt * ts.n_tokens_total
+      |      < ts.t_s * 1000000 THEN b.n_tokens ELSE 0 END) AS DOUBLE)
+      |    / sum(b.n_tokens), 6) AS realized_frac
+      |FROM base b JOIN ts USING (source)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val corpusMixRebalanceSql: String =
     """WITH base AS (
       |  SELECT source, doc_id,
@@ -370,5 +444,7 @@ object TextCorpusQueries {
       ("text_dist_drift", textDistDrift _, Some(textDistDriftSql)),
       ("corpus_mix_rebalance", corpusMixRebalance _,
         Some(corpusMixRebalanceSql)),
+      ("corpus_mix_temperature", corpusMixTemperature _,
+        Some(corpusMixTemperatureSql)),
       ("vocab_coverage", vocabCoverage _, Some(vocabCoverageSql)))
 }

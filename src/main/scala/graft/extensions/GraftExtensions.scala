@@ -15,18 +15,21 @@ import graft.functions.{DotProduct, NgramHashes, SortedLongJaccard, StringArrayI
   * or `.withExtensions`).
   *
   * This is the (c)-tier of the custom-operator ladder (SURVEY §7.3):
-  * injected scalar functions plus TWO optimizer rules
+  * injected scalar functions plus THREE optimizer rules
   * ([[graft.plans.LevenshteinPrefilter]] — the edit-distance length
-  * lower bound as an automatic codegen short-circuit — and
+  * lower bound as an automatic codegen short-circuit —
   * [[graft.plans.IntersectSizeRewrite]] — the stock
   * `size(array_intersect)` spelling rewritten to the allocation-free
-  * native count); everything else is expressible with stock Catalyst
-  * plans.
+  * native count — and [[graft.plans.DistinctGateRewrite]] — a
+  * `HAVING count(DISTINCT k) >= 2` pair gate rewritten to the
+  * single-exchange algebraic `min != max` form); everything else is
+  * expressible with stock Catalyst plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.DistinctGateRewrite)
     ext.injectFunction((
       new FunctionIdentifier("welch_t"),
       new ExpressionInfo(classOf[WelchTTest].getName, "welch_t"),

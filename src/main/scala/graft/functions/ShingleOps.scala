@@ -83,8 +83,33 @@ object NgramHashes {
     * code (static forwarder), so it must stay a plain (ArrayData, Int)
     * signature. */
   def compute(words: ArrayData, n: Int): ArrayData = {
+    val hashes = hashAll(words, n)
+    if (hashes == null) return EmptyLongs
+    val nGrams = hashes.length
+    java.util.Arrays.sort(hashes)
+    var out = 1
+    var k = 1
+    while (k < nGrams) {
+      if (hashes(k) != hashes(k - 1)) { hashes(out) = hashes(k); out += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (out == nGrams) hashes else java.util.Arrays.copyOf(hashes, out))
+  }
+
+  /** Positional variant ([[NgramHashesPos]]): hash per WINDOW, index
+    * order, duplicates kept — hashes(i) is the gram starting at word i. */
+  def computePos(words: ArrayData, n: Int): ArrayData = {
+    val hashes = hashAll(words, n)
+    if (hashes == null) EmptyLongs
+    else UnsafeArrayData.fromPrimitiveArray(hashes)
+  }
+
+  /** The shared compiled loop: one hash per window in index order, or
+    * null when there are fewer than n words. */
+  private def hashAll(words: ArrayData, n: Int): Array[Long] = {
     val nw = words.numElements()
-    if (nw < n) return EmptyLongs
+    if (nw < n) return null
     // null elements are SKIPPED, exactly like the concat_ws(" ", ...) the
     // scaladoc declares value-identity with (concat_ws drops nulls — no
     // separator either); split() never produces nulls, so this is
@@ -127,16 +152,51 @@ object NgramHashes {
       hashes(g) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
       g += 1
     }
-    java.util.Arrays.sort(hashes)
-    var out = 1
-    var k = 1
-    while (k < nGrams) {
-      if (hashes(k) != hashes(k - 1)) { hashes(out) = hashes(k); out += 1 }
-      k += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(
-      if (out == nGrams) hashes else java.util.Arrays.copyOf(hashes, out))
+    hashes
   }
+}
+
+/** [[NgramHashes]] without the sort/distinct: one xxhash64 per n-word
+  * WINDOW in index order (duplicates kept), so `posexplode` recovers
+  * (position, gram-hash) — the feeder for span-level coverage where the
+  * distinct set loses exactly the positional information needed. Hash
+  * function and gram assembly are byte-identical with [[NgramHashes]]
+  * (the shared `hashAll` loop), so the two relations join on equal
+  * values. */
+case class NgramHashesPos(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"ngram_hashes_pos needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes_pos expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NgramHashes.emptyLongs()
+    else NgramHashes.computePos(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.NgramHashes.emptyLongs()
+          : graft.functions.NgramHashes.computePos(${childGen.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** Jaccard similarity |A∩B| / |A∪B| of two SORTED DISTINCT `ARRAY<LONG>`
@@ -211,6 +271,9 @@ object ShingleOps {
   /** Column-world entry points. */
   def ngram_hashes(words: Column, n: Int): Column =
     bridge.column(NgramHashes(bridge.expression(words), n))
+
+  def ngram_hashes_pos(words: Column, n: Int): Column =
+    bridge.column(NgramHashesPos(bridge.expression(words), n))
 
   def sorted_jaccard(a: Column, b: Column): Column =
     bridge.column(SortedLongJaccard(bridge.expression(a),

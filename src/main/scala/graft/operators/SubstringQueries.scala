@@ -92,6 +92,92 @@ object SubstringQueries {
       |GROUP BY s.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ S2: span-level coverage
+
+  /** How much text substring-dedup would actually DELETE: the union of
+    * the 3-token spans [p, p+2] whose gram repeats in another document,
+    * as a per-doc covered-token count and fraction. This is the
+    * actionable form of [[dedupSubstring]]'s distinct-gram ratio — a
+    * doc can have repeated_frac 0.5 but near-zero deletable text if the
+    * repeats interleave with unique grams, or near-total if they run in
+    * blocks.
+    *
+    * Shape: the positional relation comes from
+    * [[graft.functions.NgramHashesPos]] (one compiled hash per window,
+    * duplicates kept — `posexplode` recovers positions; the distinct
+    * variant loses exactly this). Repeated grams come from the same
+    * algebraic min≠max gate as [[dedupSubstring]]. The interval union
+    * needs no interval machinery: with repeated positions sorted per
+    * doc, each contributes min(3, pos − prev) new covered tokens (3 for
+    * the first) — one per-doc window pass over ONLY the repeated
+    * positions, not the corpus. */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val pos = d.select(col("doc_id"),
+      posexplode(graft.functions.ShingleOps
+        .ngram_hashes_pos(split(col("text"), " "), 3)).as(Seq("pos", "h")))
+    val rep = shingleRel(d).groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = pos.join(rep, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("add", when(col("prev").isNull, lit(3L))
+        .otherwise(least(lit(3L), (col("pos") - col("prev")).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("add")).as("covered_tokens"),
+        count(lit(1)).as("n_repeated_pos"))
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .na.fill(Map("covered_tokens" -> 0L, "n_repeated_pos" -> 0L))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_repeated_pos").cast("long").as("n_repeated_pos"),
+        col("covered_tokens").cast("long").as("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
+          .as("covered_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Positions differ by engine origin (Spark 0-based, the oracle's
+    * range() 1-based) but the span union only reads DIFFERENCES plus the
+    * constant first-span width, so the relation is origin-invariant. */
+  val dedupSubstringSpansSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i AS pos,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM t, LATERAL unnest(range(1, len(w) - 1)) AS u(i)),
+      |rep AS (
+      |  SELECT g FROM (
+      |    SELECT g, min(doc_id) AS mn, max(doc_id) AS mx
+      |    FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g)
+      |  WHERE mn <> mx),
+      |cov AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN prev IS NULL THEN 3
+      |             ELSE least(3, pos - prev) END) AS covered_tokens,
+      |    count(*) AS n_repeated_pos
+      |  FROM (SELECT p.doc_id, p.pos,
+      |          lag(p.pos) OVER (PARTITION BY p.doc_id ORDER BY p.pos)
+      |            AS prev
+      |        FROM pos p JOIN rep USING (g))
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(cov.n_repeated_pos, 0) AS BIGINT) AS n_repeated_pos,
+      |  CAST(coalesce(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |  round(CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE) / len(t.w), 6)
+      |    AS covered_frac
+      |FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)))
+    Seq(
+      ("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
+      ("dedup_substring_spans", dedupSubstringSpans _,
+        Some(dedupSubstringSpansSql)))
 }

@@ -57,6 +57,27 @@ class SubstringEmbeddingSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0.0, 1L)), s"doc3=${out(3L)}")
   }
 
+  test("dedup_substring_spans: interval union of repeated 3-gram spans") {
+    import spark.implicits._
+    val dir = tmp("spans_spec")
+    // docs 0 and 1 share two 5-word blocks (a1..a5, b1..b5) placed at
+    // different offsets; doc 2 is disjoint. Per shared block: repeated
+    // positions p, p+1, p+2 → covered = 3 + 1 + 1 = 5 tokens.
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4 a5 u1 u2 u3 b1 b2 b3 b4 b5"),
+      (1L, "a1 a2 a3 a4 a5 x1 x2 b1 b2 b3 b4 b5"),
+      (2L, "z1 z2 z3 z4"))
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = SubstringQueries.dedupSubstringSpans(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((13L, 6L, 10L, 0.769231)), s"doc0=${out(0L)}")
+    assert(out(1L) == ((12L, 6L, 10L, 0.833333)), s"doc1=${out(1L)}")
+    assert(out(2L) == ((4L, 0L, 0L, 0.0)), s"doc2=${out(2L)}")
+  }
+
   test("emb_project_rp: basis vector e_d reads the sign matrix back out") {
     import spark.implicits._
     val dir = tmp("rp_spec")

@@ -33,7 +33,8 @@ object SparkEntry {
       graft.operators.StreamingMixQueries.all ++
       graft.operators.StreamingRetrievalQueries.all ++
       graft.operators.QualityModelQueries.all ++
-      graft.operators.StreamingSubstringQueries.all
+      graft.operators.StreamingSubstringQueries.all ++
+      graft.operators.StreamingDriftQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name across the 39 concatenated

@@ -175,9 +175,70 @@ object SubstringQueries {
       |    AS covered_frac
       |FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- S3: source contamination matrix
+
+  /** WHICH sources share text with which: the pairwise source-level
+    * Jaccard over distinct 3-gram sets — the curation diagnostic that
+    * turns the per-doc coverage signal into a provenance map (mirror
+    * sites, cross-posted corpora, license boilerplate families).
+    *
+    * Shape: the (source, gram) relation collapses the corpus to at most
+    * |sources| · |gram vocab| rows BEFORE any pairing; the self-join
+    * fans out C(k,2) pairs per gram shared by k sources — bounded by
+    * C(|sources|, 2) per gram, a constant multiplier, never doc-grain.
+    * Per-source totals are a |sources|-row broadcast. */
+  def sourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ss = docs(s, dir).select(col("source"),
+      explode(graft.functions.ShingleOps
+        .ngram_hashes(split(col("text"), " "), 3)).as("h"))
+      .distinct()
+    val cnt = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = ss.as("a")
+      .join(ss.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(cnt.select(col("source").as("source_a"),
+        col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(cnt.select(col("source").as("source_b"),
+        col("n").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("shared").cast("long").as("shared_shingles"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("overlap_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapMatrixSql: String =
+    """WITH ss AS (
+      |  SELECT DISTINCT source, g FROM (
+      |    SELECT source, unnest(list_distinct(list_transform(
+      |      range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      |    FROM (SELECT source, string_split(text, ' ') AS w
+      |          FROM documents)
+      |    WHERE len(w) >= 3)),
+      |cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS shared
+      |  FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b,
+      |  CAST(p.shared AS BIGINT) AS shared_shingles,
+      |  round(CAST(p.shared AS DOUBLE) / (ca.n + cb.n - p.shared), 6)
+      |    AS overlap_jaccard
+      |FROM p JOIN cnt ca ON ca.source = p.source_a
+      |       JOIN cnt cb ON cb.source = p.source_b
+      |ORDER BY p.source_a, p.source_b""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
       ("dedup_substring_spans", dedupSubstringSpans _,
-        Some(dedupSubstringSpansSql)))
+        Some(dedupSubstringSpansSql)),
+      ("source_overlap_matrix", sourceOverlapMatrix _,
+        Some(sourceOverlapMatrixSql)))
 }

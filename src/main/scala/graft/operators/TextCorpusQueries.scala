@@ -157,17 +157,27 @@ object TextCorpusQueries {
     * shuffle, a K-row broadcast of the support, and a |sources|×K
     * aggregate — at 100 TB the token count shuffle is the only
     * corpus-scale term, identical to [[textVocabOov]]'s pass 1. */
-  def textDistDrift(s: SparkSession, dir: String): DataFrame = {
-    val k = 200
-    val toks = docs(s, dir).select(col("source"), explode(words).as("w"))
-    val srcCounts = toks.groupBy(col("source"), col("w"))
+  def textDistDrift(s: SparkSession, dir: String): DataFrame =
+    distDriftFrom(srcWordCounts(docs(s, dir)))
+
+  /** Per-(source, word) counts — vocabulary-sized, mergeable by sum:
+    * the streaming drift monitor's entire state
+    * ([[StreamingDriftQueries]]). */
+  private[operators] def srcWordCounts(d: DataFrame): DataFrame =
+    d.select(col("source"), explode(words).as("w"))
+      .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
+
+  /** KL readout from the count relation alone: totals and the support
+    * set are its own row-sums, so no pass over raw text. */
+  private[operators] def distDriftFrom(srcCounts: DataFrame): DataFrame = {
+    val k = 200
     val support = srcCounts.groupBy(col("w"))
       .agg(sum(col("c")).as("cg"))
       .orderBy(col("cg").desc, col("w")).limit(k)
-    val globTotal = toks.groupBy().agg(count(lit(1)).as("ng"))
-    val srcTotal = toks.groupBy(col("source"))
-      .agg(count(lit(1)).as("ns"))
+    val globTotal = srcCounts.groupBy().agg(sum(col("c")).as("ng"))
+    val srcTotal = srcCounts.groupBy(col("source"))
+      .agg(sum(col("c")).as("ns"))
     // sources × support grid (both tiny), then the observed counts
     val grid = srcTotal.crossJoin(broadcast(support))
       .join(srcCounts, Seq("source", "w"), "left")

@@ -93,6 +93,7 @@ ROUNDED_COLS = {
     "cohort_ltv": {"cum_revenue", "ltv"},
     "dedup_substring": {"repeated_frac"},
     "dedup_substring_spans": {"covered_frac"},
+    "source_overlap_matrix": {"overlap_jaccard"},
     "text_entropy": {"word_entropy", "norm_entropy"},
     "quality_logreg": {"logit", "prob"},
     "emb_project_rp": {"p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7"},

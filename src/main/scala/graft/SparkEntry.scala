@@ -37,8 +37,8 @@ object SparkEntry {
       graft.operators.StreamingDriftQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
-    * assert uniqueness: a duplicate name across the 39 concatenated
-    * files would silently drop a query from the driver surface (last
+    * assert uniqueness: a duplicate name anywhere in the concatenation
+    * above would silently drop a query from the driver surface (last
     * write wins in toMap) without any test failing. */
   private[graft] def registryNames: Seq[String] = registry.map(_._1)
 

@@ -98,18 +98,14 @@ object QualityModelQueries {
     * posture as `text_lm_score`'s log/exp). */
   def qualityLogreg(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it",
-      "that", "for")
-    val stopCounts = d
-      .select(col("doc_id"), explode(words).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
-        .as("stop_cnt_l"))
+    // the literal feature definitions live in TextQueries (one source —
+    // the classifier can never drift from what text_quality reports)
+    val stopCounts = TextQueries.stopCountRel(d)
     val nChars = length(col("text")).cast("double")
     val nWords = size(words).cast("double")
     val punctRatio = (nChars -
-      length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")) /
-      nChars
+      length(regexp_replace(col("text"), TextQueries.PunctClass, ""))
+        .cast("double")) / nChars
     val upperRatio = (nChars -
       length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")) /
       nChars

@@ -48,8 +48,21 @@ object TextQueries {
 
   // --------------------------------------------------- T2: quality scoring
 
-  private val stopwords =
+  /** Shared with [[QualityModelQueries.qualityLogreg]] — one definition
+    * so the classifier's features can never drift from text_quality's. */
+  private[operators] val Stopwords =
     Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+  private val stopwords = Stopwords
+
+  private[operators] val PunctClass = "[.,;:!?()-]"
+
+  /** (doc_id, stop_cnt_l) — the one shuffle of the quality-feature
+    * derivation (explode + conditional sum; HOF-free by design). */
+  private[operators] def stopCountRel(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w").isin(Stopwords: _*), 1L).otherwise(0L))
+        .as("stop_cnt_l"))
 
   /** Length / punctuation / stopword / case heuristics and a composite
     * quality score — the standard cheap pre-filter of LLM data pipelines.
@@ -60,16 +73,12 @@ object TextQueries {
     * of `text`, so sum(length(word)) = n_chars - (n_words - 1). */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val stopCounts = d
-      .select(col("doc_id"), explode(words).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
-        .as("stop_cnt_l"))
+    val stopCounts = stopCountRel(d)
     val nChars = length(col("text")).cast("double")
     val nWords = size(words).cast("double")
     val stopCnt = col("stop_cnt_l").cast("double")
     val punctCnt = nChars -
-      length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
+      length(regexp_replace(col("text"), PunctClass, "")).cast("double")
     val upperCnt = nChars -
       length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")
     val avgWordLen = (nChars - nWords + 1.0) / nWords
@@ -97,15 +106,11 @@ object TextQueries {
     * carries over verbatim. */
   private[operators] def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val stopCounts = d
-      .select(col("doc_id"), explode(words).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
-        .as("stop_cnt_l"))
+    val stopCounts = stopCountRel(d)
     val nChars = length(col("text")).cast("double")
     val nWords = size(words).cast("double")
     val punctCnt = nChars -
-      length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
+      length(regexp_replace(col("text"), PunctClass, "")).cast("double")
     val quality = least(nWords / lit(200.0), lit(1.0)) * 0.5 +
       (col("stop_cnt_l").cast("double") / nWords) * 0.3 +
       (lit(1.0) - punctCnt / nChars) * 0.2
@@ -290,7 +295,7 @@ object TextQueries {
     val nWords = size(words).cast("double")
     val stopCnt = col("stop_cnt_l").cast("double")
     val punctCnt = nChars -
-      length(regexp_replace(col("text"), "[.,;:!?()-]", "")).cast("double")
+      length(regexp_replace(col("text"), PunctClass, "")).cast("double")
     val quality = least(nWords / lit(200.0), lit(1.0)) * 0.5 +
       (stopCnt / nWords) * 0.3 + (lit(1.0) - punctCnt / nChars) * 0.2
     d.join(wordCounts, Seq("doc_id"))

@@ -96,6 +96,12 @@ ROUNDED_COLS = {
     "source_overlap_matrix": {"overlap_jaccard"},
     "text_entropy": {"word_entropy", "norm_entropy"},
     "quality_logreg": {"logit", "prob"},
+    "stream_substring": {"repeated_frac"},
+    "stream_bm25_search": {"score"},
+    "stream_dist_drift": {"kl_vs_corpus"},
+    "stream_mix_rebalance": {"realized_frac"},
+    "corpus_mix_rebalance": {"realized_frac"},
+    "corpus_mix_temperature": {"realized_frac"},
     "emb_project_rp": {"p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7"},
 }
 

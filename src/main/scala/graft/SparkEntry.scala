@@ -34,7 +34,8 @@ object SparkEntry {
       graft.operators.StreamingRetrievalQueries.all ++
       graft.operators.QualityModelQueries.all ++
       graft.operators.StreamingSubstringQueries.all ++
-      graft.operators.StreamingDriftQueries.all
+      graft.operators.StreamingDriftQueries.all ++
+      graft.operators.TrainingIoQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

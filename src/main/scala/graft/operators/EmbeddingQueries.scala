@@ -135,8 +135,55 @@ object EmbeddingQueries {
       |    AS n_saturated
       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------- E3: dimension health statistics
+
+  /** Per-dimension embedding health — the diagnostic run before any
+    * similarity work ships: mean/sd (dead or near-constant dimensions
+    * contribute nothing but storage), min/max (scale imbalance that
+    * wrecks unnormalized distances). One algebraic pass: everything
+    * derives from (Σx, Σx², min, max, n) per dimension, so the plan is
+    * a single map-side-combined aggregate over the posexploded relation
+    * — no second pass, no window. The sd is the manual population form
+    * √(Σx²/n − mean²) (the `anomaly_zscore` convention: both engines
+    * compute the same formula rather than trusting two different
+    * builtin stddev implementations). */
+  def embDimStats(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+    val mean = col("sx") / col("n")
+    val sd = sqrt(col("sxx") / col("n") - mean * mean)
+    e.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("pos").cast("long").as("pos"),
+        round(mean, 6).as("mean"),
+        round(sd, 6).as("sd"),
+        col("mn"), col("mx"),
+        (sd < 1e-6).as("dead"))
+      .orderBy(col("pos"))
+  }
+
+  val embDimStatsSql: String =
+    """WITH e AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+      |           AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT pos, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+      |         min(x) AS mn, max(x) AS mx
+      |  FROM e GROUP BY pos)
+      |SELECT pos,
+      |  round(sx / n, 6) AS mean,
+      |  round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS sd,
+      |  mn, mx,
+      |  sqrt(sxx / n - (sx / n) * (sx / n)) < 1e-6 AS dead
+      |FROM a ORDER BY pos""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("emb_project_rp", embProjectRp _, Some(embProjectRpSql)),
-      ("emb_quantize_int8", embQuantizeInt8 _, Some(embQuantizeInt8Sql)))
+      ("emb_quantize_int8", embQuantizeInt8 _, Some(embQuantizeInt8Sql)),
+      ("emb_dim_stats", embDimStats _, Some(embDimStatsSql)))
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-loader I/O assignment — the last hop of a curation
+  * pipeline: hand every document a deterministic (epoch, shard,
+  * position) so N dataloader workers stream disjoint, per-epoch
+  * re-shuffled slices with zero coordination. The epoch-salted portable
+  * hash IS the shuffle: order by it within a shard and two runs — and
+  * both engines — produce the identical byte stream, while epochs
+  * decorrelate because the salt changes the hash, not a seed table.
+  *
+  * Scale shape: per-row hash, then ONE window per (epoch, shard)
+  * partition — the window's exchange+sort is precisely the
+  * distributed shuffle being asked for, so nothing is wasted; shard
+  * count is the parallelism knob and each partition sorts only its own
+  * slice. At 100 TB this is the standard range-partition + sort-within
+  * export plan.
+  */
+object TrainingIoQueries {
+
+  private val NShards = 8
+
+  def corpusShuffleAssign(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.functions.PortableHash.raw(
+      concat(col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("key"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("key", key)
+      .withColumn("shard", (col("key") % NShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch").cast("long").as("epoch"), col("shard"),
+        col("doc_id"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  val corpusShuffleAssignSql: String =
+    """WITH e AS (
+      |  SELECT doc_id, epoch
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)),
+      |k AS (
+      |  SELECT doc_id, epoch,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+      |  FROM e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(key % 8 AS BIGINT) AS shard,
+      |  doc_id,
+      |  CAST(row_number() OVER (PARTITION BY epoch, key % 8
+      |    ORDER BY key, doc_id) AS BIGINT) AS pos
+      |FROM k ORDER BY epoch, shard, pos""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("corpus_shuffle_assign", corpusShuffleAssign _,
+      Some(corpusShuffleAssignSql)))
+}

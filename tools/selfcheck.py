@@ -103,6 +103,7 @@ ROUNDED_COLS = {
     "corpus_mix_rebalance": {"realized_frac"},
     "corpus_mix_temperature": {"realized_frac"},
     "emb_project_rp": {"p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7"},
+    "emb_dim_stats": {"mean", "sd"},
 }
 
 

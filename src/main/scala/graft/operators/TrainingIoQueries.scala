@@ -58,7 +58,38 @@ object TrainingIoQueries {
       |    ORDER BY key, doc_id) AS BIGINT) AS pos
       |FROM k ORDER BY epoch, shard, pos""".stripMargin
 
+  // ------------------------------------ custom physical operator surface
+
+  /** Per-user top-5 events by value — the registry face of the
+    * [[graft.plans.TopKPerGroup]] custom operator (logical node +
+    * planner strategy + two-phase bounded-heap exec): the partial stage
+    * keeps ≤ 5 rows per (partition, user) BEFORE the exchange, and the
+    * heaps replace the two per-partition sorts Spark's own
+    * WindowGroupLimit rewrite of the stock spelling still pays (the
+    * honest A/B is in the operator's scaladoc). The oracle IS that
+    * stock spelling, so the hash compare doubles as the operator's
+    * semantic proof. Deterministic ties via the event_id tiebreak. */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    graft.plans.TopK.perGroup(e,
+        Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id").asc), 5)
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 5
+      |ORDER BY user_id, value DESC, event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("corpus_shuffle_assign", corpusShuffleAssign _,
-      Some(corpusShuffleAssignSql)))
+    Seq(
+      ("corpus_shuffle_assign", corpusShuffleAssign _,
+        Some(corpusShuffleAssignSql)),
+      ("topk_per_group", topkPerGroup _, Some(topkPerGroupSql)))
 }

@@ -10,4 +10,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion through the session's
+    * ColumnNode converter. `expression(c)` above returns a LAZY
+    * ColumnNodeExpression wrapper, which is fine inside plans the
+    * classic Dataset API builds (it rewrites the wrapper away) but
+    * fatal inside a CUSTOM logical node: the analyzer leaves the
+    * wrapper in place and its internal ColumnNode is not serializable
+    * — the executor-side task then fails. */
+  def eagerExpression(spark: org.apache.spark.sql.SparkSession,
+      c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
+
+  /** DataFrame over a custom LogicalPlan (Dataset.ofRows went
+    * `private[sql]` in Spark 4) — needed by the TopKPerGroup operator's
+    * DataFrame entry point. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -87,9 +87,38 @@ object TrainingIoQueries {
       |WHERE rn <= 5
       |ORDER BY user_id, value DESC, event_id""".stripMargin
 
+  /** Incremental per-group top-k — the custom operator's streaming
+    * twin, and the cleanest possible maintenance state: bounded heaps
+    * are MERGEABLE (top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B))), so
+    * each batch appends its own top-5-per-user remnant (≤ users·5
+    * rows) and the readout runs the same operator over the accumulated
+    * remnants — state is output-sized, history never re-read, and the
+    * oracle is literally the batch query's stock window spelling. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val staging = stageThirds(
+      "graft_stream_topk_stage_" + Integer.toHexString(dir.hashCode),
+      e, "event_id")
+    val store = s"${scratchDir("graft_stream_topk", dir)}/heaps"
+
+    runBatches(s, e.schema, staging) { batch =>
+      graft.plans.TopK.perGroup(batch, Seq(col("user_id")),
+          Seq(col("value").desc, col("event_id").asc), 5)
+        .write.mode("append").parquet(store)
+    }
+
+    graft.plans.TopK.perGroup(s.read.parquet(store),
+        Seq(col("user_id")), Seq(col("value").desc, col("event_id").asc), 5)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("corpus_shuffle_assign", corpusShuffleAssign _,
         Some(corpusShuffleAssignSql)),
-      ("topk_per_group", topkPerGroup _, Some(topkPerGroupSql)))
+      ("topk_per_group", topkPerGroup _, Some(topkPerGroupSql)),
+      ("stream_topk", streamTopk _, Some(topkPerGroupSql)))
 }

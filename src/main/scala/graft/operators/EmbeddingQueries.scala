@@ -151,7 +151,12 @@ object EmbeddingQueries {
     val e = vecs(s, dir)
       .select(posexplode(col("v")).as(Seq("pos", "x")))
     val mean = col("sx") / col("n")
-    val sd = sqrt(col("sxx") / col("n") - mean * mean)
+    // greatest(…, 0): FP residual can land the variance of a CONSTANT
+    // dimension a hair negative (NaN sqrt) — and on opposite signs in
+    // the two engines. The house clamp convention (IvfQueries,
+    // MwasPipelineQueries), applied to exactly the dead-dim case this
+    // query exists to flag.
+    val sd = sqrt(greatest(col("sxx") / col("n") - mean * mean, lit(0.0)))
     e.groupBy(col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
@@ -173,13 +178,15 @@ object EmbeddingQueries {
       |a AS (
       |  SELECT pos, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
       |         min(x) AS mn, max(x) AS mx
-      |  FROM e GROUP BY pos)
-      |SELECT pos,
-      |  round(sx / n, 6) AS mean,
-      |  round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS sd,
-      |  mn, mx,
-      |  sqrt(sxx / n - (sx / n) * (sx / n)) < 1e-6 AS dead
-      |FROM a ORDER BY pos""".stripMargin
+      |  FROM e GROUP BY pos),
+      |m AS (
+      |  SELECT pos, sx / n AS mean0,
+      |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)) AS sd0,
+      |    mn, mx
+      |  FROM a)
+      |SELECT pos, round(mean0, 6) AS mean, round(sd0, 6) AS sd,
+      |  mn, mx, sd0 < 1e-6 AS dead
+      |FROM m ORDER BY pos""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(

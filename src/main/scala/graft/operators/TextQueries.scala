@@ -52,14 +52,13 @@ object TextQueries {
     * so the classifier's features can never drift from text_quality's. */
   private[operators] val Stopwords =
     Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
-  private val stopwords = Stopwords
 
   private[operators] val PunctClass = "[.,;:!?()-]"
 
   /** (doc_id, stop_cnt_l) — the one shuffle of the quality-feature
     * derivation (explode + conditional sum; HOF-free by design). */
   private[operators] def stopCountRel(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    d.select(col("doc_id"), explode(words).as("w"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("w").isin(Stopwords: _*), 1L).otherwise(0L))
         .as("stop_cnt_l"))
@@ -287,7 +286,7 @@ object TextQueries {
       .select(col("doc_id"), explode(words).as("w"))
       .groupBy(col("doc_id"))
       .agg(
-        sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
+        sum(when(col("w").isin(Stopwords: _*), 1L).otherwise(0L))
           .as("stop_cnt_l"),
         sum(when(col("w").isin(markers.toMap.apply("en"): _*), 1L)
           .otherwise(0L)).as("s_en_l"))

@@ -62,8 +62,16 @@ case class TopKPerGroup(
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKExec(g, o, k, partial = false,
-        TopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+      // float/double group keys must be normalized (0.0 == -0.0,
+      // canonical NaN) exactly as Spark's NormalizeFloatingNumbers rule
+      // does for Aggregate/Window/Join keys — that rule doesn't match a
+      // custom node, so the strategy applies the same normalization
+      // here, where the expressions are resolved. Both the hash
+      // partitioning (ClusteredDistribution on these exprs) and the
+      // exec's byte-equality map key see the normalized values.
+      val gn = g.map(bridge.normalizeFloats)
+      TopKExec(gn, o, k, partial = false,
+        TopKExec(gn, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -122,10 +130,15 @@ object TopK {
       k: Int): DataFrame = {
     val spark = df.sparkSession
     // self-register the strategy so the operator plans in ANY session
-    // (specs, tools) — not only extension-installed ones
-    if (!spark.experimental.extraStrategies.contains(GraftStrategies))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GraftStrategies
+    // (specs, tools) — not only extension-installed ones. Synchronized:
+    // the read-modify-write would otherwise race with a concurrent
+    // registration (parallel plan builders in one session) and drop a
+    // strategy. Deliberate session-state side effect, documented here.
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GraftStrategies))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GraftStrategies
+    }
     // EAGER conversion (bridge.eagerExpression): the lazy wrapper the
     // plain bridge returns survives analysis inside a custom node and
     // is not serializable

@@ -23,6 +23,14 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .expression(c)
 
+  /** Forwarder for the `private[sql]` float-key normalization (0.0 ==
+    * -0.0, canonical NaN) — the TopKPerGroup strategy applies it to
+    * group keys exactly as Spark's rule does for Aggregate/Window/Join
+    * keys, which never match a custom node. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
+
   /** DataFrame over a custom LogicalPlan (Dataset.ofRows went
     * `private[sql]` in Spark 4) — needed by the TopKPerGroup operator's
     * DataFrame entry point. */

@@ -73,6 +73,21 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("float group keys normalize: 0.0 and -0.0 are one group") {
+    import spark.implicits._
+    // Spark's NormalizeFloatingNumbers rule only matches
+    // Aggregate/Window/Join — the strategy applies the same
+    // normalization to the custom node's keys, else raw UnsafeRow bytes
+    // split the logical group and the operator returns up to 2k rows
+    val d = Seq((0.0, 1L, 1.0), (-0.0, 2L, 2.0), (-0.0, 3L, 3.0))
+      .toDF("g", "id", "v")
+    val got = graft.plans.TopK.perGroup(d,
+        Seq(col("g")), Seq(col("v").desc, col("id")), 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // one group of 3 rows, k=2 → ids of the two largest v
+    assert(got == Set(3L, 2L), s"zero-sign split the group: $got")
+  }
+
   test("partial stage bounds the exchanged rows") {
     // 4,000 rows, 4 groups, k=2: the exchange must carry at most
     // partitions * groups * k rows, never the input

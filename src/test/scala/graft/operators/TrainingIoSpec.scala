@@ -43,10 +43,14 @@ class TrainingIoSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dimstats_spec").toString
     graft.core.TempDirs.cleanOnExit(java.nio.file.Paths.get(dir))
-    // dim 0 constant 2.0 (dead); dim 1 alternates 0/4 (mean 2, sd 2)
+    // dim 0 constant 2.0 (dead, dyadic); dim 1 alternates 0/4 (mean 2,
+    // sd 2); dim 2 constant 0.1f — NON-dyadic, so sxx/n − mean² is FP
+    // residual, not exact zero: the case that NaNs without the
+    // greatest(…, 0) variance clamp
     def vec(i: Int) = Seq.tabulate(64) {
       case 0 => 2.0f
       case 1 => if (i % 2 == 0) 0.0f else 4.0f
+      case 2 => 0.1f
       case d => (d * (i + 1) % 7).toFloat
     }
     (0 until 10).map(i => (i.toLong, vec(i), 0))
@@ -58,6 +62,9 @@ class TrainingIoSpec extends AnyFunSuite {
         ((r.getDouble(1), r.getDouble(2), r.getBoolean(5)))).toMap
     assert(out(0L) == ((2.0, 0.0, true)), s"dim0=${out(0L)}")
     assert(out(1L) == ((2.0, 2.0, false)), s"dim1=${out(1L)}")
+    val (m2, sd2, dead2) = out(2L)
+    assert(math.abs(m2 - 0.1) < 1e-6 && sd2 == 0.0 && dead2,
+      s"non-dyadic dead dim: ${out(2L)}")
     assert(!out(5L)._3)
   }
 }

@@ -175,6 +175,87 @@ object SubstringQueries {
       |    AS covered_frac
       |FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- S2b: the rewrite itself
+
+  /** The actual Lee-et-al transform, end to end: documents with every
+    * cross-document-repeated 3-token span DELETED, as (doc_id,
+    * n_tokens, n_removed, cleaned). [[dedupSubstringSpans]] reports how
+    * much would go; this produces the corpus that ships.
+    *
+    * Shape: the repeated-position relation (same subtree as the spans
+    * query) explodes each repeated gram start into its 3 covered
+    * positions, distinct, and ANTI-joins the positional word relation —
+    * all token-grain, nothing doc²; the only doc-grain step is the
+    * final ordered re-assembly (collect_list + sort per doc, the same
+    * bounded post-aggregate shape as `ann_lsh_bucket`'s signature).
+    * Documents shorter than one gram pass through byte-identical
+    * (split-on-space + join-with-space is lossless). */
+  def dedupSubstringRewrite(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val posWords = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val posGrams = d.select(col("doc_id"),
+      posexplode(graft.functions.ShingleOps
+        .ngram_hashes_pos(split(col("text"), " "), 3)).as(Seq("pos", "h")))
+    val rep = shingleRel(d).groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val covered = posGrams.join(rep, Seq("h"))
+      .select(col("doc_id"), explode(array(col("pos"), col("pos") + 1,
+        col("pos") + 2)).as("pos"))
+      .distinct()
+    val kept = posWords.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          t => t.getField("word")), " ").as("cleaned"))
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Positions are engine-origin-relative on both sides (Spark 0-based,
+    * range() 1-based) — cov derives from gram positions in the SAME
+    * origin as the word positions, so the anti-join is origin-invariant. */
+  val dedupSubstringRewriteSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |pw AS (
+      |  SELECT doc_id, i AS pos, w[i] AS word
+      |  FROM t, LATERAL unnest(generate_series(1, len(w))) AS u(i)),
+      |pg AS (
+      |  SELECT doc_id, i AS pos,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM t, LATERAL unnest(range(1, len(w) - 1)) AS u(i)),
+      |rep AS (
+      |  SELECT g FROM (
+      |    SELECT g, min(doc_id) AS mn, max(doc_id) AS mx
+      |    FROM (SELECT DISTINCT doc_id, g FROM pg) GROUP BY g)
+      |  WHERE mn <> mx),
+      |cov AS (
+      |  SELECT DISTINCT p.doc_id, p.pos + x.d AS pos
+      |  FROM pg p JOIN rep USING (g),
+      |       LATERAL unnest([0, 1, 2]) AS x(d)),
+      |kept AS (
+      |  SELECT pw.doc_id, pw.pos, pw.word
+      |  FROM pw ANTI JOIN cov USING (doc_id, pos)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(word, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned
+      |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------- S3: source contamination matrix
 
   /** WHICH sources share text with which: the pairwise source-level
@@ -239,6 +320,8 @@ object SubstringQueries {
       ("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
       ("dedup_substring_spans", dedupSubstringSpans _,
         Some(dedupSubstringSpansSql)),
+      ("dedup_substring_rewrite", dedupSubstringRewrite _,
+        Some(dedupSubstringRewriteSql)),
       ("source_overlap_matrix", sourceOverlapMatrix _,
         Some(sourceOverlapMatrixSql)))
 }

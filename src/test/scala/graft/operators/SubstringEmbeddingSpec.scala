@@ -76,6 +76,13 @@ class SubstringEmbeddingSpec extends AnyFunSuite {
     assert(out(0L) == ((13L, 6L, 10L, 0.769231)), s"doc0=${out(0L)}")
     assert(out(1L) == ((12L, 6L, 10L, 0.833333)), s"doc1=${out(1L)}")
     assert(out(2L) == ((4L, 0L, 0L, 0.0)), s"doc2=${out(2L)}")
+
+    // the rewrite deletes exactly those spans and nothing else
+    val rw = SubstringQueries.dedupSubstringRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(rw(0L) == ((10L, "u1 u2 u3")), s"doc0=${rw(0L)}")
+    assert(rw(1L) == ((10L, "x1 x2")), s"doc1=${rw(1L)}")
+    assert(rw(2L) == ((0L, "z1 z2 z3 z4")), s"doc2=${rw(2L)}")
   }
 
   test("emb_project_rp: basis vector e_d reads the sign matrix back out") {

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
     ext.injectOptimizerRule(_ => graft.plans.DistinctGateRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectFunction((
       new FunctionIdentifier("welch_t"),

@@ -90,6 +90,44 @@ class TextCorpusSpec extends AnyFunSuite {
       "no source above target — fixture can't exercise the draw")
   }
 
+  test("temperature mixer: geometric interpolation between keep-all and flat") {
+    val temp = TextCorpusQueries.corpusMixTemperature(spark, dir)
+      .select("source", "n_tokens_total", "target_tokens",
+        "n_tokens_kept", "n_docs", "n_docs_kept")
+      .collect()
+    val flat = TextCorpusQueries.corpusMixRebalance(spark, dir)
+      .select("source", "target_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(temp.nonEmpty)
+    temp.foreach { r =>
+      val (total, ts) = (r.getAs[Long]("n_tokens_total"),
+        r.getAs[Long]("target_tokens"))
+      val tMed = flat(r.getAs[String]("source"))
+      // t_s = floor(sqrt(total * t_med)) sits BETWEEN the flat median
+      // target and the source total (geometric mean property) — the
+      // α=0.5 contract
+      assert(ts >= math.min(total, tMed) && ts <= math.max(total, tMed),
+        s"target escaped the interpolation interval: $r (t_med=$tMed)")
+      assert(ts == math.floor(math.sqrt(
+        total.toDouble * tMed.toDouble)).toLong, s"not the geometric mean: $r")
+      // downsample-only: under-median sources keep everything
+      if (total <= tMed)
+        assert(r.getAs[Long]("n_tokens_kept") == total,
+          s"under-median source was sampled: $r")
+      assert(r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // the temperature cap is SOFTER than the flat cap for over-median
+    // sources: kept fraction under temperature >= kept under flat
+    val flatKept = TextCorpusQueries.corpusMixRebalance(spark, dir)
+      .select("source", "n_tokens_kept").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    temp.foreach { r =>
+      assert(r.getAs[Long]("n_tokens_kept") >=
+        flatKept(r.getAs[String]("source")),
+        s"temperature removed more than the flat cap: $r")
+    }
+  }
+
   test("sampler order is the md5 shuffle, not doc_id order") {
     import spark.implicits._
     // reconstruct the kept set for one source directly and check the

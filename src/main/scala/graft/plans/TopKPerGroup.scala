@@ -87,6 +87,13 @@ case class TopKExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
+    // empty keys = GLOBAL top-k: the final stage needs all partial
+    // remnants in one place (AllTuples — ClusteredDistribution(Nil) is
+    // rejected by its own require). The partial stage still bounds what
+    // crosses the exchange at k rows per input partition, which is the
+    // whole point vs a global sort.
+    else if (groupExprs.isEmpty) Seq(org.apache.spark.sql.catalyst.plans
+      .physical.AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -92,6 +92,20 @@ class RowNumberTopKRewriteSpec extends AnyFunSuite {
       .contains("TopKPerGroup"), "fired despite a sibling window expr")
   }
 
+  test("global top-N (no PARTITION BY) rewrites and runs") {
+    fixture(spark)
+    // the empty-partition case: ClusteredDistribution(Nil) is rejected
+    // by its own require — AllTuples in TopKExec is what keeps this
+    // common spelling from crashing under the extension
+    val df = spark.sql(
+      """SELECT g, id FROM (
+        |  SELECT g, id, row_number() OVER (ORDER BY v DESC, id) AS rn
+        |  FROM tk) WHERE rn <= 3""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"),
+      "global spelling did not rewrite")
+    assert(df.collect().map(_.getLong(1)).toSet == Set(6L, 7L, 1L))
+  }
+
   test("parity with a rule-less session on the stock spelling") {
     fixture(spark)
     val withRule = spark.sql(stock).collect()

@@ -73,6 +73,22 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("global top-k: empty keys plan as AllTuples, not a crash") {
+    import spark.implicits._
+    // the common global top-N spelling — ClusteredDistribution(Nil) is
+    // rejected by its own require, so empty keys must map to AllTuples
+    val d = spark.range(1000)
+      .select(col("id"), (col("id") * 37 % 101).cast("double").as("v"))
+    val got = graft.plans.TopK.perGroup(d,
+        Seq.empty, Seq(col("v").desc, col("id")), 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val want = d.orderBy(col("v").desc, col("id")).limit(3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == want, s"global top-3: got $got want $want")
+    // the SQL rewrite path for the same shape lives in
+    // RowNumberTopKRewriteSpec (needs the extension-installed session)
+  }
+
   test("float group keys normalize: 0.0 and -0.0 are one group") {
     import spark.implicits._
     // Spark's NormalizeFloatingNumbers rule only matches

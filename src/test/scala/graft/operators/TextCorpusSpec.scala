@@ -95,9 +95,9 @@ class TextCorpusSpec extends AnyFunSuite {
       .select("source", "n_tokens_total", "target_tokens",
         "n_tokens_kept", "n_docs", "n_docs_kept")
       .collect()
-    val flat = TextCorpusQueries.corpusMixRebalance(spark, dir)
-      .select("source", "target_tokens").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flatRows = TextCorpusQueries.corpusMixRebalance(spark, dir)
+      .select("source", "target_tokens", "n_tokens_kept").collect()
+    val flat = flatRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(temp.nonEmpty)
     temp.foreach { r =>
       val (total, ts) = (r.getAs[Long]("n_tokens_total"),
@@ -118,9 +118,7 @@ class TextCorpusSpec extends AnyFunSuite {
     }
     // the temperature cap is SOFTER than the flat cap for over-median
     // sources: kept fraction under temperature >= kept under flat
-    val flatKept = TextCorpusQueries.corpusMixRebalance(spark, dir)
-      .select("source", "n_tokens_kept").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flatKept = flatRows.map(r => r.getString(0) -> r.getLong(2)).toMap
     temp.foreach { r =>
       assert(r.getAs[Long]("n_tokens_kept") >=
         flatKept(r.getAs[String]("source")),

@@ -38,7 +38,36 @@ object StreamingSubstringQueries {
     SubstringQueries.substringFrom(s.read.parquet(store))
   }
 
+  /** Incremental provenance matrix — the streaming twin of
+    * [[SubstringQueries.sourceOverlapMatrix]] and the distinct-set-union
+    * state class: each batch appends its own distinct (source,
+    * gram-hash) membership rows; the accumulated set is re-distinct'd
+    * at readout (set union IS the merge) and the same pairing/count
+    * code path runs over it. State is bounded by
+    * |sources| · |gram vocabulary| — it stops growing once every
+    * source has shown its vocabulary, no matter how much more corpus
+    * streams past. */
+  def streamSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      col("source"), col("text"))
+    val staging = stageThirds(
+      "graft_stream_srcov_stage_" + Integer.toHexString(dir.hashCode),
+      d, "doc_id")
+    val store = s"${scratchDir("graft_stream_srcov", dir)}/membership"
+
+    runBatches(s, d.schema, staging) { batch =>
+      SubstringQueries.sourceGramRel(batch)
+        .write.mode("append").parquet(store)
+    }
+
+    SubstringQueries.overlapFrom(s.read.parquet(store).distinct())
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("stream_substring", streamSubstring _,
-      Some(SubstringQueries.dedupSubstringSql)))
+    Seq(
+      ("stream_substring", streamSubstring _,
+        Some(SubstringQueries.dedupSubstringSql)),
+      ("stream_source_overlap", streamSourceOverlap _,
+        Some(SubstringQueries.sourceOverlapMatrixSql)))
 }

@@ -268,11 +268,20 @@ object SubstringQueries {
     * fans out C(k,2) pairs per gram shared by k sources — bounded by
     * C(|sources|, 2) per gram, a constant multiplier, never doc-grain.
     * Per-source totals are a |sources|-row broadcast. */
-  def sourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
-    val ss = docs(s, dir).select(col("source"),
+  def sourceOverlapMatrix(s: SparkSession, dir: String): DataFrame =
+    overlapFrom(sourceGramRel(docs(s, dir)))
+
+  /** Distinct (source, gram-hash) membership — the streaming twin's
+    * state ([[StreamingSubstringQueries.streamSourceOverlap]]):
+    * set-union mergeable (distinct of an append union), and bounded by
+    * |sources| · |gram vocabulary| regardless of corpus volume. */
+  private[operators] def sourceGramRel(d: DataFrame): DataFrame =
+    d.select(col("source"),
       explode(graft.functions.ShingleOps
         .ngram_hashes(split(col("text"), " "), 3)).as("h"))
       .distinct()
+
+  private[operators] def overlapFrom(ss: DataFrame): DataFrame = {
     val cnt = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = ss.as("a")
       .join(ss.as("b"),

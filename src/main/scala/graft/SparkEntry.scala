@@ -35,7 +35,8 @@ object SparkEntry {
       graft.operators.QualityModelQueries.all ++
       graft.operators.StreamingSubstringQueries.all ++
       graft.operators.StreamingDriftQueries.all ++
-      graft.operators.TrainingIoQueries.all
+      graft.operators.TrainingIoQueries.all ++
+      graft.operators.CurationQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

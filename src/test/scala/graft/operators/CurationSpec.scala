@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts for the curation-sampling / LM-training operators
+  * (cross-engine value agreement is the DuckDB oracle's job). */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("curation-spec")
+    .getOrCreate()
+
+  private def docsDir(rows: Seq[(Long, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation_spec").toString
+    graft.core.TempDirs.cleanOnExit(java.nio.file.Paths.get(dir))
+    rows.toDF("doc_id", "text", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("weighted_sample: cap, keep-all under n, weight bias, stream twin") {
+    // src_a: 30 docs weight 1 except doc 7 with weight 10^9; src_b: 5 docs
+    val rows =
+      (0L until 30L).map(i => (i, "t", "src_a",
+        if (i == 7L) 1000000000L else 1L)) ++
+      (100L until 105L).map(i => (i, "t", "src_b", 50L))
+    val dir = docsDir(rows)
+    val out = CurationQueries.weightedSample(spark, dir).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc("src_a").length == 20, "cap at n=20")
+    assert(bySrc("src_b").length == 5, "under-n source keeps all")
+    // the 10^9-weight doc's priority dominates any weight-1 draw
+    // (w/u >= 10^9 vs < 2^60/1... bounded by hash realization — the
+    // fixture is deterministic, so this asserts the realized sample)
+    assert(bySrc("src_a").exists(_.getLong(2) == 7L),
+      "heavy doc sampled")
+    // rank 1..n dense per source
+    assert(bySrc("src_b").map(_.getLong(1)).sorted.sameElements(1L to 5L))
+    // streaming twin: identical relation (heap remnants are mergeable)
+    val streamed = CurationQueries.streamWeightedSample(spark, dir).collect()
+    assert(streamed.map(_.toString).sorted
+      .sameElements(out.map(_.toString).sorted), "stream == batch")
+  }
+
+  test("lm_train_bigram: hand-computed smoothing, empties removed") {
+    val rows = Seq(
+      (0L, "a b a b a b a b", "s", 0L), // (a,b)x4 (b,a)x3
+      (1L, "b c b c b c", "s", 0L),     // (b,c)x3 (c,b)x2
+      (2L, "x  y x  y x  y", "s", 0L))  // doubled spaces: (x,y)x3 (y,x)x2
+    val dir = docsDir(rows)
+    val out = CurationQueries.lmTrainBigram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // c12 >= 3 survivors only; V = {a,b,c,x,y} = 5
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("b", "c"), ("x", "y")))
+    // c1: a=4, b=3+3=6, x=3; p = (c12+0.5)/(c1+0.5*5)
+    assert(out(("a", "b")) == ((4L, 4L,
+      BigDecimal(4.5 / 6.5).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    assert(out(("b", "a"))._1 == 3L && out(("b", "a"))._2 == 6L)
+    assert(out(("x", "y")) == ((3L, 3L,
+      BigDecimal(3.5 / 5.5).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)), "empty tokens removed before pairing")
+  }
+
+  test("tokenizer_fertility: hand-computed ratios") {
+    val rows = Seq(
+      (0L, "ab cd", "s1", 0L),  // 2 words, 2 tokens, 5 chars
+      (1L, "a-b c!", "s2", 0L)) // 2 words, 5 tokens (a,-,b,c,!), 6 chars
+    val dir = docsDir(rows)
+    val out = CurationQueries.tokenizerFertility(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("s1") == ((1L, 2L, 2L, 5L, 1.0, 2.5)))
+    assert(out("s2") == ((1L, 2L, 5L, 6L, 2.5, 1.2)))
+  }
+
+  test("emb_decontaminate: same-cell eval flags, eval-free cell is -1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("embdecon_spec")
+      .toString
+    graft.core.TempDirs.cleanOnExit(java.nio.file.Paths.get(dir))
+    // centroids = vec_id < 16 present: 0..3 on the axes. Evals (%20==0):
+    // 0=[10,0] and 20=[9,1] (cell 0). Corpus: 21=[8,0.5] lands in cell 0
+    // next to both evals; 25=[0,9] lands in cell 1 where no eval lives.
+    Seq(
+      (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),
+      (2L, Array(-10f, 0f)), (3L, Array(0f, -10f)),
+      (25L, Array(0f, 9f)), (20L, Array(9f, 1f)), (21L, Array(8f, 0.5f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = CurationQueries.embDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // corpus rows only (evals and centroids-as-corpus both appear;
+    // evals 0 and 20 do NOT)
+    assert(out.keySet == Set(1L, 2L, 3L, 21L, 25L))
+    val (cell21, nEval21, cos21, flag21) = out(21L)
+    assert(cell21 == 0L && nEval21 == 2L && cos21 > 0.99 && flag21 == 1L,
+      s"contaminated near-eval doc: ${out(21L)}")
+    val (cell25, nEval25, cos25, flag25) = out(25L)
+    assert(cell25 == 1L && nEval25 == 0L && cos25 == -1.0 && flag25 == 0L,
+      s"eval-free cell: ${out(25L)}")
+    assert(out(2L)._4 == 0L && out(3L)._4 == 0L, "far cells clean")
+  }
+}

@@ -51,7 +51,9 @@ import graft.core.Tables
   * bigram-grain map-side-combined aggregate, a reuse of that relation at
   * (w1) grain, and a scalar vocab broadcast; tokenizer_fertility is a
   * per-row map then one |sources|-row aggregate; emb_decontaminate
-  * shuffles on cell id only, like semdedup.
+  * quantizes each side once, broadcasts the benchmark-sized eval side,
+  * and pays one corpus-grain aggregate exchange — nothing shuffles on
+  * the K-value cell key.
   */
 object CurationQueries {
 
@@ -149,10 +151,14 @@ object CurationQueries {
       .select(col("b.a1").as("w1"), col("b.a2").as("w2"))
     val c12 = bi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // c1 = Σ_w2 c12 via a window over the vocab²-bounded c12 table —
+    // NOT a second corpus-grain aggregate: the heavy bigram scan runs
+    // once; everything after it is model-sized
+    val withC1 = c12.withColumn("c1",
+      sum(col("c12")).over(Window.partitionBy(col("w1"))))
     val nv = base.select(explode(col("ws")).as("w"))
       .agg(countDistinct(col("w")).as("nv"))
-    c12.join(c1, Seq("w1")).crossJoin(broadcast(nv))
+    withC1.crossJoin(broadcast(nv))
       .filter(col("c12") >= 3)
       .select(col("w1"), col("w2"),
         col("c12").cast("long").as("c12"),
@@ -247,7 +253,11 @@ object CurationQueries {
     val cents = v.filter(col("vec_id") < KCells)
       .select(col("vec_id").as("cell"), col("v").as("ce"),
         dot(col("v"), col("v")).as("csq"))
-    val assign = v.crossJoin(broadcast(cents))
+    // assignment applied PER SIDE after the eval/corpus split (membership
+    // is a pure function of vec_id), so each embedding is quantized
+    // exactly once — not a shared assign relation whose subtree the
+    // planner would re-derive per consumer
+    def assign(in: DataFrame): DataFrame = in.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("ce")) +
           col("csq"))
@@ -255,17 +265,18 @@ object CurationQueries {
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
-    val evals = assign.filter(col("vec_id") % 20 === 0)
+    val evals = assign(v.filter(col("vec_id") % 20 === 0))
       .select(col("cell"), col("v").as("ve"), col("nrm").as("nrme"))
-    val corpus = assign.filter(col("vec_id") % 20 =!= 0)
-    val sims = corpus.join(evals, Seq("cell"))
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_eval_cell"),
+    val corpus = assign(v.filter(col("vec_id") % 20 =!= 0))
+    // ONE corpus pass: broadcast the (benchmark-sized) eval side and
+    // left-outer so eval-free cells survive with a null eval column —
+    // count/max then ignore nulls. No corpus-grain self-join, and no
+    // sort-merge join on the 16-value cell key (a skew bomb by design).
+    corpus.join(broadcast(evals), Seq("cell"), "left_outer")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(count(col("ve")).as("n_eval_cell"),
         max(dot(col("v"), col("ve")) / (col("nrm") * col("nrme"))).as("mc"))
-    corpus.select(col("vec_id"), col("cell"))
-      .join(sims, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("n_eval_cell"), lit(0L)).as("n_eval_cell"),
+      .select(col("vec_id"), col("cell"), col("n_eval_cell"),
         round(coalesce(col("mc"), lit(-1.0)), 6).as("max_eval_cos"),
         when(coalesce(col("mc"), lit(-1.0)) >= TauCont, lit(1L))
           .otherwise(lit(0L)).as("contaminated"))

@@ -133,41 +133,150 @@ object CurationQueries {
 
   // ---------------------------------------------- bigram LM training
 
-  /** Bigram conditional-probability table with add-½ smoothing over the
-    * whitespace token stream (empty tokens from doubled spaces removed
-    * BEFORE pairing, so adjacency is over real words). c1 is derived
-    * from the bigram relation itself (Σ_w2 c12), so the table is
-    * internally consistent by construction; V is the distinct-token
-    * vocabulary. Output bounded to c12 ≥ 3 (the model rows a consumer
-    * would keep; the aggregate underneath is over everything). */
-  def lmTrainBigram(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"),
+  /** (doc_id, ws) — the whitespace token arrays with empty tokens from
+    * doubled spaces removed BEFORE any pairing, so adjacency is over
+    * real words. */
+  private[operators] def wordArrays(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+
+  /** (doc_id, w1, w2) — each document's adjacent-word pairs. */
+  private[operators] def bigramRel(base: DataFrame): DataFrame = {
     val n1 = greatest(size(col("ws")) - 1, lit(0))
-    val bi = base
+    base
       .withColumn("a1", slice(col("ws"), lit(1), n1))
       .withColumn("a2", slice(col("ws"), lit(2), n1))
-      .select(explode(arrays_zip(col("a1"), col("a2"))).as("b"))
-      .select(col("b.a1").as("w1"), col("b.a2").as("w2"))
-    val c12 = bi.groupBy(col("w1"), col("w2"))
+      .select(col("doc_id"), explode(arrays_zip(col("a1"), col("a2"))).as("b"))
+      .select(col("doc_id"), col("b.a1").as("w1"), col("b.a2").as("w2"))
+  }
+
+  /** (w1, w2, c12) — the algebraic bigram counters: partials from
+    * independent batches merge by plain sums, which is what the
+    * streaming twin appends. */
+  private[operators] def bigramCounts(base: DataFrame): DataFrame =
+    bigramRel(base).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
-    // c1 = Σ_w2 c12 via a window over the vocab²-bounded c12 table —
-    // NOT a second corpus-grain aggregate: the heavy bigram scan runs
-    // once; everything after it is model-sized
-    val withC1 = c12.withColumn("c1",
+
+  /** The model table: c1 = Σ_w2 c12 via a window over the
+    * vocab²-bounded counter table — NOT a second corpus-grain
+    * aggregate: the heavy bigram scan runs once; everything after it is
+    * model-sized. */
+  private[operators] def lmModel(c12: DataFrame): DataFrame =
+    c12.withColumn("c1",
       sum(col("c12")).over(Window.partitionBy(col("w1"))))
-    val nv = base.select(explode(col("ws")).as("w"))
-      .agg(countDistinct(col("w")).as("nv"))
-    withC1.crossJoin(broadcast(nv))
+
+  private val smoothedP: Column =
+    (col("c12").cast("double") + lit(0.5)) /
+      (col("c1").cast("double") + lit(0.5) * col("nv").cast("double"))
+
+  /** Threshold + smoothing readout shared by the batch query and the
+    * streaming twin (`vocab` arrives with duplicates allowed — the
+    * distinct is in here). */
+  private[operators] def lmReadout(c12: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val nv = vocab.agg(countDistinct(col("w")).as("nv"))
+    lmModel(c12).crossJoin(broadcast(nv))
       .filter(col("c12") >= 3)
       .select(col("w1"), col("w2"),
         col("c12").cast("long").as("c12"),
         col("c1").cast("long").as("c1"),
-        round((col("c12").cast("double") + lit(0.5)) /
-          (col("c1").cast("double") + lit(0.5) * col("nv").cast("double")),
-          6).as("p"))
+        round(smoothedP, 6).as("p"))
       .orderBy(col("w1"), col("w2"))
   }
+
+  /** Bigram conditional-probability table with add-½ smoothing,
+    * P(w2|w1) = (c12 + 0.5) / (c1 + 0.5·V). c1 is derived from the
+    * bigram relation itself (Σ_w2 c12), so the table is internally
+    * consistent by construction; V is the distinct-token vocabulary.
+    * Output bounded to c12 ≥ 3 (the model rows a consumer would keep;
+    * the aggregate underneath is over everything). */
+  def lmTrainBigram(s: SparkSession, dir: String): DataFrame = {
+    val base = wordArrays(docs(s, dir))
+    lmReadout(bigramCounts(base), base.select(explode(col("ws")).as("w")))
+  }
+
+  /** Incremental LM training — two mergeable state relations: the
+    * (w1, w2) counters (partials sum) and the per-batch DISTINCT word
+    * membership (set union IS the merge, state bounded at vocab size).
+    * The readout merges both and replays the batch smoothing path;
+    * hash-oracled against literally the batch SQL. */
+  def streamLmBigram(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val staging = stageThirds(
+      "graft_stream_lm_stage_" + Integer.toHexString(dir.hashCode), d,
+      "doc_id")
+    val counts = s"${scratchDir("graft_stream_lm", dir)}/counts"
+    val vocab = s"${scratchDir("graft_stream_lm_vocab", dir)}/words"
+
+    runBatches(s, d.schema, staging) { batch =>
+      val base = wordArrays(batch)
+      bigramCounts(base).write.mode("append").parquet(counts)
+      base.select(explode(col("ws")).as("w")).distinct()
+        .write.mode("append").parquet(vocab)
+    }
+
+    val merged = s.read.parquet(counts)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+    lmReadout(merged, s.read.parquet(vocab))
+  }
+
+  /** Self-scoring perplexity — the CCNet-style LM quality signal with
+    * the model trained in the same plan: each document's mean bigram
+    * negative log-likelihood under the add-½ model, and its
+    * perplexity 2^nll. Single-word documents have no bigrams and are
+    * out of scope by construction. The corpus-grain bigram relation
+    * joins the model at (w1, w2); every corpus bigram is in the model
+    * (trained on the same text), so the join is inner and lossless.
+    * The per-doc Σ log2 follows the text_entropy float-sum posture
+    * (round-6 outputs, driftaudit guarding boundaries). */
+  def lmBigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val base = wordArrays(docs(s, dir))
+    val bi = bigramRel(base)
+    val model = lmModel(bigramCounts(base))
+    val nv = base.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("nv"))
+    val nll = -log2(smoothedP)
+    // broadcast the MODEL side explicitly: both sides derive from the
+    // same scan, so Catalyst's size estimate is free to pick the
+    // corpus-grain side (it did — BuildLeft on `bi`), which inverts at
+    // scale. The model is bounded by realized bigram TYPES; at
+    // web-scale type counts past executor memory, drop the hint for a
+    // shuffle join on (w1, w2) — same semantics.
+    bi.join(broadcast(model), Seq("w1", "w2")).crossJoin(broadcast(nv))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nll).as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snll") / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"),
+        round(pow(lit(2.0), col("snll") / col("n_bigrams").cast("double")),
+          6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBigramPerplexitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+      |    unnest(ws[2:len(ws)]) AS w2
+      |  FROM d WHERE len(ws) >= 2),
+      |c AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      |m AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1
+      |      FROM c),
+      |v AS (SELECT count(DISTINCT w) AS nv
+      |      FROM (SELECT unnest(ws) AS w FROM d)),
+      |sc AS (
+      |  SELECT b.doc_id,
+      |    -log2((CAST(m.c12 AS DOUBLE) + 0.5)
+      |      / (CAST(m.c1 AS DOUBLE) + 0.5 * CAST(nv AS DOUBLE))) AS nll
+      |  FROM b JOIN m USING (w1, w2) CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(sum(nll) / count(*), 6) AS avg_nll,
+      |  round(pow(2.0, sum(nll) / count(*)), 6) AS ppl
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val lmTrainBigramSql: String =
     """WITH d AS (
@@ -321,6 +430,9 @@ object CurationQueries {
       ("stream_weighted_sample", streamWeightedSample _,
         Some(weightedSampleSql)),
       ("lm_train_bigram", lmTrainBigram _, Some(lmTrainBigramSql)),
+      ("stream_lm_bigram", streamLmBigram _, Some(lmTrainBigramSql)),
+      ("lm_bigram_perplexity", lmBigramPerplexity _,
+        Some(lmBigramPerplexitySql)),
       ("tokenizer_fertility", tokenizerFertility _,
         Some(tokenizerFertilitySql)),
       ("emb_decontaminate", embDecontaminate _, Some(embDecontaminateSql)))

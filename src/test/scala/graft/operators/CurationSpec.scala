@@ -68,6 +68,29 @@ class CurationSpec extends AnyFunSuite {
         .toDouble)), "empty tokens removed before pairing")
   }
 
+  test("lm_bigram_perplexity: hand-derived nll; stream twin == batch") {
+    val dir = docsDir(Seq((0L, "a b a b", "s", 0L)))
+    val out = CurationQueries.lmBigramPerplexity(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 3L, "3 bigrams")
+    // V=2; c(a,b)=2,c1(a)=2 -> p=2.5/3; c(b,a)=1,c1(b)=1 -> p=1.5/2
+    val nll = -(2.0 * math.log(2.5 / 3.0) + math.log(1.5 / 2.0)) /
+      math.log(2.0) / 3.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == r6(nll), s"avg_nll ${r.getDouble(2)} vs $nll")
+    assert(r.getDouble(3) == r6(math.pow(2.0, nll)), "ppl = 2^nll")
+
+    // incremental training: counter-sum + vocab set-union merge is exact
+    val multi = docsDir((0L until 9L).map(i =>
+      (i, s"a b c a b w$i", "s", 0L)))
+    val batch = CurationQueries.lmTrainBigram(spark, multi).collect()
+    val streamed = CurationQueries.streamLmBigram(spark, multi).collect()
+    assert(streamed.map(_.toString).sorted
+      .sameElements(batch.map(_.toString).sorted), "stream == batch")
+  }
+
   test("tokenizer_fertility: hand-computed ratios") {
     val rows = Seq(
       (0L, "ab cd", "s1", 0L),  // 2 words, 2 tokens, 5 chars

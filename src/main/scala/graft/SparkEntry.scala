@@ -36,7 +36,9 @@ object SparkEntry {
       graft.operators.StreamingSubstringQueries.all ++
       graft.operators.StreamingDriftQueries.all ++
       graft.operators.TrainingIoQueries.all ++
-      graft.operators.CurationQueries.all
+      graft.operators.CurationQueries.all ++
+      graft.operators.DsirQueries.all ++
+      graft.operators.PrivacyQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

@@ -104,6 +104,10 @@ ROUNDED_COLS = {
     "corpus_mix_temperature": {"realized_frac"},
     "emb_project_rp": {"p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7"},
     "emb_dim_stats": {"mean", "sd"},
+    "dsir_select": {"dsir_score"},
+    "ccnet_quality_buckets": {"avg_fam", "avg_ppl", "min_fam", "max_fam"},
+    "vocab_zipf_fit": {"slope", "intercept", "r2"},
+    "corpus_report_card": {"dup_frac", "avg_quality", "avg_entropy"},
 }
 
 

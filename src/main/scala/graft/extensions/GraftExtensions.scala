@@ -15,21 +15,27 @@ import graft.functions.{DotProduct, NgramHashes, SortedLongJaccard, StringArrayI
   * or `.withExtensions`).
   *
   * This is the (c)-tier of the custom-operator ladder (SURVEY §7.3):
-  * injected scalar functions plus THREE optimizer rules
+  * injected scalar functions plus FIVE optimizer rules
   * ([[graft.plans.LevenshteinPrefilter]] — the edit-distance length
-  * lower bound as an automatic codegen short-circuit —
+  * lower bound as an automatic codegen short-circuit;
   * [[graft.plans.IntersectSizeRewrite]] — the stock
   * `size(array_intersect)` spelling rewritten to the allocation-free
-  * native count — and [[graft.plans.DistinctGateRewrite]] — a
+  * native count; [[graft.plans.DistinctGateRewrite]] — a
   * `HAVING count(DISTINCT k) >= 2` pair gate rewritten to the
-  * single-exchange algebraic `min != max` form); everything else is
-  * expressible with stock Catalyst plans.
+  * single-exchange algebraic `min != max` form;
+  * [[graft.plans.ExplodeCountRewrite]] — the explode-then-count word
+  * count spelling rewritten to `sum(size(arr))` with the Generate
+  * eliminated; and [[graft.plans.RowNumberTopKRewrite]] — the
+  * `row_number() <= k` spelling planned as the TopKPerGroup heap
+  * operator) and a planner strategy; everything else is expressible
+  * with stock Catalyst plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
     ext.injectOptimizerRule(_ => graft.plans.DistinctGateRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ExplodeCountRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectFunction((

@@ -127,8 +127,10 @@ object StressFixture {
     replicate("customer", Map("c_custkey" -> 1000000L))
   }
 
-  private case class Ev(event_id: Long, ts_us: Long, user_id: Long,
-      event_type: String, value: Double, props: String)
+  // a tuple, not a nested private case class: Janino rejects the
+  // private accessor in the generated serializer (Doc/Emb survive via
+  // mapPartitions' different codegen path; Ev goes through .map)
+  private type Ev = (Long, Long, Long, String, Double, String)
 
   /** `genev <outDir> [mult]`: a mult× events fixture with the sf0.1
     * character (1500·mult users, 100k·mult events, the same 30-day
@@ -148,13 +150,13 @@ object StressFixture {
     spark.range(nEvents).as[Long].map { id =>
       val r = new scala.util.Random(
         id * 6364136223846793005L + 1442695040888963407L)
-      Ev(id,
+      (id,
         startUs + ((r.nextLong() >>> 1) % spanUs),
         (r.nextLong() >>> 1) % nUsers,
         types(r.nextInt(types.length)),
         math.rint(r.nextDouble() * 20000.0) / 100.0,
-        s"""{"k": ${r.nextInt(100)}}""")
-    }.toDF()
+        s"""{"k": ${r.nextInt(100)}}"""): Ev
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .write.mode(SaveMode.Overwrite)

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: a `COUNT(*)` aggregate whose ONLY use of an exploded
+  * array is counting its rows is rewritten to `SUM(size(arr))` over the
+  * un-exploded child — the Generate disappears.
+  *
+  * The canonical victim is the stock word-count spelling:
+  * {{{
+  *   SELECT doc_id, count(*) FROM docs
+  *   LATERAL VIEW explode(split(text, ' ')) t AS w GROUP BY doc_id
+  *   -- or: df.select($"doc_id", explode(...)).groupBy("doc_id").count()
+  * }}}
+  * which plans as Aggregate over Generate: every array ELEMENT becomes
+  * a row that exists only to be counted — materialized, hashed into the
+  * partial aggregate, and discarded. `size(arr)` delivers the same
+  * number as ONE per-row expression: the rewrite turns |tokens| rows of
+  * aggregate input into |docs|, with the same exchange (the grouping
+  * keys are untouched). The engine's own queries hand-write `size(...)`
+  * for this (`text_tokens`); the rule gives users of the explode
+  * spelling the same plan automatically.
+  *
+  * Equivalence argument (exact, including degenerate rows):
+  *   - explode emits one row per array element (null ELEMENTS included),
+  *     and emits NOTHING for empty or NULL arrays, so per base row the
+  *     exploded row count is exactly `coalesce(size(arr), 0)` (size is
+  *     built with `legacySizeOfNull = false`, so size(NULL) = NULL → 0).
+  *   - Grouped: a group appears in the original iff it has ≥ 1 exploded
+  *     row iff Σ coalesce(size) > 0 — a `HAVING n > 0` Filter ABOVE the
+  *     aggregate removes exactly the groups the original never emitted
+  *     (per-group cost, |groups| rows). All rewritten count columns in
+  *     one aggregate carry the same Σ, so filtering on the first is
+  *     enough.
+  *   - Global (no GROUP BY): the original emits one row even when zero
+  *     rows explode (count = 0); `sum` over empty input is NULL, so each
+  *     rewritten sum is wrapped in `coalesce(sum, 0)` instead — no
+  *     filter.
+  *   - Sum over non-negative sizes cast to long ≡ Count's long result.
+  *
+  * Plan shape (measured, not assumed): `coalesce(size(arr), 0)` is
+  * computed ONCE in a Project and the aggregate sums the resulting int
+  * attribute; rows above the Project are (keys, int) — the array drops
+  * at the project boundary. Two rejected alternatives, both measured on
+  * a 4k-element-array fixture and a 6.5M-token corpus:
+  * `Filter(size(arr) > 0)` BELOW the aggregate with `sum(size(arr))`
+  * inside it evaluates the array expression twice and carries the whole
+  * array as aggregate input; projecting the size but keeping the
+  * pre-aggregate filter still duplicates the array expression, because
+  * `PushDownPredicates` substitutes the alias back into the pushed
+  * condition (for a `split()` input that doubles the dominant cost).
+  * The HAVING-shaped filter is the form nothing pushes back down.
+  *
+  * Guards (all vetoes leave the plan untouched):
+  *   - generator must be `Explode` of an ArrayType, not outer (outer
+  *     emits a null row for empty/null arrays — count semantics differ),
+  *     not posexplode / inline / map-typed (extra output columns).
+  *   - at least one `count(<non-null literal>)` present, and every
+  *     aggregate expression is either a reference to grouping
+  *     attributes or such a count — no DISTINCT, no FILTER clause, no
+  *     other aggregate function (a `max(x)` would be
+  *     duplicate-insensitive but a `sum(x)` would not; rather than
+  *     whitelist, require the count-only shape).
+  *   - nothing in the aggregate references the generator's output, and
+  *     the array expression is deterministic.
+  *   - an intervening Project (column pruning's doing) is inlined only
+  *     when its expressions are deterministic and free of the
+  *     generator's output.
+  */
+object ExplodeCountRewrite extends Rule[LogicalPlan] {
+
+  private def isCountLit(e: NamedExpression): Boolean = e match {
+    case Alias(AggregateExpression(
+        Count(Seq(Literal(v, _))), Complete, false, None, _), _) => v != null
+    case _ => false
+  }
+
+  private def countOnlyAggs(aggs: Seq[NamedExpression],
+      groupRefs: AttributeSet): Boolean =
+    aggs.exists(isCountLit) && aggs.forall {
+      case a: Attribute => groupRefs.contains(a)
+      case a if isCountLit(a) => true
+      case Alias(child, _) if child.collectFirst {
+          case _: AggregateExpression => () }.isEmpty =>
+        child.references.subsetOf(groupRefs) && child.deterministic
+      case _ => false
+    }
+
+  /** Replace every count(literal) with sum(szRef); wrap in
+    * coalesce(·, 0) when the aggregate is global (empty-input sum is
+    * NULL where count is 0). */
+  private def rewriteAggs(aggs: Seq[NamedExpression], szRef: Expression,
+      global: Boolean): Seq[NamedExpression] =
+    aggs.map {
+      case a if isCountLit(a) =>
+        val al = a.asInstanceOf[Alias]
+        val sum = Sum(szRef).toAggregateExpression()
+        val value = if (global) Coalesce(Seq(sum, Literal(0L))) else sum
+        Alias(value, al.name)(exprId = al.exprId, qualifier = al.qualifier)
+      case other => other
+    }
+
+  private object ArrayExplode {
+    /** Accepts a non-outer Generate of Explode over an ARRAY whose
+      * output is unreferenced above; yields (arr, child). */
+    def unapply(g: Generate): Option[(Expression, LogicalPlan)] = g match {
+      case Generate(Explode(arr), _, false, _, _, child)
+          if arr.dataType.isInstanceOf[ArrayType] && arr.deterministic =>
+        Some((arr, child))
+      case _ => None
+    }
+  }
+
+  /** Project coalesce(size(arr), 0) once; aggregate over the long
+    * attribute; HAVING-filter empty groups (grouped) or coalesce the
+    * sums (global). `extra` are Project expressions to preserve (the
+    * intervening-Project case). */
+  private def rebuild(agg: Aggregate, arr: Expression, child: LogicalPlan,
+      extra: Option[Seq[NamedExpression]]): LogicalPlan = {
+    val szAlias = Alias(
+      Cast(Coalesce(Seq(Size(arr, legacySizeOfNull = false), Literal(0))),
+        LongType), "_graft_explode_sz")()
+    val szRef = szAlias.toAttribute
+    val sized = Project(
+      extra.getOrElse(child.output.map(a => a)) :+ szAlias, child)
+    val global = agg.groupingExpressions.isEmpty
+    val newAggs = rewriteAggs(agg.aggregateExpressions, szRef, global)
+    val newAgg = agg.copy(aggregateExpressions = newAggs, child = sized)
+    if (global) newAgg
+    else {
+      val firstCount = agg.aggregateExpressions.zipWithIndex
+        .collectFirst { case (a, i) if isCountLit(a) => newAggs(i) }.get
+      Filter(GreaterThan(firstCount.toAttribute, Literal(0L)), newAgg)
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(gk, aggs, g @ ArrayExplode(arr, child), _)
+        if gk.forall(_.deterministic) &&
+          AttributeSet(gk.flatMap(_.references) ++
+            aggs.flatMap(_.references))
+            .intersect(AttributeSet(g.generatorOutput)).isEmpty &&
+          countOnlyAggs(aggs, AttributeSet(child.output)) =>
+      rebuild(agg, arr, child, None)
+
+    case agg @ Aggregate(gk, aggs,
+          p @ Project(pl, g @ ArrayExplode(arr, child)), _)
+        if pl.forall(e => e.deterministic &&
+          e.references.intersect(AttributeSet(g.generatorOutput)).isEmpty) &&
+          gk.forall(_.deterministic) &&
+          AttributeSet(gk.flatMap(_.references) ++
+            aggs.flatMap(_.references))
+            .intersect(AttributeSet(g.generatorOutput)).isEmpty &&
+          countOnlyAggs(aggs, AttributeSet(p.output)) =>
+      // keep the Project's expressions (renames/pruning) next to the
+      // size computation so the aggregate sees the names it references
+      rebuild(agg, arr, child, Some(pl))
+  }
+}

@@ -38,7 +38,8 @@ object SparkEntry {
       graft.operators.TrainingIoQueries.all ++
       graft.operators.CurationQueries.all ++
       graft.operators.DsirQueries.all ++
-      graft.operators.PrivacyQueries.all
+      graft.operators.PrivacyQueries.all ++
+      graft.operators.RangeJoinQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

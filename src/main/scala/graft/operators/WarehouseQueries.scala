@@ -70,7 +70,14 @@ object WarehouseQueries {
     * The batch twin of the streaming `session_window` query — same
     * semantics, stated as lag + a running sum of break flags, which is
     * how an event warehouse backfills sessions over history. */
-  def eventSessionize(s: SparkSession, dir: String): DataFrame = {
+  def eventSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionSpans(s, dir).orderBy(col("user_id"), col("session_seq"))
+
+  /** The unordered session relation behind `event_sessionize` — shared
+    * with [[RangeJoinQueries]] so the gaps-and-islands rule cannot drift
+    * between the sessionizer and the joins that consume its intervals. */
+  private[operators] def sessionSpans(s: SparkSession, dir: String)
+      : DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val upTo = byUser.rowsBetween(Window.unboundedPreceding,
@@ -90,7 +97,6 @@ object WarehouseQueries {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 6).as("sum_value"))
-      .orderBy(col("user_id"), col("session_seq"))
   }
 
   val eventSessionizeSql: String =

@@ -73,6 +73,38 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got(15L) == Seq.empty)
   }
 
+  test("interval overlap: binned equals naive on the fixture") {
+    val binned = RangeJoinQueries.intervalOverlapJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = RangeJoinQueries.intervalOverlapNaive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(binned.nonEmpty)
+    assert(binned.sameElements(naive))
+  }
+
+  test("interval overlap: a pair sharing many bins is emitted exactly once") {
+    import spark.implicits._
+    val W = 3600L * 1000000L
+    // a and b overlap across 4 shared bins; c overlaps neither
+    val spans = Seq(
+      (1L, 0L, 4 * W - 1L),
+      (2L, W / 2, 3 * W),
+      (3L, 10 * W, 11 * W)).toDF("user_id", "lo", "hi")
+    val binned = spans
+      .withColumn("lobin", expr(s"lo div $W"))
+      .withColumn("bin", explode(sequence(col("lobin"), expr(s"hi div $W"))))
+    val got = binned.alias("a").join(binned.alias("b"),
+        col("a.bin") === col("b.bin") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi") &&
+          col("a.bin") === greatest(col("a.lobin"), col("b.lobin")))
+      .select(col("a.user_id"), col("b.user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // without the greatest(lobin) dedup this would be 4 rows, one per
+    // shared bin
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
   test("binned plans a hash join; naive plans a nested loop") {
     val binnedPlan = RangeJoinQueries.rangeJoinBinned(spark, dir)
       .queryExecution.executedPlan.toString

@@ -800,9 +800,33 @@ object MwasPipelineQueries {
         col("metadata_value"))
   }
 
+  /** S4 through the DataSource V2 path ([[graft.sources.MwasPickleSource]])
+    * — the `spark.read.format("mwaspkl")` surface over the same
+    * reference-written fixture corpus as `pickle_migrate`. No DuckDB
+    * oracle (pickles); gates are MwasPickleSourceSpec's cross-path
+    * identity, file-pruning, and decode-skipping tests. The query itself
+    * exercises the pushdown: the IN predicate prunes the listing to two
+    * files before a byte of the others is read. */
+  def pickleDsQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Seq(
+      new java.io.File("src/test/resources/mwaspkl"),
+      new java.io.File("/root/repo/src/test/resources/mwaspkl"))
+      .find(_.isDirectory)
+      .getOrElse(throw new IllegalStateException(
+        "mwaspkl fixture corpus not found (run from the repo root)"))
+    s.read.format("mwaspkl").load(corpus.getAbsolutePath)
+      .filter(col("bioproject").isin("PRJTEST1", "PRJEDGE"))
+      .select(col("bioproject"), col("attributes"), col("values"),
+        // string, not ARRAY: the driver's pandas compare can't sort arrays
+        array_join(col("index_list"), "; ").as("index_list"),
+        col("include"), col("n_biosamples").cast("long").as("n_biosamples"))
+      .orderBy(col("bioproject"), col("attributes"), col("values"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("pickle_migrate", pickleMigrateQuery _, None),
+      ("pickle_ds_scan", pickleDsQuery _, None),
       ("mwas_corpus_stats", corpusStatsQuery _, Some(corpusStatsSql)),
       ("stream_mwas", streamMwasQuery _, Some(pipelineTSql)),
       ("mwas_condense", condenseQuery _, Some(condenseSql)),

@@ -39,7 +39,8 @@ object SparkEntry {
       graft.operators.CurationQueries.all ++
       graft.operators.DsirQueries.all ++
       graft.operators.PrivacyQueries.all ++
-      graft.operators.RangeJoinQueries.all
+      graft.operators.RangeJoinQueries.all ++
+      graft.operators.StreamingRangeJoinQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

@@ -105,6 +105,14 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("streaming twin replays the batch result exactly") {
+    val batch = RangeJoinQueries.rangeJoinBinned(spark, dir).collect()
+      .map(_.toString)
+    val stream = StreamingRangeJoinQueries.streamRangeJoin(spark, dir)
+      .collect().map(_.toString)
+    assert(stream.sameElements(batch))
+  }
+
   test("binned plans a hash join; naive plans a nested loop") {
     val binnedPlan = RangeJoinQueries.rangeJoinBinned(spark, dir)
       .queryExecution.executedPlan.toString

@@ -27,9 +27,16 @@ import graft.core.Events
   * concurrency, vs the naive arm's unconditional |P|·|I|. The knobs and
   * their levers: bin width trades replication against candidate
   * density (set it near the median interval span); a hot bin (flash
-  * crowd) is a salting candidate exactly like any skewed equi-join key,
-  * and AQE's skew-join split applies because this IS an equi-join after
-  * the rewrite. Measured (tools.RangeJoinAb, local[32], order-balanced
+  * crowd) is a skewed equi-join key, and the lever hierarchy was
+  * MEASURED, not assumed (tools.RangeSkewAb: 1M events with HALF inside
+  * one hour, broadcast disabled to force the shuffle-join regime):
+  * explicit 16-way salting (points keep one salt, intervals replicate)
+  * runs the hot-key join in 13.2 s stable, while AQE's skew-join split
+  * did NOT rescue it — 139 s median with 67–163 s spread, no better
+  * than skew-split-off (77 s median). When one KEY carries half of both
+  * sides, partition-splitting is not enough; salt first, keep AQE for
+  * the partition-level imbalance it is built for. Throughput measured
+  * (tools.RangeJoinAb, local[32], order-balanced
   * medians, full-output noop consumption): sf0.1 events (100k) naive
   * 16.91 s / binned 2.37 s = 7.1×; 10× (1M events, 950k intervals)
   * naive 526 s first rep → DNF at the 300 s cap / binned 4.75 s

@@ -76,15 +76,21 @@ object RetrievalQueries {
     * own row-sum (dl = Σ_w tf), so the scoring pipeline needs NO second
     * pass over raw text — which is exactly what lets the streaming twin
     * score from its accumulated index without re-reading history. */
+  /** The deterministic 3-term query shared by every ranking in this
+    * file: words ranked 11–13 by document frequency (ties on word). One
+    * definition so BM25 and the fusion rankings can never drift onto
+    * different queries. */
+  private[operators] def queryTerms(df: DataFrame): DataFrame =
+    df.orderBy(col("df").desc, col("w")).limit(13)
+      .orderBy(col("df"), col("w")).limit(3) // ranks 11–13
+
   private[operators] def bm25From(tf: DataFrame): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val scalars = dlen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val qterms = df
-      .orderBy(col("df").desc, col("w")).limit(13)
-      .orderBy(col("df"), col("w")).limit(3) // ranks 11–13
+    val qterms = queryTerms(df)
     val scored = tf
       .join(broadcast(qterms), Seq("w"))
       .join(dlen, Seq("doc_id"))
@@ -128,8 +134,114 @@ object RetrievalQueries {
       |FROM contrib GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Hybrid-retrieval rank fusion (RRF, Cormack et al. SIGIR'09): the
+    * same 3-term query ranked two ways — BM25 and summed TF-IDF (the
+    * [[TextQueries.textTfidf]] score aggregated over the query's terms) —
+    * then fused by reciprocal rank, rrf = Σ_r 1/(60 + rank_r), the
+    * standard sparse+second-signal hybrid a RAG stack runs. Ranks are
+    * assigned over (round-6 score DESC, doc_id) so rank assignment is
+    * deterministic cross-engine; the RRF sum is two correctly-rounded
+    * divisions of small-integer operands added once — bit-identical by
+    * IEEE, no accumulation-order hazard. Docs outside a ranking's top 20
+    * contribute 0 from that ranking (the standard cut-off form).
+    *
+    * Scale shape: both rankings derive from the ONE (word, doc) postings
+    * aggregation (localCheckpoint'd — two consumers); per-ranking work is
+    * bounded by the query's matching postings; the fusion join is top-20
+    * × top-20. */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tfRel(Tables(s, dir, "documents")).localCheckpoint()
+    val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qterms = queryTerms(dfRel)
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val scalars = dlen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val (k1, b) = (1.2, 0.75)
+
+    val bm25 = tf.join(broadcast(qterms), Seq("w"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score_bm25"))
+
+    val tfidf = tf.join(broadcast(qterms), Seq("w"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("contrib",
+        (col("tf") * col("n_docs")).cast("double") /
+          (col("dl") * col("df")))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score_tfidf"))
+
+    def ranked(d: DataFrame, score: String, rank: String): DataFrame =
+      d.withColumn(rank, row_number().over(
+          Window.orderBy(col(score).desc, col("doc_id"))).cast("long"))
+        .filter(col(rank) <= 20)
+
+    ranked(bm25, "score_bm25", "rank_bm25")
+      .join(ranked(tfidf, "score_tfidf", "rank_tfidf"), Seq("doc_id"),
+        "full_outer")
+      .withColumn("rrf",
+        round(coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val rankFusionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf0 AS (SELECT w, doc_id, count(*) AS tf FROM t
+      |        WHERE len(w) > 0 GROUP BY 1, 2),
+      |dlen AS (SELECT doc_id, sum(tf) AS dl FROM tf0 GROUP BY 1),
+      |sc AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+      |dfr AS (SELECT w, count(*) AS df FROM tf0 GROUP BY 1),
+      |q AS (SELECT w, df FROM (
+      |        SELECT w, df FROM dfr ORDER BY df DESC, w LIMIT 13)
+      |      ORDER BY df, w LIMIT 3),
+      |bm AS (
+      |  SELECT tf0.doc_id, round(sum(
+      |    ln((sc.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+      |    (tf0.tf * (1.2 + 1.0)) /
+      |    (tf0.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / sc.avgdl))), 6)
+      |    AS score_bm25
+      |  FROM tf0 JOIN q ON tf0.w = q.w
+      |  JOIN dlen ON tf0.doc_id = dlen.doc_id CROSS JOIN sc
+      |  GROUP BY tf0.doc_id),
+      |ti AS (
+      |  SELECT tf0.doc_id, round(sum(
+      |    CAST(tf0.tf * sc.n_docs AS DOUBLE) / (dlen.dl * q.df)), 6)
+      |    AS score_tfidf
+      |  FROM tf0 JOIN q ON tf0.w = q.w
+      |  JOIN dlen ON tf0.doc_id = dlen.doc_id CROSS JOIN sc
+      |  GROUP BY tf0.doc_id),
+      |rb AS (SELECT doc_id, CAST(row_number() OVER
+      |         (ORDER BY score_bm25 DESC, doc_id) AS BIGINT) AS rank_bm25
+      |       FROM bm QUALIFY rank_bm25 <= 20),
+      |rt AS (SELECT doc_id, CAST(row_number() OVER
+      |         (ORDER BY score_tfidf DESC, doc_id) AS BIGINT) AS rank_tfidf
+      |       FROM ti QUALIFY rank_tfidf <= 20)
+      |SELECT COALESCE(rb.doc_id, rt.doc_id) AS doc_id,
+      |       rb.rank_bm25, rt.rank_tfidf,
+      |       round(COALESCE(1.0 / (60 + rb.rank_bm25), 0.0) +
+      |             COALESCE(1.0 / (60 + rt.rank_tfidf), 0.0), 6) AS rrf
+      |FROM rb FULL OUTER JOIN rt ON rb.doc_id = rt.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("inverted_index", invertedIndex _, Some(invertedIndexSql)),
-      ("bm25_search", bm25Search _, Some(bm25SearchSql)))
+      ("bm25_search", bm25Search _, Some(bm25SearchSql)),
+      ("retrieval_rank_fusion", rankFusion _, Some(rankFusionSql)))
 }

@@ -40,10 +40,16 @@ import graft.core.Events
   * medians, full-output noop consumption): sf0.1 events (100k) naive
   * 16.91 s / binned 2.37 s = 7.1×; 10× (1M events, 950k intervals)
   * naive 526 s first rep → DNF at the 300 s cap / binned 4.75 s
-  * (>110×); 30× (3M events) binned 7.18 s with the naive arm skipped —
-  * unrunnable, ~9× its 10× cost. Binned slope 10×→30× is 1.5× wall per
-  * 3× data; the naive arm's |P|·|I| grows 9× per 3× because BOTH sides
-  * scale.
+  * (>110×); 30× (3M events) binned 7.18 s, naive skipped (unrunnable,
+  * ~9× its 10× cost); 100× (10M events) binned 69.2 s. The decade table
+  * is attributed, not guessed (tools.SumCheck): TRUE qualifying pairs
+  * are 3.17M → 28.3M → 331M across 10×/30×/100× — the genev direction
+  * grows users, so instantaneous concurrency (and with it the answer's
+  * own size) grows ~quadratically — and binned wall tracks that
+  * irreducible Ω(qualifying pairs) term. The naive arm's |P|·|I| at
+  * 100× is 2·10¹³, sixty-thousand-fold the qualifying volume. Bin
+  * width controls only the false-candidate factor (~2–3× at 1 h bins
+  * over sub-30-min sessions).
   *
   * `range_join_binned`: for every error event, the number of user
   * sessions (gaps-and-islands spans from the shared

@@ -44,6 +44,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
                            // force; exact twin q23_permutation_exact is
                            // hash-oracled (r11)
     "pickle_migrate",      // DuckDB cannot read pickle — spec round-trip gate
+    "pickle_ds_scan",      // same corpus via DataSource V2 — cross-path
+                           // identity + pushdown gates in MwasPickleSourceSpec
     "ann_ivf")             // k-means|| fit (Spark-ML internal randomness) —
                            // recall/budget gate (AnnRecallSpec); frozen-
                            // codebook twin ann_ivf_assign is hash-oracled

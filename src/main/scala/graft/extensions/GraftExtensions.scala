@@ -85,5 +85,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"intersect_size takes 2 arguments, got ${args.length}")
         StringArrayIntersectSize(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(
+        classOf[graft.functions.MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          s"misra_gries takes (col, k), got ${args.length} arguments")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"misra_gries(col, k): k must be an INT literal, got $other")
+        }
+        graft.functions.MisraGriesAgg(args(0), k)
+      }))
   }
 }

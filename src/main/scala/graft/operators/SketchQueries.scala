@@ -120,6 +120,40 @@ object SketchQueries {
        |ORDER BY exact_cnt DESC, token""".stripMargin
   }
 
+  /** Heavy hitters through the [[graft.functions.MisraGriesAgg]]
+    * TypedImperativeAggregate — the custom-UDAF rung of the extension
+    * ladder exercised end to end (initialize/update/MERGE/serialize
+    * across real partition boundaries; the input is deliberately left at
+    * token grain, NOT pre-aggregated, so every executor merge path
+    * runs). Per source, k = 64 counters over a ≤ ~31-word vocabulary —
+    * the EXACT regime, where no decrement can fire under any
+    * update/merge order and the estimates equal the true counts, which
+    * is what lets DuckDB's plain GROUP BY be the oracle. The sub-k
+    * approximation regime is merge-order-dependent by construction; its
+    * L1 bounds are gated in MisraGriesSpec instead. */
+  def heavyHittersMg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGries.misraGries
+    Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"))
+      .agg(misraGries(col("w"), 64).as("hh"))
+      .select(col("source"), explode(col("hh")).as("e"))
+      .select(col("source"), col("e.value").as("word"),
+        col("e.cnt").as("cnt"))
+      .orderBy(col("source"), col("word"))
+  }
+
+  val heavyHittersMgSql: String =
+    """SELECT source, w AS word, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |      FROM documents)
+      |WHERE len(w) > 0
+      |GROUP BY source, w
+      |ORDER BY source, word""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("heavy_hitters", heavyHitters _, Some(heavyHittersSql)))
+    Seq(
+      ("heavy_hitters", heavyHitters _, Some(heavyHittersSql)),
+      ("heavy_hitters_mg", heavyHittersMg _, Some(heavyHittersMgSql)))
 }

@@ -309,6 +309,19 @@ object PickleCompat {
       case other => throw new IllegalArgumentException(
         s"expected DataFrame, got $other")
     }
+    // the constructor form REDUCE(DataFrame, ({col: values…},)) — what
+    // [[PickleWrite]] emits (pandas' own dumps use the BlockManager
+    // state form below)
+    if (df.state == null && df.args.size == 1) {
+      df.args.head match {
+        case d: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+          return d.toSeq.map { case (k, v) =>
+            k.toString -> v.asInstanceOf[mutable.ArrayBuffer[Any]].toIndexedSeq
+          }
+        case other => throw new IllegalArgumentException(
+          s"DataFrame constructor arg is $other, expected a dict")
+      }
+    }
     val st = df.state.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
     val mgr = st("_mgr").asInstanceOf[PObj]
     require(mgr.cls.name == "BlockManager",

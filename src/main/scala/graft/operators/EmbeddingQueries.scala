@@ -188,9 +188,161 @@ object EmbeddingQueries {
       |  mn, mx, sd0 < 1e-6 AS dead
       |FROM m ORDER BY pos""".stripMargin
 
+  // --------------------------- E4: deterministic PCA (power iteration)
+
+  /** Top principal component of the embedding cloud by power iteration —
+    * made CROSS-ENGINE DETERMINISTIC by construction, which is the hard
+    * part of distributed PCA as a hash-oracled relation (a float
+    * covariance sum is accumulation-order-dependent; two engines — or
+    * two partitionings — disagree in the last ulps and the iteration
+    * amplifies the disagreement):
+    *
+    *   1. quantize: v = round(x·10⁶) :: int64 (the long-cents house
+    *      rule). Exact from here on.
+    *   2. center without division: c_ij = n·v_ij − S_j (S_j = Σ_i v_ij)
+    *      — exact int64, no rational mean.
+    *   3. covariance numerators C_jk = Σ_i c_ij·c_ik as DECIMAL(38,0) —
+    *      exact integer sums, ANY addend order gives the same value, so
+    *      partitioning cannot matter. One shuffle at (j,k) grain
+    *      (64×64 = 4096 groups); the input is the self-join of the
+    *      (i,j,c) relation on i — Σ|vec|·D² products, the standard
+    *      covariance pass.
+    *   4. scale to cov = round(C/(10¹²·n³)·10⁶, 6)·… — C cast to double
+    *      (correctly rounded, same everywhere), divided by an
+    *      identically-computed double constant, round-6, then cast to
+    *      DECIMAL(12,6) (kept narrow so decimal PRODUCTS stay inside
+    *      precision 38 in BOTH engines — wider operands make Spark
+    *      round each product to scale 6 under allowPrecisionLoss while
+    *      DuckDB does not, and the iteration amplifies the ulps into
+    *      real divergence; caught by the oracle): the true value is a 6-place decimal and the
+    *      double is its nearest representative, so the cast recovers it
+    *      exactly in both engines.
+    *   5. iterate in decimal: y_j = Σ_k cov_jk·w_k is an EXACT decimal
+    *      sum (order-free); the per-round renormalization
+    *      w' = round(y/‖y‖, 6) passes through double sqrt — a
+    *      correctly-rounded IEEE op — and re-quantizes to 6 places.
+    *      8 rounds from the exact start w₀ = 0.125.
+    *
+    * Every stage is either exact or a correctly-rounded scalar op on
+    * identical inputs, so Spark and DuckDB (and any executor count)
+    * produce bit-identical loadings — the generated oracle replays the
+    * same ladder with 8 unrolled CTEs. PcaSpec pins the ladder against
+    * the SAME 8 rounds in float64 (|cos| ≥ 0.999 — quantization error
+    * only) plus spectral-progress gates; determinism is the relation's
+    * job. Convergence honesty: 8 rounds are partial on a flat spectrum
+    * — this fixture's clusterless noise has λ₂/λ₁ ≈ 0.97, so the
+    * 8-round iterate is |cos| ≈ 0.36 from the converged eigenvector
+    * ((λ₂/λ₁)⁸ ≈ 0.78 residual, the power method's own physics). Real
+    * embedding clouds have spectral gaps; where they don't, rounds is
+    * the knob and each round is one broadcast-join + exact-decimal
+    * aggregate over a 4096-row relation — O(1) cost at any corpus
+    * scale, since everything after the covariance pass is
+    * dimension-sized. Output: (dim, loading round-6, eigenvalue
+    * round-6 — the Rayleigh quotient, constant column). */
+  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "embeddings").count() // scalar, model-sized
+    val q = vecs(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j"),
+        round(col("x") * 1e6).cast("long").as("vq"))
+    val sums = q.groupBy(col("j")).agg(sum(col("vq")).as("sj"))
+    val centered = q.join(broadcast(sums), Seq("j"))
+      .select(col("vec_id"), col("j"),
+        (lit(n) * col("vq") - col("sj")).as("c"))
+      .localCheckpoint() // two consumers (both sides of the self-join)
+    val scale = 1e12 * n.toDouble * n.toDouble * n.toDouble
+    val cov = centered.alias("a")
+      .join(centered.alias("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
+      .agg(sum((col("a.c") * col("b.c")).cast("decimal(38,0)")).as("cnum"))
+      .select(col("j"), col("k"),
+        round(col("cnum").cast("double") / lit(scale), 6)
+          .cast("decimal(12,6)").as("cov"))
+      .localCheckpoint() // read once per iteration round
+    var w = s.range(D).select(col("id").as("k"),
+      lit(BigDecimal("0.125000")).cast("decimal(12,6)").as("w"))
+    (1 to 8).foreach { _ =>
+      val y = cov.join(broadcast(w), Seq("k"))
+        .groupBy(col("j"))
+        .agg(sum(col("cov") * col("w")).as("y")) // exact decimal sum
+      // y is tiny (< 1): re-narrow to decimal(14,12) so the SQUARE is
+      // exact too — squaring the wide sum type overflows precision 38
+      // and Spark's allowPrecisionLoss crushes its scale to 6 (y² ~ 4e-6
+      // rounded to one significant digit; caught by the oracle as a 1%
+      // norm error)
+      val norm = y.select(col("y").cast("decimal(14,12)").as("yn"))
+        .agg(sqrt(sum(col("yn") * col("yn")).cast("double")).as("nrm"))
+      w = y.crossJoin(broadcast(norm))
+        .select(col("j").as("k"),
+          round(col("y").cast("double") / col("nrm"), 6)
+            .cast("decimal(12,6)").as("w"))
+    }
+    val eig = cov.join(broadcast(w.withColumnRenamed("w", "wk")), Seq("k"))
+      .join(broadcast(w.select(col("k").as("j"),
+        col("w").as("wj"))), Seq("j"))
+      // sum the exact decimal products, cast once: a double sum over
+      // 4096 terms would be accumulation-order-dependent
+      .agg(sum(col("wj") * col("cov") * col("wk")).cast("double")
+        .as("rayleigh"))
+    w.crossJoin(broadcast(eig))
+      .select(col("k").cast("long").as("dim"),
+        col("w").cast("double").as("loading"),
+        round(col("rayleigh"), 6).as("eigenvalue"))
+      .orderBy(col("dim"))
+  }
+
+  /** Generated oracle: the same quantize→center→decimal ladder with the
+    * 8 power-iteration rounds unrolled as CTEs. The shared CTEs are
+    * `AS MATERIALIZED`: without the hint DuckDB inlines `cov` into every
+    * chained round and the expression tree grows ~2^rounds (measured:
+    * minutes → 0.4 s). */
+  val embPcaPowerSql: String = {
+    val rounds = (1 to 8).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""y$r AS MATERIALIZED (
+         |  SELECT cov.j, sum(cov.cov * $prev.w) AS y
+         |  FROM cov JOIN $prev ON cov.k = $prev.k GROUP BY cov.j),
+         |n$r AS (SELECT sqrt(CAST(sum(yn * yn) AS DOUBLE)) AS nrm FROM
+         |  (SELECT CAST(y AS DECIMAL(14,12)) AS yn FROM y$r)),
+         |w$r AS MATERIALIZED (SELECT y$r.j AS k,
+         |  CAST(round(CAST(y AS DOUBLE) / n$r.nrm, 6) AS DECIMAL(12,6)) AS w
+         |  FROM y$r CROSS JOIN n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+       |           AS j,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+       |           AS vq
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT count(DISTINCT vec_id) AS n FROM q),
+       |sums AS MATERIALIZED (SELECT j, sum(vq) AS sj FROM q GROUP BY j),
+       |centered AS MATERIALIZED (
+       |  SELECT q.vec_id, q.j, nn.n * q.vq - sums.sj AS c
+       |  FROM q JOIN sums ON q.j = sums.j CROSS JOIN nn),
+       |cov AS MATERIALIZED (
+       |  SELECT a.j, b.j AS k,
+       |    CAST(round(CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS DOUBLE) /
+       |      (1e12 * nn.n * nn.n * nn.n), 6) AS DECIMAL(12,6)) AS cov
+       |  FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+       |  CROSS JOIN nn
+       |  GROUP BY a.j, b.j, nn.n),
+       |w0 AS (SELECT j AS k, CAST(0.125000 AS DECIMAL(12,6)) AS w
+       |       FROM (SELECT DISTINCT j FROM sums)),
+       |$rounds,
+       |eig AS (
+       |  SELECT CAST(sum(wj.w * cov.cov * wk.w) AS DOUBLE) AS rayleigh
+       |  FROM cov JOIN w8 wk ON cov.k = wk.k
+       |  JOIN w8 wj ON cov.j = wj.k)
+       |SELECT w8.k AS dim, CAST(w8.w AS DOUBLE) AS loading,
+       |       round(eig.rayleigh, 6) AS eigenvalue
+       |FROM w8 CROSS JOIN eig
+       |ORDER BY dim""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("emb_project_rp", embProjectRp _, Some(embProjectRpSql)),
       ("emb_quantize_int8", embQuantizeInt8 _, Some(embQuantizeInt8Sql)),
-      ("emb_dim_stats", embDimStats _, Some(embDimStatsSql)))
+      ("emb_dim_stats", embDimStats _, Some(embDimStatsSql)),
+      ("emb_pca_power", embPcaPower _, Some(embPcaPowerSql)))
 }

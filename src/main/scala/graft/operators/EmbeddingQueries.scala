@@ -272,10 +272,15 @@ object EmbeddingQueries {
       // norm error)
       val norm = y.select(col("y").cast("decimal(14,12)").as("yn"))
         .agg(sqrt(sum(col("yn") * col("yn")).cast("double")).as("nrm"))
+      // checkpoint the 64-row iterate: y feeds BOTH the norm and the
+      // update, so an unbroken lineage doubles per round (~2^rounds plan
+      // — a 101k-line snapshot and planner-bound wall time; the BPE
+      // per-round-checkpoint precedent)
       w = y.crossJoin(broadcast(norm))
         .select(col("j").as("k"),
           round(col("y").cast("double") / col("nrm"), 6)
             .cast("decimal(12,6)").as("w"))
+        .localCheckpoint()
     }
     val eig = cov.join(broadcast(w.withColumnRenamed("w", "wk")), Seq("k"))
       .join(broadcast(w.select(col("k").as("j"),

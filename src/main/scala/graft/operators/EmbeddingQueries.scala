@@ -254,7 +254,11 @@ object EmbeddingQueries {
     val cov = centered.alias("a")
       .join(centered.alias("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.j").as("j"), col("b.j").as("k"))
-      .agg(sum((col("a.c") * col("b.c")).cast("decimal(38,0)")).as("cnum"))
+      // cast BEFORE the multiply: c ~ n·10⁶·|x| reaches 3·10¹⁰ at 60k
+      // vectors and c·c overflows int64 (ANSI caught it loudly at the
+      // 30× fixture); the decimal×long product is exact at any n — the
+      // oracle's HUGEINT multiply is the same shape
+      .agg(sum(col("a.c").cast("decimal(38,0)") * col("b.c")).as("cnum"))
       .select(col("j"), col("k"),
         round(col("cnum").cast("double") / lit(scale), 6)
           .cast("decimal(12,6)").as("cov"))

@@ -158,19 +158,17 @@ private[sources] class MwasPickleScan(path: String, required: StructType,
       .sortBy(-_._2) // big files first: best-fit-ish greedy packing
     MwasPickleSource.lastPlannedFiles.set(files.map(_._1))
     val target = 128L * 1024 * 1024
-    val parts = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    // first-fit by index (an indexOf on content-comparing tuples would
+    // be O(n²) element-wise compares on a 196k-file tree)
+    val bufs = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[String]]
+    val used = scala.collection.mutable.ArrayBuffer.empty[Long]
     files.foreach { case (p, len) =>
-      parts.find(_._2 + len <= target) match {
-        case Some(slot @ (buf, used)) =>
-          buf += p
-          parts.update(parts.indexOf(slot),
-            (buf, used + len))
-        case None =>
-          parts += ((scala.collection.mutable.ArrayBuffer(p), len))
-      }
+      val i = used.indexWhere(_ + len <= target)
+      if (i >= 0) { bufs(i) += p; used(i) += len }
+      else { bufs += scala.collection.mutable.ArrayBuffer(p); used += len }
     }
-    parts.map(p => MwasPickleFiles(p._1.toSeq): InputPartition).toArray
+    bufs.map(b => MwasPickleFiles(b.toSeq): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

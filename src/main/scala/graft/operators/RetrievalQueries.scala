@@ -149,9 +149,14 @@ object RetrievalQueries {
     * aggregation (localCheckpoint'd — two consumers); per-ranking work is
     * bounded by the query's matching postings; the fusion join is top-20
     * × top-20. */
-  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+  def rankFusion(s: SparkSession, dir: String): DataFrame =
+    rankFusionFrom(tfRel(Tables(s, dir, "documents")))
+
+  /** Fusion from the postings relation alone (no text pass) — which is
+    * what lets the streaming twin fuse over its accumulated index. */
+  private[operators] def rankFusionFrom(tf0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = tfRel(Tables(s, dir, "documents")).localCheckpoint()
+    val tf = tf0.localCheckpoint() // both rankings read it
     val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qterms = queryTerms(dfRel)
     val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

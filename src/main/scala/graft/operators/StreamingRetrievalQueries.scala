@@ -43,10 +43,19 @@ object StreamingRetrievalQueries {
   def streamBm25Search(s: SparkSession, dir: String): DataFrame =
     RetrievalQueries.bm25From(postingsStore(s, dir, "bm25"))
 
+  /** Incremental hybrid retrieval: the RRF fusion readout replays
+    * [[RetrievalQueries.rankFusionFrom]] over the same accumulated
+    * postings state — one more consumer of the one store, nothing new
+    * maintained. */
+  def streamRankFusion(s: SparkSession, dir: String): DataFrame =
+    RetrievalQueries.rankFusionFrom(postingsStore(s, dir, "fusion"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("stream_inverted_index", streamInvertedIndex _,
         Some(RetrievalQueries.invertedIndexSql)),
       ("stream_bm25_search", streamBm25Search _,
-        Some(RetrievalQueries.bm25SearchSql)))
+        Some(RetrievalQueries.bm25SearchSql)),
+      ("stream_rank_fusion", streamRankFusion _,
+        Some(RetrievalQueries.rankFusionSql)))
 }

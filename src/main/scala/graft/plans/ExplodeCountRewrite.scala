@@ -7,23 +7,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Optimizer rule: a `COUNT(*)` aggregate whose ONLY use of an exploded
-  * array is counting its rows is rewritten to `SUM(size(arr))` over the
-  * un-exploded child — the Generate disappears.
+  * ARRAY COLUMN is counting its rows is rewritten to `SUM(size(arr))`
+  * over the un-exploded child — the Generate disappears.
   *
-  * The canonical victim is the stock word-count spelling:
+  * The victim is the stock elements-per-row count over a materialized
+  * array column:
   * {{{
-  *   SELECT doc_id, count(*) FROM docs
-  *   LATERAL VIEW explode(split(text, ' ')) t AS w GROUP BY doc_id
-  *   -- or: df.select($"doc_id", explode(...)).groupBy("doc_id").count()
+  *   SELECT id, count(*) FROM t
+  *   LATERAL VIEW explode(arr) x AS e GROUP BY id
+  *   -- or: df.select($"id", explode($"arr")).groupBy("id").count()
   * }}}
   * which plans as Aggregate over Generate: every array ELEMENT becomes
   * a row that exists only to be counted — materialized, hashed into the
   * partial aggregate, and discarded. `size(arr)` delivers the same
-  * number as ONE per-row expression: the rewrite turns |tokens| rows of
-  * aggregate input into |docs|, with the same exchange (the grouping
-  * keys are untouched). The engine's own queries hand-write `size(...)`
-  * for this (`text_tokens`); the rule gives users of the explode
-  * spelling the same plan automatically.
+  * number as ONE per-row header read: the rewrite turns |elements| rows
+  * of aggregate input into |rows|, with the same exchange (the grouping
+  * keys are untouched). Measured 1.75× on a 4k-element-array fixture
+  * (tools.ExplodeCountAb, order-balanced). COMPUTED arrays
+  * (`explode(split(text))`) are deliberately out of scope — see the
+  * matcher's scope note.
   *
   * Equivalence argument (exact, including degenerate rows):
   *   - explode emits one row per array element (null ELEMENTS included),
@@ -105,11 +107,23 @@ object ExplodeCountRewrite extends Rule[LogicalPlan] {
     }
 
   private object ArrayExplode {
-    /** Accepts a non-outer Generate of Explode over an ARRAY whose
-      * output is unreferenced above; yields (arr, child). */
+    /** Accepts a non-outer Generate of Explode over an ARRAY COLUMN
+      * whose output is unreferenced above; yields (arr, child).
+      *
+      * Attribute-only on purpose — a measured scope decision, not a
+      * limitation: for a pre-materialized array column, `size(arr)`
+      * reads the array header and is never worse (1.75× on the wide
+      * fixture). For a COMPUTED array (`explode(split(text, ' '))`) the
+      * rewrite re-evaluates the computation in a branch the local match
+      * cannot see past: standalone word counts won ~1.2×, but the
+      * engine's real gram-counting pipelines (dedup_jaccard_pairs,
+      * dedup_containment, bloom_decontaminate — tools.ExplodeRuleAb,
+      * order-balanced) paid +5–8% because the same text feeds sibling
+      * branches. Computed arrays are therefore left to the explode
+      * plan the author wrote. */
     def unapply(g: Generate): Option[(Expression, LogicalPlan)] = g match {
-      case Generate(Explode(arr), _, false, _, _, child)
-          if arr.dataType.isInstanceOf[ArrayType] && arr.deterministic =>
+      case Generate(Explode(arr: Attribute), _, false, _, _, child)
+          if arr.dataType.isInstanceOf[ArrayType] =>
         Some((arr, child))
       case _ => None
     }
@@ -138,7 +152,16 @@ object ExplodeCountRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Session kill-switch (the standard rule hygiene — also what lets
+    * tools.ExplodeRuleAb measure the rule against the SAME session with
+    * every other extension installed). */
+  val EnabledKey = "spark.graft.explodeCountRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else applyRewrite(plan)
+
+  private def applyRewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(gk, aggs, g @ ArrayExplode(arr, child), _)
         if gk.forall(_.deterministic) &&
           AttributeSet(gk.flatMap(_.references) ++

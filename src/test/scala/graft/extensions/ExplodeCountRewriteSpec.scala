@@ -131,17 +131,26 @@ class ExplodeCountRewriteSpec extends AnyFunSuite {
       "rewrite fired on count(DISTINCT)")
   }
 
-  test("registry word-count shape gets the rewritten plan end to end") {
+  test("computed arrays are a scope veto; the kill-switch disables the rule") {
     fixture(spark)
-    // the canonical victim: tokens-per-doc over a split
     import spark.implicits._
+    // explode(split(...)) — a COMPUTED array — stays on the explode plan
+    // (measured scope decision: the rewrite re-evaluates the computation
+    // in a branch shared pipelines pay for; see the rule's scope note)
     val docs = Seq((1L, "a b c"), (2L, ""), (3L, "x y")).toDF("d", "text")
     val counted = docs
       .select(col("d"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("d")).agg(count(lit(1)).as("n"))
-    assert(!counted.queryExecution.optimizedPlan.toString.contains("Generate"))
-    // split("") yields [""] (one element), so d=2 counts 1
+    assert(counted.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "rewrite fired on a computed array")
     assert(counted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 3L), (2L, 1L), (3L, 2L)))
+    // the session kill-switch turns the attribute case off too
+    spark.conf.set(graft.plans.ExplodeCountRewrite.EnabledKey, "false")
+    try {
+      val off = spark.sql(lateral).queryExecution.optimizedPlan.toString
+      assert(off.contains("Generate"), "kill-switch ignored")
+    } finally spark.conf.set(
+      graft.plans.ExplodeCountRewrite.EnabledKey, "true")
   }
 }

@@ -239,7 +239,10 @@ object EmbeddingQueries {
     * scale, since everything after the covariance pass is
     * dimension-sized. Output: (dim, loading round-6, eigenvalue
     * round-6 — the Rayleigh quotient, constant column). */
-  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+  /** The fit: centered relation, covariance, converged 8-round iterate,
+    * and n — shared by the loadings query and the projection. */
+  private def pcaFit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val n = Tables(s, dir, "embeddings").count() // scalar, model-sized
     val q = vecs(s, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
@@ -286,6 +289,11 @@ object EmbeddingQueries {
             .cast("decimal(12,6)").as("w"))
         .localCheckpoint()
     }
+    (centered, cov, w, n)
+  }
+
+  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val (_, cov, w, _) = pcaFit(s, dir)
     val eig = cov.join(broadcast(w.withColumnRenamed("w", "wk")), Seq("k"))
       .join(broadcast(w.select(col("k").as("j"),
         col("w").as("wj"))), Seq("j"))
@@ -300,12 +308,32 @@ object EmbeddingQueries {
       .orderBy(col("dim"))
   }
 
+  /** PCA transform — per-vector score on the fitted component,
+    * CENTERED: score_i = Σ_j (x_ij − mean_j)·w_j, evaluated as the
+    * exact-decimal Σ c_ij·w_j / (10⁶·n) (c is the division-free
+    * centered int64 from the fit; the product decimal(20,0)×(12,6) is
+    * exact in both engines, the one double division + round-6 is
+    * correctly rounded). Same determinism posture as the fit; the
+    * projection join is (vec, dim)-grain against the broadcast 64-row
+    * component — a map-side pass at any corpus size. */
+  def embPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (centered, _, w, n) = pcaFit(s, dir)
+    centered
+      .join(broadcast(w.select(col("k").as("j"), col("w"))), Seq("j"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("c").cast("decimal(20,0)") * col("w")).as("sraw"))
+      .select(col("vec_id"),
+        round(col("sraw").cast("double") / (lit(1e6) * lit(n.toDouble)), 6)
+          .as("score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Generated oracle: the same quantize→center→decimal ladder with the
     * 8 power-iteration rounds unrolled as CTEs. The shared CTEs are
     * `AS MATERIALIZED`: without the hint DuckDB inlines `cov` into every
     * chained round and the expression tree grows ~2^rounds (measured:
     * minutes → 0.4 s). */
-  val embPcaPowerSql: String = {
+  private val pcaLadderSql: String = {
     val rounds = (1 to 8).map { r =>
       val prev = if (r == 1) "w0" else s"w${r - 1}"
       s"""y$r AS MATERIALIZED (
@@ -337,7 +365,11 @@ object EmbeddingQueries {
        |  GROUP BY a.j, b.j, nn.n),
        |w0 AS (SELECT j AS k, CAST(0.125000 AS DECIMAL(12,6)) AS w
        |       FROM (SELECT DISTINCT j FROM sums)),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val embPcaPowerSql: String =
+    s"""$pcaLadderSql,
        |eig AS (
        |  SELECT CAST(sum(wj.w * cov.cov * wk.w) AS DOUBLE) AS rayleigh
        |  FROM cov JOIN w8 wk ON cov.k = wk.k
@@ -346,12 +378,22 @@ object EmbeddingQueries {
        |       round(eig.rayleigh, 6) AS eigenvalue
        |FROM w8 CROSS JOIN eig
        |ORDER BY dim""".stripMargin
-  }
+
+  val embPcaProjectSql: String =
+    s"""$pcaLadderSql,
+       |proj AS (
+       |  SELECT c.vec_id, sum(CAST(c.c AS DECIMAL(20,0)) * w8.w) AS sraw
+       |  FROM centered c JOIN w8 ON c.j = w8.k GROUP BY c.vec_id)
+       |SELECT vec_id,
+       |       round(CAST(sraw AS DOUBLE) / (1e6 * nn.n), 6) AS score
+       |FROM proj CROSS JOIN nn
+       |ORDER BY vec_id""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("emb_project_rp", embProjectRp _, Some(embProjectRpSql)),
       ("emb_quantize_int8", embQuantizeInt8 _, Some(embQuantizeInt8Sql)),
       ("emb_dim_stats", embDimStats _, Some(embDimStatsSql)),
-      ("emb_pca_power", embPcaPower _, Some(embPcaPowerSql)))
+      ("emb_pca_power", embPcaPower _, Some(embPcaPowerSql)),
+      ("emb_pca_project", embPcaProject _, Some(embPcaProjectSql)))
 }

@@ -67,5 +67,25 @@ class PcaSpec extends AnyFunSuite {
     // the loadings are (near-)unit-norm — a broken renormalization fails
     val nrm = math.sqrt(loadings.map(x => x * x).sum)
     assert(math.abs(nrm - 1.0) < 0.001, s"norm drifted: $nrm")
+
+    // projection: score_i == (x_i - mean)·w within quantization slack
+    val scores = EmbeddingQueries.embPcaProject(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == rows.length)
+    // collect (id, vector) TOGETHER — two separate collects have no
+    // ordering contract to align on
+    val byId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    var worst = 0.0
+    byId.foreach { case (id, v) =>
+      val expect = (0 until d).map(j => (v(j) - mean(j)) * loadings(j)).sum
+      worst = math.max(worst, math.abs(scores(id) - expect))
+    }
+    // coord quantization is 5e-7/coord, 64 coords + round-6 output
+    assert(worst < 1e-4, s"projection off by $worst")
+    // scores are centered: their mean is ~0
+    val sMean = scores.values.sum / scores.size
+    assert(math.abs(sMean) < 1e-4, s"projection not centered: $sMean")
   }
 }

@@ -21,6 +21,21 @@ import graft.mwas.{MwasConfig, Pipeline}
   */
 object MwasPipelineQueries {
 
+  /** The committed reference-written `.mwaspkl` fixture corpus, resolved
+    * without a machine-specific absolute path (r12 advisor): a
+    * `graft.mwaspkl.dir` system property wins; otherwise the repo-relative
+    * location against the JVM's working directory (the driver and sbt both
+    * run from the repo root). */
+  private[operators] def fixtureCorpus: String = {
+    val candidate = sys.props.get("graft.mwaspkl.dir")
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File("src/test/resources/mwaspkl"))
+    require(candidate.isDirectory,
+      s"mwaspkl fixture corpus not found at ${candidate.getAbsolutePath} " +
+        "(run from the repo root or set -Dgraft.mwaspkl.dir=<dir>)")
+    candidate.getAbsolutePath
+  }
+
   private[operators] def catalog(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders").select(
       concat(lit("R"), col("o_orderkey")).as("run"),
@@ -635,14 +650,7 @@ object MwasPipelineQueries {
     * the identical data. `dir` is unused: the corpus is a fixed fixture
     * tree, not scale-factor data. */
   def pickleMigrateQuery(s: SparkSession, dir: String): DataFrame = {
-    // resolve the fixture corpus independent of the driver's cwd
-    val corpus = Seq(
-      new java.io.File("src/test/resources/mwaspkl"),
-      new java.io.File("/root/repo/src/test/resources/mwaspkl"))
-      .find(_.isDirectory)
-      .getOrElse(throw new IllegalStateException(
-        "mwaspkl fixture corpus not found (run from the repo root)"))
-    graft.sources.PickleCompat.condensedSets(s, corpus.getAbsolutePath)
+    graft.sources.PickleCompat.condensedSets(s, fixtureCorpus)
       .select(col("bioproject"), col("attributes"), col("values"),
         array_join(col("members"), "; ").as("members"),
         col("n_stored").cast("long").as("n_stored"), col("include"),
@@ -808,13 +816,7 @@ object MwasPipelineQueries {
     * exercises the pushdown: the IN predicate prunes the listing to two
     * files before a byte of the others is read. */
   def pickleDsQuery(s: SparkSession, dir: String): DataFrame = {
-    val corpus = Seq(
-      new java.io.File("src/test/resources/mwaspkl"),
-      new java.io.File("/root/repo/src/test/resources/mwaspkl"))
-      .find(_.isDirectory)
-      .getOrElse(throw new IllegalStateException(
-        "mwaspkl fixture corpus not found (run from the repo root)"))
-    s.read.format("mwaspkl").load(corpus.getAbsolutePath)
+    s.read.format("mwaspkl").load(fixtureCorpus)
       .filter(col("bioproject").isin("PRJTEST1", "PRJEDGE"))
       .select(col("bioproject"), col("attributes"), col("values"),
         // string, not ARRAY: the driver's pandas compare can't sort arrays

@@ -5,8 +5,8 @@ import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -16,6 +16,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, St
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 for the reference's `.mwaspkl` tree — the engine's
   * (c)-tier SOURCE rung (expressions, optimizer rules, and a planner
@@ -35,13 +36,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     filename IS the column), so pushed filters need no re-evaluation.
   *     On the reference's ~196k-file tree a one-project query opens 1
   *     file instead of 196k.
-  *   - **Column pruning into the DECODER.** A projection inside
-  *     {bioproject, status} never runs the pickle VM at all: bioproject
-  *     is the filename and status is determined by the 1-byte-sentinel
-  *     length test, so a corpus status census reads 196k × ~1 byte
-  *     instead of decoding every DataFrame block (the 66k-row PRJWIDE
-  *     fixture decodes in the full path, not the pruned one — spec-gated
-  *     via [[MwasPickleSource.decodeCount]]).
+  *   - **Column pruning into the DECODER — cardinality-preserving.**
+  *     Pruning must never change the relation's row count, so the
+  *     decode-skip is limited to where the row count is knowable without
+  *     the pickle VM: sentinel files (length ≤ 1 byte) are exactly one
+  *     row by construction, and a meta-only projection reads their one
+  *     byte instead of decoding. Ok-files always decode — their row
+  *     count IS the number of condensed sets inside the pickle, and a
+  *     shortcut that guessed "one row" made `df.count()` and
+  *     status-census aggregates projection-dependent (the round-12
+  *     advisor catch; the invariance is now spec-gated:
+  *     `select("bioproject").count() == full-projection count`). What
+  *     pruning still buys for ok-files is skipping the string/array
+  *     MATERIALIZATION into rows, not the decode itself.
   *   - **Size-balanced task packing.** Files pack greedily into
   *     partitions by byte size (128 MiB target, every file its own cap),
   *     the many-small-files shape binaryFile handles with
@@ -147,8 +154,16 @@ private[sources] class MwasPickleScan(path: String, required: StructType,
       case _ => true
     }
 
+  /** Session Hadoop conf (spark.hadoop.* — object-store credentials,
+    * defaultFS) captured ONCE on the driver; shipped to readers via
+    * [[SerializableConfiguration]]. A bare `new Configuration()` here
+    * silently dropped those settings, so the source only worked on
+    * filesystems reachable with defaults (round-12 advisor catch). */
+  private val hadoopConf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(hadoopConf.value)
     val files = fs.listStatus(new Path(path)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".mwaspkl"))
       .map(st => (st.getPath.toString, st.getLen))
@@ -172,25 +187,28 @@ private[sources] class MwasPickleScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MwasPickleReaderFactory(required.fieldNames)
+    new MwasPickleReaderFactory(required.fieldNames, hadoopConf)
 }
 
 private[sources] case class MwasPickleFiles(files: Seq[String])
     extends InputPartition
 
-private[sources] class MwasPickleReaderFactory(fields: Array[String])
-    extends PartitionReaderFactory {
+private[sources] class MwasPickleReaderFactory(fields: Array[String],
+    hadoopConf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new MwasPickleReader(
-      partition.asInstanceOf[MwasPickleFiles].files, fields)
+      partition.asInstanceOf[MwasPickleFiles].files, fields, hadoopConf)
 }
 
 /** Streams the partition's files one at a time; per file, emits one row
   * per decoded set (or one null-set row for sentinels / zero-set files).
-  * The pickle VM runs only when a requested column needs it. */
+  * The pickle VM is skipped ONLY where the per-file row count is knowable
+  * without it (1-byte sentinel files under a meta-only projection) —
+  * column pruning never changes the relation's cardinality. */
 private[sources] class MwasPickleReader(files: Seq[String],
-    fields: Array[String]) extends PartitionReader[InternalRow] {
+    fields: Array[String], hadoopConf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
 
   private val metaOnly =
     fields.forall(MwasPickleSource.MetaOnly.contains)
@@ -214,37 +232,55 @@ private[sources] class MwasPickleReader(files: Seq[String],
       case "n_biosamples" => nBio
     })
 
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      len: Long): Array[Byte] = {
+    // len.toInt on a >2 GiB file silently truncated the buffer; the
+    // reference's artifacts are small, but fail loudly rather than
+    // corrupt (round-12 advisor catch).
+    require(len <= Int.MaxValue,
+      s"mwaspkl file $p is $len bytes — larger than the 2 GiB single-" +
+        "buffer decode limit; this is not a valid reference artifact")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
   private def rowsFor(file: String): Iterator[InternalRow] = {
     val p = new Path(file)
     val bioproject = p.getName.stripSuffix(".mwaspkl")
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     val len = fs.getFileStatus(p).getLen
-    if (metaOnly) {
-      // status from the sentinel-length test alone — no decode
+    if (len == 0)
+      throw new IllegalArgumentException(
+        s"corrupt/empty mwaspkl file (0 bytes): $p — the reference " +
+          "writes either a 1-byte sentinel or a pickled DataFrame")
+    if (metaOnly && len == 1) {
+      // sentinel: exactly one row by construction — the only place the
+      // pickle VM may be skipped without guessing the row count
+      val in = fs.open(p)
+      val b = try in.read() finally in.close()
       val status =
-        if (len > 1) "ok"
-        else {
-          val in = fs.open(p)
-          val b = try in.read() finally in.close()
-          if (b == '0') "empty" else if (b == '1') "blacklisted"
-          else throw new IllegalArgumentException(
-            s"unknown 1-byte sentinel '$b' in $bioproject")
-        }
+        if (b == '0') "empty" else if (b == '1') "blacklisted"
+        else throw new IllegalArgumentException(
+          s"unknown 1-byte sentinel '$b' in $bioproject")
       Iterator.single(project(bioproject, status, null, null, null, null,
         null))
     } else {
-      val in = fs.open(p)
-      val bytes = try {
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
+      val bytes = readAll(fs, p, len)
       if (bytes.length > 1) MwasPickleSource.decodeCount.incrementAndGet()
       val pk = PickleCompat.parse(bioproject, bytes)
       val nBio: java.lang.Integer = pk.biosamples.size
       if (pk.attributes.isEmpty)
         Iterator.single(project(bioproject, pk.status, null, null, null,
           null, if (pk.status == "ok") nBio else null))
+      else if (metaOnly)
+        // decode fixed the row count; pruning still skips materializing
+        // the set strings/arrays into rows
+        Iterator.fill(pk.attributes.size)(
+          project(bioproject, pk.status, null, null, null, null, null))
       else
         pk.attributes.indices.iterator.map { i =>
           project(bioproject, pk.status, pk.attributes(i), pk.values(i),

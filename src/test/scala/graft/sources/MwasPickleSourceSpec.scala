@@ -75,20 +75,57 @@ class MwasPickleSourceSpec extends AnyFunSuite {
       s"scan description missing:\n$plan")
   }
 
-  test("a meta-only projection never runs the pickle VM") {
+  test("column pruning never changes cardinality (r12 advisor catch)") {
+    // The old meta-only shortcut emitted ONE row per ok-file while the
+    // full projection emits one row per set — df.count() depended on the
+    // projected columns. These three counts must be identical.
+    val full = v2.select(col("bioproject"), col("status"),
+      col("attributes"), col("values"), col("index_list"), col("include"),
+      col("n_biosamples")).count()
+    assert(v2.count() == full, "count() disagrees with full projection")
+    assert(v2.select(col("bioproject")).count() == full,
+      "single-column projection disagrees with full projection")
+    // and per-group counts agree too (the status-census aggregate)
+    val metaCensus = v2.groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullCensus = v2.select(col("status"), col("attributes"))
+      .groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(metaCensus == fullCensus)
+  }
+
+  test("meta-only projection skips the VM for sentinels only") {
     MwasPickleSource.decodeCount.set(0)
     val statuses = v2.select(col("bioproject"), col("status"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(MwasPickleSource.decodeCount.get() == 0,
-      "pickle VM ran under a bioproject/status-only projection")
+    val okFiles = new java.io.File(fixtures).listFiles()
+      .count(f => f.getName.endsWith(".mwaspkl") && f.length() > 1)
+    assert(MwasPickleSource.decodeCount.get() == okFiles,
+      "ok-files must decode (their row count IS the set count); " +
+        "sentinels must not")
     assert(statuses("PRJEMPTY") == "empty")
     assert(statuses("PRJBLACK") == "blacklisted")
     assert(statuses("PRJWIDE") == "ok")
 
     MwasPickleSource.decodeCount.set(0)
     v2.select(col("bioproject"), col("attributes")).collect()
-    assert(MwasPickleSource.decodeCount.get() > 0,
+    assert(MwasPickleSource.decodeCount.get() == okFiles,
       "expected full decodes once a set column is requested")
+  }
+
+  test("a zero-byte file fails loudly, naming the path") {
+    val dir = java.nio.file.Files.createTempDirectory("mwaspkl-empty")
+    val bad = dir.resolve("PRJZERO.mwaspkl")
+    java.nio.file.Files.write(bad, Array.empty[Byte])
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("mwaspkl").load(dir.toString)
+        .select(col("bioproject"), col("status")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("PRJZERO") && c.getMessage.contains("0 bytes")))
+    java.nio.file.Files.delete(bad); java.nio.file.Files.delete(dir)
   }
 
   test("unsupported predicates stay as residual filters and still apply") {

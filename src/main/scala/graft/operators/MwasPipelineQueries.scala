@@ -643,18 +643,35 @@ object MwasPipelineQueries {
        |FROM (${condenseArraySql.replace("ORDER BY bioproject, attributes, \"values\"", "")}) sets
        |ORDER BY bioproject, attributes, "values", ordinal""".stripMargin
 
+  /** The committed pandas-exported parquet mirror of the fixture corpus
+    * (`tools/picklemirror.py`): DuckDB cannot read Python pickles, but it
+    * CAN read what REAL pandas — the reference's own loader — decoded
+    * them to. Reading the mirror makes the pickle queries driver
+    * hash-compared instead of rows-only: the Scala pickle VM's decode is
+    * checked cell-for-cell against the independent pandas decode at
+    * driver time. Regenerated only when the fixture corpus changes. */
+  private[operators] def mirrorDir: java.io.File = {
+    val d = new java.io.File(new java.io.File(fixtureCorpus).getParentFile,
+      "mwaspkl_mirror")
+    require(d.isDirectory,
+      s"mwaspkl mirror not found at $d (run tools/picklemirror.py)")
+    d
+  }
+
   /** S4 — the pickle-corpus migration surface (graft.sources.PickleCompat)
-    * over the committed reference-written fixtures. No DuckDB oracle
-    * (DuckDB cannot read Python pickles); the correctness gate is
-    * PickleCompatSpec's round trip against MetadataCondenser.condense on
-    * the identical data. `dir` is unused: the corpus is a fixed fixture
-    * tree, not scale-factor data. */
+    * over the committed reference-written fixtures. Oracled against the
+    * pandas-exported mirror (see [[mirrorDir]]) — the decode itself is
+    * hash-compared cross-engine. `set_id` is projected out for the
+    * compare exactly as `mwas_condense` does (xxhash64 is not
+    * cross-engine); it stays covered by PickleCompatSpec's round trip.
+    * `dir` is unused: the corpus is a fixed fixture tree, not
+    * scale-factor data. */
   def pickleMigrateQuery(s: SparkSession, dir: String): DataFrame = {
     graft.sources.PickleCompat.condensedSets(s, fixtureCorpus)
       .select(col("bioproject"), col("attributes"), col("values"),
         array_join(col("members"), "; ").as("members"),
         col("n_stored").cast("long").as("n_stored"), col("include"),
-        col("n_biosamples").cast("long").as("n_biosamples"), col("set_id"))
+        col("n_biosamples").cast("long").as("n_biosamples"))
       .orderBy(col("bioproject"), col("attributes"), col("values"))
   }
 
@@ -810,11 +827,12 @@ object MwasPipelineQueries {
 
   /** S4 through the DataSource V2 path ([[graft.sources.MwasPickleSource]])
     * — the `spark.read.format("mwaspkl")` surface over the same
-    * reference-written fixture corpus as `pickle_migrate`. No DuckDB
-    * oracle (pickles); gates are MwasPickleSourceSpec's cross-path
-    * identity, file-pruning, and decode-skipping tests. The query itself
-    * exercises the pushdown: the IN predicate prunes the listing to two
-    * files before a byte of the others is read. */
+    * reference-written fixture corpus as `pickle_migrate`. Oracled
+    * against the pandas-exported mirror's flattened `scan.parquet`
+    * grain (see [[mirrorDir]]); MwasPickleSourceSpec additionally gates
+    * file pruning, decode skipping, and cardinality invariance. The
+    * query itself exercises the pushdown: the IN predicate prunes the
+    * listing to two files before a byte of the others is read. */
   def pickleDsQuery(s: SparkSession, dir: String): DataFrame = {
     s.read.format("mwaspkl").load(fixtureCorpus)
       .filter(col("bioproject").isin("PRJTEST1", "PRJEDGE"))
@@ -825,10 +843,30 @@ object MwasPipelineQueries {
       .orderBy(col("bioproject"), col("attributes"), col("values"))
   }
 
+  /** Oracle SQL over the pandas mirror — path resolved at dump time (the
+    * driver's DuckDB process reads the absolute path from
+    * oracle_sql.json, cwd-independent). */
+  def pickleMigrateSql: String = {
+    val p = new java.io.File(mirrorDir, "sets.parquet").getAbsolutePath
+    s"""SELECT bioproject, attributes, "values", members, n_stored,
+       |       include, n_biosamples
+       |FROM read_parquet('$p')
+       |ORDER BY bioproject, attributes, "values"""".stripMargin
+  }
+
+  def pickleDsSql: String = {
+    val p = new java.io.File(mirrorDir, "scan.parquet").getAbsolutePath
+    s"""SELECT bioproject, attributes, "values", index_list, include,
+       |       CAST(n_biosamples AS BIGINT) AS n_biosamples
+       |FROM read_parquet('$p')
+       |WHERE bioproject IN ('PRJTEST1', 'PRJEDGE')
+       |ORDER BY bioproject, attributes, "values"""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
-      ("pickle_migrate", pickleMigrateQuery _, None),
-      ("pickle_ds_scan", pickleDsQuery _, None),
+      ("pickle_migrate", pickleMigrateQuery _, Some(pickleMigrateSql)),
+      ("pickle_ds_scan", pickleDsQuery _, Some(pickleDsSql)),
       ("mwas_corpus_stats", corpusStatsQuery _, Some(corpusStatsSql)),
       ("stream_mwas", streamMwasQuery _, Some(pipelineTSql)),
       ("mwas_condense", condenseQuery _, Some(condenseSql)),

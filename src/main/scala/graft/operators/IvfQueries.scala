@@ -598,9 +598,120 @@ object IvfQueries {
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------- deterministic exact-arithmetic k-means (Lloyd)
+
+  /** The IVF coarse-quantizer FIT itself as a hash-oracled relation —
+    * the round-12 verdict's last retireable no-oracle gap, closed with
+    * the PCA ladder's recipe (EmbeddingQueries.pcaFit): make every stage
+    * either exact integer arithmetic or a correctly-rounded scalar op on
+    * identical inputs, so Spark and DuckDB (and any partitioning)
+    * produce bit-identical centroids and assignments.
+    *
+    *   1. quantize: vq = round(x·10⁶) :: int64 (the house rule — float
+    *      k-means is accumulation-order-dependent; integer k-means is
+    *      not).
+    *   2. init: the K lowest vec_ids' quantized vectors, cell = vec_id —
+    *      re-derivable in SQL, no frozen literals needed.
+    *   3. assign: argmin_j Σ_d (vq_d − c_jd)², ties to the lowest cell
+    *      id. All int64 (|vq| ≤ ~5·10⁵ ⇒ per-dim square ≤ ~1.2·10¹²,
+    *      ×64 dims ≪ 2⁶³).
+    *   4. update: c'_jd = round(Σ vq / n) — the int64 sum and count are
+    *      both < 2⁵³ so their double casts are EXACT, the IEEE division
+    *      is correctly rounded, and round-half-away-from-zero agrees
+    *      between Spark (BigDecimal HALF_UP) and DuckDB (std::round).
+    *      Centroids stay on the integer grid every round.
+    *   5. three Lloyd rounds, then a final assignment against the
+    *      converged centroids. A cell that empties simply drops out —
+    *      deterministically in both engines.
+    *
+    * Scale posture (same as the production `ann_ivf`): the fit runs on a
+    * SAMPLE and the model ships as literals; here the fit IS the query.
+    * Assignment is a broadcast join of the K×D centroid relation at dim
+    * grain — the N·D·K intermediate is the algorithm's own FLOP count,
+    * and map-side partial aggregation collapses it to N·K rows before
+    * the (vec_id, cell) shuffle. Per-round `localCheckpoint` on the
+    * 512-row centroid relation keeps the plan linear in rounds (the
+    * BPE/PCA precedent). The ml-lib `ann_ivf` remains the production
+    * path (k-means|| init beats first-K init on recall); this twin is
+    * the driver-visible proof that the Lloyd iteration itself is
+    * computed correctly. */
+  private val exactK = 8
+  private val exactRounds = 3
+
+  private def exactAssign(q: DataFrame, c: DataFrame): DataFrame =
+    q.join(broadcast(c), Seq("d"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("vq") - col("c")) * (col("vq") - col("c")))
+        .as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        col("m.dist2").as("dist2"))
+
+  def annIvfExactFit(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x") * 1e6).cast("long").as("vq"))
+      .localCheckpoint() // consumed by every round + both assign sides
+    var c = q.filter(col("vec_id") < exactK)
+      .select(col("vec_id").as("cell"), col("d"), col("vq").as("c"))
+    (1 to exactRounds).foreach { _ =>
+      val a = exactAssign(q, c)
+      c = q.join(a.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .groupBy(col("cell"), col("d"))
+        .agg(round(sum(col("vq")).cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .localCheckpoint() // 512-row model; linear plan across rounds
+    }
+    exactAssign(q, c).orderBy(col("vec_id"))
+  }
+
+  /** Generated oracle: the same quantize→init→Lloyd ladder with the
+    * rounds unrolled as materialized CTEs (the PCA oracle's pattern —
+    * without MATERIALIZED DuckDB inlines each round into the next and
+    * the expression tree grows geometrically). */
+  val annIvfExactFitSql: String = {
+    def assignCtes(r: Int, cPrev: String) =
+      s"""d$r AS (
+         |  SELECT q.vec_id, c.cell,
+         |         CAST(sum((q.vq - c.c) * (q.vq - c.c)) AS BIGINT) AS dist2
+         |  FROM q JOIN $cPrev c ON q.d = c.d
+         |  GROUP BY q.vec_id, c.cell),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, cell, dist2 FROM (
+         |    SELECT vec_id, cell, dist2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn FROM d$r)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to exactRounds).map { r =>
+      s"""${assignCtes(r, s"c${r - 1}")},
+         |c$r AS MATERIALIZED (
+         |  SELECT a$r.cell, q.d,
+         |         CAST(round(CAST(sum(q.vq) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS c
+         |  FROM q JOIN a$r ON q.vec_id = a$r.vec_id
+         |  GROUP BY a$r.cell, q.d)""".stripMargin
+    }.mkString(",\n")
+    val fin = exactRounds + 1
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+       |           AS d,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+       |           AS vq
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cell, d, vq AS c FROM q WHERE vec_id < $exactK),
+       |$rounds,
+       |${assignCtes(fin, s"c$exactRounds")}
+       |SELECT vec_id, cell, dist2 FROM a$fin ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("ann_ivf", annIvf _, None),
+      ("ann_ivf_exactfit", annIvfExactFit _, Some(annIvfExactFitSql)),
       ("ann_ivf_assign",
         (s: SparkSession, d: String) => annIvfAssign(s, d),
         Some(annIvfAssignSql)),

@@ -102,9 +102,33 @@ object Bench {
       }
     }
 
+    // Interleaved weather probe (VERDICT r12 item 3): one single-rep run
+    // of an untouched CONTROL query every `controlEvery` queries, spread
+    // across the whole measurement window. A sustained host-contention
+    // window inflates the control exactly as it inflates real queries,
+    // so the control's median vs its own history band is a direct,
+    // in-run measurement of "host weather" — the judge previously had to
+    // reconstruct this from BENCH_HISTORY by hand. q6_outer_join per the
+    // tools.Probe convention: untouched since round 1, sub-second, plan
+    // long since frozen. Skipped for filtered local runs.
+    val controlName = "q6_outer_join"
+    val controlEvery = 20
+    var controlTs = Vector.empty[Double]
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> timeQuery(name, fn) }
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i % controlEvery == 0 && only.isEmpty &&
+            SparkEntry.queries.contains(controlName)) {
+          spark.catalog.clearCache()
+          graft.operators.MwasPipelineQueries.evict()
+          val t0 = System.nanoTime()
+          try run(SparkEntry.queries(controlName))
+          catch { case _: Throwable => }
+          controlTs :+= (System.nanoTime() - t0) / 1e9
+        }
+        name -> timeQuery(name, fn)
+      }
 
     // lower median: with 3 samples the middle one; robust to one stall
     def median(ts: Vector[Double]): Double =
@@ -130,35 +154,37 @@ object Bench {
     // the history (below) AND must not be judged against unprofiled
     // historical bests — an 819200-partition run would trip the 2x
     // criterion on nearly every query and re-measure the whole surface
-    val histBest: Map[String, Double] = if (
-      sys.env.get("SPARK_GRAFT_PROFILE").nonEmpty) Map.empty
+    // same-SF lines only: a local sf0.001 run's medians must never
+    // become the "historical best" a sf0.1 run is compared against
+    val histLines: Vector[String] = if (
+      sys.env.get("SPARK_GRAFT_PROFILE").nonEmpty) Vector.empty
     else try {
       val src = scala.io.Source.fromFile("BENCH_HISTORY.jsonl")
-      // same-SF lines only: a local sf0.001 run's medians must never
-      // become the "historical best" a sf0.1 run is compared against.
-      // Per-line errored names are excluded (ADVICE r9): an errored
-      // query's 0.0 placeholder would otherwise become best=0.0 forever,
-      // force-rerunning it every round
-      try src.getLines().filter(_.contains(s""""sf":"$sfDir"""")).flatMap {
-        line =>
-        // per-LINE tolerance (ADVICE r10): errorNames throws on a
-        // malformed errors array, and letting that escape to the outer
-        // NonFatal catch would discard the ENTIRE history — one bad
-        // legacy line must only lose itself, not disable the
-        // second-chance logic for every query
-        val errored = scala.util.Try(
-          graft.tools.BenchDiff.errorNames(line)).getOrElse(Set.empty[String])
-        val start = line.indexOf("\"queries\":{")
-        val end = line.indexOf("}", start)
-        if (start < 0 || end <= start) Iterator.empty[(String, Double)]
-        else """"([a-z0-9_]+)":([0-9.]+)""".r
-          .findAllMatchIn(line.substring(start + 11, end))
-          .flatMap(m => scala.util.Try(
-            m.group(1) -> m.group(2).toDouble).toOption)
-          .filterNot { case (name, _) => errored.contains(name) }
-      }.toVector.groupMapReduce(_._1)(_._2)(math.min)
+      try src.getLines().filter(_.contains(s""""sf":"$sfDir""""))
+        .toVector
       finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+
+    // a line's (non-errored) per-query medians. Per-line tolerance
+    // (ADVICE r9/r10): an errored query's 0.0 placeholder must not
+    // become best=0.0 forever, and one malformed legacy line must only
+    // lose itself, not disable history-keyed logic for every query
+    def lineQueries(line: String): Map[String, Double] = {
+      val errored = scala.util.Try(
+        graft.tools.BenchDiff.errorNames(line)).getOrElse(Set.empty[String])
+      val start = line.indexOf("\"queries\":{")
+      val end = line.indexOf("}", start)
+      if (start < 0 || end <= start) Map.empty
+      else """"([a-z0-9_]+)":([0-9.]+)""".r
+        .findAllMatchIn(line.substring(start + 11, end))
+        .flatMap(m => scala.util.Try(
+          m.group(1) -> m.group(2).toDouble).toOption)
+        .filterNot { case (name, _) => errored.contains(name) }
+        .toMap
+    }
+
+    val histBest: Map[String, Double] = histLines.flatMap(lineQueries)
+      .groupMapReduce(_._1)(_._2)(math.min)
 
     // (name, firstMedian, rerunMedian) for every successful second-chance
     // re-measurement: tagged into the history line so tools.BenchDiff can
@@ -202,6 +228,33 @@ object Bench {
     val measured = results.filterNot { case (k, _) => errors.contains(k) }
     val total = measured.map(_._2).sum
 
+    // ---- self-annotation (VERDICT r12 item 3): weather + shared_total
+    // Full-surface history lines only (≥ 50 queries): a 1-query local
+    // run's control sample reflects a different cache climate and must
+    // not define the band a full run is judged against.
+    val fullRunLines = histLines.map(lineQueries).filter(_.size >= 50)
+    val weatherJson: String = if (controlTs.isEmpty) "null" else {
+      val wm = median(controlTs)
+      val hist = fullRunLines.flatMap(_.get(controlName))
+      val bands =
+        if (hist.isEmpty) ""
+        else f""","hist_best":${hist.min}%.3f,"hist_median":${
+          median(hist)}%.3f,"inflation":${wm / hist.min}%.2f"""
+      f"""{"control":"$controlName%s","samples":${controlTs.size}%d,"median":$wm%.3f$bands}"""
+    }
+    // like-for-like total on the PREVIOUS full run's shared surface —
+    // the judge's cross-round comparison, computed in-run instead of
+    // reconstructed from BENCH_HISTORY by hand
+    val measuredMap = measured.toMap
+    val sharedJson: String = fullRunLines.lastOption.flatMap { prev =>
+      val shared = measuredMap.keySet intersect prev.keySet
+      val now = shared.toSeq.map(measuredMap).sum
+      val before = shared.toSeq.map(prev).sum
+      if (shared.isEmpty || before <= 0) None
+      else Some(
+        f"""{"queries":${shared.size}%d,"now":$now%.3f,"prev":$before%.3f,"ratio":${now / before}%.3f}""")
+    }.getOrElse("null")
+
     // Full per-query detail (name-sorted, 3 decimals) goes to a file: the
     // harness that captures our stdout keeps only the LAST 2000 chars, so
     // the printed line below must fit that window together with sbt's
@@ -222,7 +275,7 @@ object Bench {
       .map { case (k, m1, m2) => "\"" + k + f"""\":[$m1%.3f,$m2%.3f]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"reruns":$fullReruns,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"reruns":$fullReruns,"weather":$weatherJson,"shared_total":$sharedJson,"errors":$errs,"sf":"$sfDir"}"""
     val fw = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
     try fw.println(fullLine) finally fw.close()
     // append-only per-run history: spikes become machine-detectable by
@@ -242,7 +295,7 @@ object Bench {
     val budget = 1600 // line bytes; leaves headroom in the 2000-char tail
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val tailFmt = (omitted: Int) =>
-      s"""},"omitted":$omitted,"detail":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
+      s"""},"omitted":$omitted,"detail":"BENCH_FULL.json","weather":$weatherJson,"shared_total":$sharedJson,"errors":$errs,"sf":"$sfDir"}"""
     val entries = measured.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }
     // strict prefix of the slowest-first ordering: stop at the first entry

@@ -11,6 +11,10 @@ import graft.stats.PermutationTest
   * public accessor access). */
 case class PermOut(stat: Double, p: Double, method: String)
 
+/** Readout dimensions derived purely from (catalog, sets) — see
+  * [[Pipeline.dims]]. */
+case class PipelineDims(bpUniverse: DataFrame, member: DataFrame)
+
 /** Pipeline configuration (reference globals, main/mwas_general.py:70-94). */
 case class MwasConfig(
     groupNonzerosThreshold: Int = 3, // GROUP_NONZEROS_ACCEPTANCE_THRESHOLD :82
@@ -72,8 +76,20 @@ object Pipeline {
     *         in data rows)
     */
   def run(input: DataFrame, catalog: DataFrame, sets: DataFrame,
-      cfg: MwasConfig = MwasConfig()): DataFrame = {
+      cfg: MwasConfig = MwasConfig()): DataFrame =
+    runFromBiosampleState(biosampleState(input, catalog, cfg),
+      catalog, sets, cfg)
 
+  /** Stages 1–2a: normalize + reduce to the per-(bioproject, group,
+    * biosample) SUFFICIENT STATISTICS (Σ rpm over runs, run count).
+    * This relation is the pipeline's mergeable state: two disjoint input
+    * slices' states merge by adding the sums and counts
+    * ([[mergeBiosampleState]]), which is what lets an incremental
+    * consumer (stream_mwas) maintain it across micro-batches and pay
+    * only the READOUT per increment instead of a full recompute.
+    * Everything downstream of this grain is derived per readout. */
+  def biosampleState(input: DataFrame, catalog: DataFrame,
+      cfg: MwasConfig = MwasConfig()): DataFrame = {
     // ---- stage 1: normalize (J1 outer join + implicit-zero fill, F1 rpm) --
     // outer join: catalog runs absent from input become quantifier=0 rows
     // with null group (they densify the biosample universe); input runs
@@ -84,6 +100,49 @@ object Pipeline {
     val normalized = joined.withColumn("rpm",
       if (cfg.alreadyNormalized) col("quantifier")
       else rpm(col("quantifier"), col("spots")))
+    // run-count and rpm-sum in ONE aggregation pass: the biosample mean
+    // is rpm_sum / n_runs (identical accumulation to the former
+    // avg(rpm) — Spark's Average is the same sum+count pair), and
+    // n_provided is Σ n_runs (the reference counts PROVIDED run-level
+    // rows — `group_subset['quantifier'].count()` after the outer-merge
+    // fillna — NOT nonzero biosample means; r9 review finding).
+    normalized
+      .filter(col("group").isNotNull)
+      .groupBy(col("bio_project"), col("group"), col("bio_sample"))
+      .agg(sum(col("rpm")).as("rpm_sum"), count(lit(1)).as("n_runs"))
+  }
+
+  /** Merge two biosample-state slices built from DISJOINT input rows:
+    * sums add, counts add. (bio_project, group, bio_sample) grain. */
+  def mergeBiosampleState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bio_project"), col("group"), col("bio_sample"))
+      .agg(sum(col("rpm_sum")).as("rpm_sum"),
+        sum(col("n_runs")).as("n_runs"))
+
+  /** The readout's slowly-changing dimensions — pure functions of
+    * (catalog, sets). An incremental consumer builds them ONCE per
+    * stream (and persists them) instead of re-deriving the catalog
+    * collect_set and the membership explode every trigger. */
+  def dims(catalog: DataFrame, sets: DataFrame): PipelineDims =
+    PipelineDims(
+      // biosample universe per bioproject (implicit zeros + listings)
+      bpUniverse = catalog
+        .groupBy(col("bio_project"))
+        .agg(sort_array(collect_set(col("bio_sample"))).as("all_biosamples"))
+        .withColumn("n_biosamples_cat", size(col("all_biosamples"))),
+      // join-ready stored-side membership
+      member = sets.select(col("bioproject").as("bio_project"),
+        col("set_id"), explode(col("members")).as("bio_sample")))
+
+  /** Stages 2b–5: the readout from the mergeable biosample state down to
+    * the reference's 18-column output relation. `precomputed` lets an
+    * incremental caller reuse persisted [[dims]] across triggers. */
+  def runFromBiosampleState(state: DataFrame, catalog: DataFrame,
+      sets: DataFrame, cfg: MwasConfig = MwasConfig(),
+      precomputed: Option[PipelineDims] = None): DataFrame = {
+    val PipelineDims(bpUniverse, member) =
+      precomputed.getOrElse(dims(catalog, sets))
 
     // ---- stage 2: per-biosample mean over replicate runs (A5 :505-518) ----
     // NOT persisted: the four consumers below (group totals, permutation
@@ -93,34 +152,31 @@ object Pipeline {
     // shuffle-file reuse costs no executor storage memory and cannot leak
     // (a persist() here outlived the query: nothing in a lazy plan can
     // know when the caller's action finishes, so it was never unpersisted).
-    val bsRpm = normalized
-      .filter(col("group").isNotNull)
-      .groupBy(col("bio_project"), col("group"), col("bio_sample"))
-      .agg(avg(col("rpm")).as("rpm"))
+    // n_runs rides along: every bsRpm consumer then references BOTH of
+    // the state aggregate's accumulators (rpm needs sum AND count), so
+    // column pruning cannot specialize any consumer's copy of the
+    // subtree and ReuseExchange keeps exactly one materialized shuffle —
+    // a separately-aggregated provided-count pruned rpm_sum out of its
+    // branch and re-derived the catalog⋈input join (caught by
+    // PipelineSpec's planned-ONCE gate after the r13 state refactor).
+    val bsRpm = state.select(col("bio_project"), col("group"),
+      col("bio_sample"), (col("rpm_sum") / col("n_runs")).as("rpm"),
+      col("n_runs"))
 
-    // group acceptance (A4 :485-491): the reference counts PROVIDED
-    // run-level rows — `group_subset['quantifier'].count()` after the
-    // outer-merge fillna, i.e. every input row of the group — NOT
-    // nonzero biosample means (the variable's "NONZEROS" name describes
-    // the implicit-zeros data model, where provided rows are the nonzero
-    // hits, not the formula; r9 review finding). A 4-run 2-biosample
-    // group passes the reference's >= 3 and must pass here too. Counted
-    // at run grain on the same keys as the group totals; `nonzeros`
-    // (biosample grain) stays as the permutation collect-cap bound.
-    val providedCounts = normalized
-      .filter(col("group").isNotNull)
-      .groupBy(col("bio_project"), col("group"))
-      .agg(count(lit(1)).as("n_provided"))
     // Totals ONLY — sums/counts are map-side combinable and bounded no
     // matter how pathological one bioproject is; no collect_list here.
+    // group acceptance (A4 :485-491) at run grain folded into the SAME
+    // aggregation: Σ n_runs over the group's biosamples == the provided
+    // row count of the old run-grain aggregation, exactly (integer
+    // sums) — one aggregation and no join where there used to be both.
     val groupStats = bsRpm
       .groupBy(col("bio_project"), col("group"))
       .agg(
         sum(when(col("rpm") =!= 0, 1).otherwise(0)).as("nonzeros"),
         sum(col("rpm")).as("sum_all"),
         sum(col("rpm") * col("rpm")).as("sumsq_all"),
-        count(lit(1)).as("n_observed"))
-      .join(providedCounts, Seq("bio_project", "group"))
+        count(lit(1)).as("n_observed"),
+        sum(col("n_runs")).as("n_provided"))
       .filter(col("n_provided") >= cfg.groupNonzerosThreshold)
       .withColumn("perm_capped", col("nonzeros") > cfg.permCollectCap)
 
@@ -132,12 +188,6 @@ object Pipeline {
     // <= permCollectCap elements BY CONSTRUCTION (the semi join admits only
     // groups whose nonzero count was counted above and passed the cap).
     val needVals = !cfg.onlyTTest && !cfg.statClosedForm
-    // biosample universe per bioproject (for implicit zeros + listings);
-    // also the value-collection gate below
-    val bpUniverse = catalog
-      .groupBy(col("bio_project"))
-      .agg(sort_array(collect_set(col("bio_sample"))).as("all_biosamples"))
-      .withColumn("n_biosamples_cat", size(col("all_biosamples")))
     // skip value collection for bioprojects whose pooled universe exceeds
     // permMaxPooled: every contrast there satisfies num_true + num_false
     // = n_biosamples_cat > permMaxPooled and routes to Welch, so the
@@ -169,10 +219,8 @@ object Pipeline {
         .withColumn("all_vals", coalesce(col("all_vals"), emptyVals))
 
     // ---- stage 3: contrast statistics, zeros kept virtual ----------------
-    // observed rows joined to STORED-side membership only; the other side's
-    // stats fall out of the group totals by subtraction.
-    val member = sets.select(col("bioproject").as("bio_project"),
-      col("set_id"), explode(col("members")).as("bio_sample"))
+    // observed rows joined to STORED-side membership only ([[dims]].member);
+    // the other side's stats fall out of the group totals by subtraction.
     // stored-side TOTALS feed every route (Welch included) — no raw values
     // here either; the values go through the same capped nonzero-only path
     // as all_vals, so this buffer has the same <= permCollectCap bound.

@@ -794,25 +794,55 @@ object MwasPipelineQueries {
     // incremental job pins its slowly-changing dimensions
     val cat = catalog(s, dir).persist()
     val sets = MetadataCondenser.condense(metadataLong(s, dir)).persist()
+    // the readout's own slowly-changing dimensions (catalog universe,
+    // membership explode) — derived once, reused by every trigger
+    val pdims = Pipeline.dims(cat, sets)
+    pdims.bpUniverse.persist()
+    pdims.member.persist()
+    // Incremental maintenance (VERDICT r12 item 5): instead of appending
+    // raw rows and re-running the FULL pipeline over the accumulated
+    // input each trigger, maintain the pipeline's mergeable sufficient
+    // statistics — the (bio_project, group, bio_sample) → (Σ rpm,
+    // n_runs) state of Pipeline.biosampleState. Batches partition by run
+    // hash, so each batch's state slice is built from disjoint input
+    // rows and merges by addition; only the READOUT
+    // (Pipeline.runFromBiosampleState: group totals → contrast algebra →
+    // Welch) recomputes per increment, over state that is already
+    // reduced to biosample grain. At scale this is the difference
+    // between re-scanning an ever-growing raw log and touching a
+    // bounded dimension-sized state relation. State versions live as
+    // eager localCheckpoints (block-manager resident, no FS round trip;
+    // the lineage cut also keeps the merge plan flat across triggers —
+    // the BPE/PCA per-round precedent).
     val src = s.readStream.schema(in.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+    var state: Option[DataFrame] = None
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // batch functions run sequentially on the driver: scoping the
         // shuffle width to the per-increment data size is safe and cuts
-        // 3 recomputes' worth of near-empty shuffle tasks
+        // 3 readouts' worth of near-empty shuffle tasks
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          batch.write.mode("append").parquet(accumDir)
-          val accumulated = s.read.parquet(accumDir)
-          Pipeline.run(accumulated, cat, sets, MwasConfig(onlyTTest = true))
+          val delta = Pipeline.biosampleState(batch, cat,
+            MwasConfig(onlyTTest = true))
+          val merged = state match {
+            case None => delta
+            case Some(prev) => Pipeline.mergeBiosampleState(prev, delta)
+          }
+          val next = merged.localCheckpoint()
+          state = Some(next)
+          Pipeline.runFromBiosampleState(next, cat, sets,
+            MwasConfig(onlyTTest = true), Some(pdims))
             .write.mode("overwrite").parquet(resultDir)
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     try q.awaitTermination()
     finally {
+      pdims.member.unpersist(blocking = false)
+      pdims.bpUniverse.unpersist(blocking = false)
       sets.unpersist(blocking = false)
       cat.unpersist(blocking = false)
     }
@@ -862,6 +892,15 @@ object MwasPipelineQueries {
        |WHERE bioproject IN ('PRJTEST1', 'PRJEDGE')
        |ORDER BY bioproject, attributes, "values"""".stripMargin
   }
+
+  /** tools.StreamMwasAb hooks — the stream query's exact fixtures,
+    * exposed so the A/B harness measures the same inputs the registry
+    * query streams. */
+  def abFixtures(s: SparkSession, dir: String, path: String): Unit =
+    input(s, dir).write.mode("overwrite").parquet(path)
+  def abCatalog(s: SparkSession, dir: String): DataFrame = catalog(s, dir)
+  def abSets(s: SparkSession, dir: String): DataFrame =
+    MetadataCondenser.condense(metadataLong(s, dir))
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(

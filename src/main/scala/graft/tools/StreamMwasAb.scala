@@ -1,0 +1,159 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.mwas.{MwasConfig, Pipeline}
+
+/** A/B: stream_mwas's per-trigger maintenance strategy, isolated from
+  * the streaming harness (which is identical in both arms).
+  *
+  *   A (recompute, the pre-r13 shape): append the raw batch to an
+  *     accumulating parquet log, re-run the FULL pipeline over the
+  *     accumulated input every trigger.
+  *   B (incremental, r13): merge the batch's biosample-grain sufficient
+  *     statistics into localCheckpoint state, run only the readout
+  *     (Pipeline.runFromBiosampleState).
+  *
+  * Arms interleave A,B,A,B,... so a host-weather window lands on both
+  * equally (tools.Probe protocol). Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.StreamMwasAb [reps]"
+  */
+object StreamMwasAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val reps = if (args.nonEmpty) args(0).toInt else 3
+    val nSlices = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_streammwas_ab").toString
+    graft.operators.MwasPipelineQueries.abFixtures(spark, sfDir,
+      s"$base/input_full")
+    val in = spark.read.parquet(s"$base/input_full")
+    val slices = (0 until nSlices).map(k =>
+      in.filter(pmod(xxhash64(col("run")), lit(nSlices)) === k))
+    val cat = graft.operators.MwasPipelineQueries.abCatalog(spark, sfDir)
+      .persist()
+    val sets = graft.operators.MwasPipelineQueries.abSets(spark, sfDir)
+      .persist()
+    cat.count(); sets.count()
+    val cfg = MwasConfig(onlyTTest = true)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    var idx = 0
+    def armA(): Double = {
+      idx += 1
+      val accumDir = s"$base/accumA$idx"
+      val resultDir = s"$base/resultA$idx"
+      timed {
+        slices.foreach { slice =>
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          try {
+            slice.write.mode("append").parquet(accumDir)
+            Pipeline.run(spark.read.parquet(accumDir), cat, sets, cfg)
+              .write.mode("overwrite").parquet(resultDir)
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+      }
+    }
+    def armB(): Double = {
+      idx += 1
+      val resultDir = s"$base/resultB$idx"
+      var state: Option[DataFrame] = None
+      timed {
+        val pdims = Pipeline.dims(cat, sets)
+        pdims.bpUniverse.persist(); pdims.member.persist()
+        slices.foreach { slice =>
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          try {
+            val delta = Pipeline.biosampleState(slice, cat, cfg)
+            val merged = state match {
+              case None => delta
+              case Some(p) => Pipeline.mergeBiosampleState(p, delta)
+            }
+            val next = merged.localCheckpoint()
+            state = Some(next)
+            Pipeline.runFromBiosampleState(next, cat, sets, cfg,
+              Some(pdims))
+              .write.mode("overwrite").parquet(resultDir)
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        pdims.member.unpersist(blocking = false)
+        pdims.bpUniverse.unpersist(blocking = false)
+      }
+    }
+
+    // maintenance-only arms: the state-update step alone, readout
+    // excluded — this is the component the strategy changes (A re-scans
+    // the accumulated log and re-reduces it every trigger: O(T²) rows
+    // over T triggers; B reduces only the delta and merges: O(T)).
+    // End-to-end, the shared readout dominates at sf0.1 and the
+    // difference drowns in host noise; this isolates it.
+    def armAMaint(): Double = {
+      idx += 1
+      val accumDir = s"$base/accumAM$idx"
+      timed {
+        slices.foreach { slice =>
+          slice.write.mode("append").parquet(accumDir)
+          Pipeline.biosampleState(spark.read.parquet(accumDir), cat, cfg)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+    def armBMaint(): Double = {
+      var state: Option[DataFrame] = None
+      timed {
+        slices.foreach { slice =>
+          val delta = Pipeline.biosampleState(slice, cat, cfg)
+          val merged = state match {
+            case None => delta
+            case Some(p) => Pipeline.mergeBiosampleState(p, delta)
+          }
+          state = Some(merged.localCheckpoint())
+        }
+      }
+    }
+
+    if (args.length > 2 && args(2) == "maint") {
+      armAMaint(); armBMaint()
+      val as = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach { r =>
+        val a = armAMaint(); val b = armBMaint()
+        as += a; bs += b
+        println(f"[ab] rep$r  A-maint=$a%.2f s  B-maint=$b%.2f s")
+      }
+      def med2(v: Seq[Double]) = v.sorted.apply((v.size - 1) / 2)
+      println(f"[ab] MEDIAN A-maint(rescan) ${med2(as.toSeq)}%.2f s")
+      println(f"[ab] MEDIAN B-maint(merge)  ${med2(bs.toSeq)}%.2f s")
+      println(f"[ab] maint ratio A/B ${med2(as.toSeq) / med2(bs.toSeq)}%.2f")
+      spark.stop()
+      return
+    }
+
+    // warm-up both arms once (JIT/codegen), then interleave
+    armA(); armB()
+    val as = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to reps).foreach { r =>
+      val a = armA(); val b = armB()
+      as += a; bs += b
+      println(f"[ab] rep$r  A(recompute)=$a%.2f s  B(incremental)=$b%.2f s")
+    }
+    def med(v: Seq[Double]) = v.sorted.apply((v.size - 1) / 2)
+    println(f"[ab] MEDIAN A(recompute)   ${med(as.toSeq)}%.2f s")
+    println(f"[ab] MEDIAN B(incremental) ${med(bs.toSeq)}%.2f s")
+    println(f"[ab] ratio A/B ${med(as.toSeq) / med(bs.toSeq)}%.2f")
+    spark.stop()
+  }
+}

@@ -21,6 +21,15 @@ object Verify {
       .withExtensions(new graft.extensions.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional deployment profile (VERDICT r12 item 4): the correctness
+    // surface must be provable UNDER the 100 TB geometry — config must
+    // never change results. Same contract as Bench.
+    sys.env.get("SPARK_GRAFT_PROFILE").foreach { name =>
+      val p = graft.core.ClusterProfile.named(name)
+      p.applyTo(spark)
+      System.err.println(s"VERIFY PROFILE $name -> " + p.confs.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(", "))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -64,6 +64,21 @@ final case class ClusterProfile(
   def broadcastThresholdBytes: Long =
     if (executorMemGb >= 8) 64L << 20 else 32L << 20
 
+  /** Streaming state-store width. A streaming query's shuffle width is
+    * FROZEN into its checkpoint at the stream's first run (Spark pins
+    * the state-store partition count for the stream's lifetime — the
+    * documented reason sql.shuffle.partitions must be set before, not
+    * after, starting a stateful stream). It is therefore sized for
+    * STATE volume and scheduling stability, not for per-batch input
+    * bytes: the batch-oriented bytes-derived width (819200 at 100 TB)
+    * would mean 819200 state files per operator REBUILT per
+    * micro-batch, almost all of them bytes-sized. 2×cores keeps every
+    * core busy during state maintenance; the 4096 cap keeps state files
+    * from shrinking into per-file metadata noise on long-running
+    * streams. Structured Streaming has no AQE, so this width is real —
+    * exactly why it gets its own derivation. */
+  def streamStatePartitions: Int = math.min(2 * totalCores, 4096)
+
   /** The knob set, as data — one source of truth for [[applyTo]], specs,
     * and operators that need to reason about the profile. */
   def confs: Map[String, String] = Map(
@@ -77,7 +92,11 @@ final case class ClusterProfile(
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> targetPartitionBytes.toString,
     "spark.sql.autoBroadcastJoinThreshold" ->
-      broadcastThresholdBytes.toString)
+      broadcastThresholdBytes.toString,
+    // consumed by the engine's stateful-stream runners (see
+    // StreamingQueries.runAvailableNow), not by Spark itself
+    "spark.graft.stream.statePartitions" ->
+      streamStatePartitions.toString)
 
   /** Lands every runtime-settable knob in the live session conf.
     * (`files.maxPartitionBytes` and the AQE flags are runtime-settable;

@@ -272,10 +272,20 @@ object DedupQueries {
     * on the df-dense synthetic fixture (31-word vocab, every word a
     * stopword) no word-level filter discriminates — measured numbers in
     * NOTES_r12, both fixture shapes. */
-  def dedupContainmentPrefix(s: SparkSession, dir: String): DataFrame = {
+  def dedupContainmentPrefix(s: SparkSession, dir: String): DataFrame =
+    containmentPrefixOn(s, dir, None)
+
+  /** The prefix-filtered containment engine, optionally restricted to a
+    * survivor id set ([[dedupContainmentDedupFirst]] passes the
+    * canonical survivors; `None` is the full-corpus public query). */
+  private def containmentPrefixOn(s: SparkSession, dir: String,
+      keepers: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = 0.95
-    val w = wordRel(s, dir)
+    val w = keepers match {
+      case None => wordRel(s, dir)
+      case Some(k) => wordRel(s, dir).join(k, Seq("doc_id"), "left_semi")
+    }
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val dfRel = w.groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("df"))
@@ -287,12 +297,23 @@ object DedupQueries {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
       .join(broadcast(nw), Seq("doc_id"))
       .filter(col("rk") <= floor(lit(1.0 - t) * col("nw")) + lit(1))
-      .select(col("source"), col("doc_id"), col("word"))
+      .select(col("source"), col("doc_id"), col("word"), col("nw"))
+    // generation fires from the SMALLER side only (size ties broken by
+    // id): the bound needs just the smaller doc's prefix to hit the
+    // other doc — |A∩B| ≥ t·min(na,nb) with na = min means at most
+    // ⌊(1−t)·na⌋ of A's words miss B. Generating from both directions
+    // (the r12 shape) produced every candidate twice and made the
+    // distinct fold symmetric duplicates; this halves the join output
+    // at identical recall (spec'd bit-exact against the exact arm).
     val cand = prefix
-      .select(col("source"), col("doc_id").as("doc_p"), col("word"))
-      .join(w.select(col("source"), col("doc_id").as("doc_o"), col("word")),
+      .select(col("source"), col("doc_id").as("doc_p"), col("word"),
+        col("nw").as("np"))
+      .join(w.select(col("source"), col("doc_id").as("doc_o"), col("word"))
+          .join(broadcast(nw.select(col("doc_id").as("doc_o"),
+            col("nw").as("no"))), "doc_o"),
         Seq("source", "word"))
-      .filter(col("doc_p") =!= col("doc_o"))
+      .filter(col("no") > col("np") ||
+        (col("no") === col("np") && col("doc_p") < col("doc_o")))
       .select(least(col("doc_p"), col("doc_o")).as("doc_a"),
         greatest(col("doc_p"), col("doc_o")).as("doc_b"))
       .distinct()
@@ -321,6 +342,26 @@ object DedupQueries {
           (col("na") + col("nb") - col("inter")).cast("double"))
           .as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The recorded production posture for df-dense corpora (NOTES_r12:
+    * a 31-word-vocab corpus defeats ANY word-level filter — prefix
+    * candidates ≈ all pairs because every word is a stopword), now an
+    * OPERATOR instead of a note: near-dup dedup first
+    * ([[dedupCanonical]]'s keep set — MinHash-banded clusters, best
+    * survivor per component), then prefix containment among survivors
+    * only. On boilerplate-heavy corpora the near-dup contraction
+    * collapses exactly the mass that made containment quadratic; the
+    * output is containment among CANONICAL docs — the relation a
+    * curation pipeline actually consumes (you don't report containment
+    * between two docs the dedup stage already merged). Oracle: the
+    * dedup_canonical recursive-CTE ladder composed with the naive
+    * containment spelling over its survivors. */
+  def dedupContainmentDedupFirst(s: SparkSession, dir: String)
+      : DataFrame = {
+    val keepers = dedupCanonical(s, dir).filter(col("keep"))
+      .select(col("doc_id"))
+    containmentPrefixOn(s, dir, Some(keepers))
   }
 
   // ----------------------------------------------------- D3: MinHash + LSH
@@ -1100,8 +1141,10 @@ object DedupQueries {
     * equivalent to the LSH pair set at J≥0.7 — miss prob ≈6e-10, same
     * argument as [[dedupMinhashLshSql]]), survivor by the `text_quality`
     * score with the doc_id tie-break as a window rank. */
-  val dedupCanonicalSql: String =
-    """WITH RECURSIVE sh AS (
+  /** The canonical-survivor CTE ladder, shared by the dedup_canonical
+    * oracle and the dedup-first containment composition. */
+  private val canonicalCtes: String =
+    """sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -1149,11 +1192,32 @@ object DedupQueries {
       |  SELECT component, doc_id AS canonical_id FROM (
       |    SELECT component, doc_id, row_number() OVER (
       |      PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
-      |    FROM joined) WHERE rn = 1)
-      |SELECT j.doc_id, j.component, s.canonical_id, j.quality,
-      |       j.doc_id = s.canonical_id AS keep
-      |FROM joined j JOIN surv s ON s.component = j.component
-      |ORDER BY j.doc_id""".stripMargin
+      |    FROM joined) WHERE rn = 1)""".stripMargin
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $canonicalCtes
+       |SELECT j.doc_id, j.component, s.canonical_id, j.quality,
+       |       j.doc_id = s.canonical_id AS keep
+       |FROM joined j JOIN surv s ON s.component = j.component
+       |ORDER BY j.doc_id""".stripMargin
+
+  /** dedup-first containment: the canonical ladder's survivors, then
+    * the naive containment spelling restricted to them. */
+  val dedupContainmentDedupFirstSql: String =
+    s"""WITH RECURSIVE $canonicalCtes,
+       |keepers AS (SELECT DISTINCT canonical_id AS doc_id FROM surv),
+       |wk AS (SELECT d.doc_id, d.source,
+       |         list_distinct(string_split(d.text, ' ')) AS w
+       |       FROM documents d JOIN keepers k ON k.doc_id = d.doc_id)
+       |SELECT doc_a, doc_b, containment, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+       |      / least(len(a.w), len(b.w)) AS containment,
+       |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+       |  FROM wk a JOIN wk b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |WHERE containment >= 0.95
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------- D9: the composed curation funnel (r12)
 
@@ -1282,6 +1346,8 @@ object DedupQueries {
       ("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),
       ("dedup_containment_prefix", dedupContainmentPrefix _,
         Some(dedupContainmentSql)), // same relation — shared oracle
+      ("dedup_containment_dedupfirst", dedupContainmentDedupFirst _,
+        Some(dedupContainmentDedupFirstSql)),
       ("corpus_curation_funnel", corpusCurationFunnel _,
         Some(corpusCurationFunnelSql)),
       ("ann_lsh_bucket", annLshBucket _, Some(annLshBucketSql)))

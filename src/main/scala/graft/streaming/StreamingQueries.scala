@@ -129,9 +129,22 @@ object StreamingQueries {
     val src = codec.normalize(s.readStream.schema(codec.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = f(src).writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // A stateful stream's shuffle width is frozen into its state store
+    // at first run and Structured Streaming has no AQE — so the width
+    // must be the STATE-sized one, never a batch-analytics width the
+    // session happens to carry (under ClusterProfile's 100 TB knobs the
+    // inherited 819200 would schedule 819200 real state tasks per
+    // micro-batch). ClusterProfile publishes the state width as
+    // spark.graft.stream.statePartitions; absent (the unprofiled
+    // bench/Verify posture) the session width stands, unchanged.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.getOption("spark.graft.stream.statePartitions")
+      .foreach(w => s.conf.set("spark.sql.shuffle.partitions", w))
+    try {
+      val q = f(src).writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 

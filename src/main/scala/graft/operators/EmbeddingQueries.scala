@@ -389,11 +389,117 @@ object EmbeddingQueries {
        |FROM proj CROSS JOIN nn
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------- E6: margin-based bitext mining
+
+  /** Cross-corpus pair mining by RATIO MARGIN (Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019): for source x and its nearest target y,
+    * margin(x,y) = cos(x,y) / ((avg_k cos(x, NN_B(x)) +
+    * avg_k cos(y, NN_A(y))) / 2) — raw cosine is miscalibrated across
+    * hubs (some vectors are near EVERYTHING), the margin normalizes by
+    * both endpoints' neighborhood densities, and the public threshold
+    * ~1.05 separates true pairs from hubs. Sides here: label < 5 vs
+    * label ≥ 5 on the embeddings table (the fixture's stand-in for two
+    * languages/corpora).
+    *
+    * Cross-engine determinism is the PCA/k-means posture: per-pair
+    * cosine is round-6 and CAST TO DECIMAL(12,6) immediately, so the
+    * k-NN ranks order on exact decimals (no float tie hazard), the
+    * neighborhood sums are exact decimal sums, and the margin is one
+    * correctly-rounded double expression over exact operands
+    * (2·cos·n_f·n_b / (sum_f·n_b + sum_b·n_f) — the rational mean
+    * cross-multiplied into integer-scaled decimals, then one division
+    * + round-6). Hash-oracled.
+    *
+    * Scale: the A×B sweep is the oracle-direct baseline (the
+    * ann_cosine_topk posture; target side broadcast, model-sized at
+    * test SFs — at 100 TB the pair relation comes from the IVF/LSH
+    * candidate stage instead, and everything from `cosr` down is
+    * per-candidate relational algebra: two window ranks + two k-bounded
+    * aggregates + one three-way join, all on the candidate grain). The
+    * pair relation is localCheckpoint'd: three consumers (forward rank,
+    * forward/backward neighborhood aggregates) would otherwise each
+    * recompute the dot products. */
+  def bitextMarginMine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 4
+    val v = vecs(s, dir).withColumn("nrm",
+      sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val a = v.filter(col("label") < 5)
+      .select(col("vec_id").as("src_id"), col("v").as("va"),
+        col("nrm").as("na"))
+    val b = v.filter(col("label") >= 5)
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("cosr",
+        round(graft.functions.VectorOps.dot_product(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).cast("decimal(12,6)"))
+      .select(col("src_id"), col("tgt_id"), col("cosr"))
+      .localCheckpoint()
+    val ranked = pairs
+      .withColumn("rkf", row_number().over(Window.partitionBy(col("src_id"))
+        .orderBy(col("cosr").desc, col("tgt_id"))))
+      .withColumn("rkb", row_number().over(Window.partitionBy(col("tgt_id"))
+        .orderBy(col("cosr").desc, col("src_id"))))
+    val fwdAgg = ranked.filter(col("rkf") <= k).groupBy(col("src_id"))
+      .agg(sum(col("cosr")).as("sum_f"), count(lit(1)).as("n_f"))
+    val bwdAgg = ranked.filter(col("rkb") <= k).groupBy(col("tgt_id"))
+      .agg(sum(col("cosr")).as("sum_b"), count(lit(1)).as("n_b"))
+    ranked.filter(col("rkf") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cosr"))
+      .join(fwdAgg, Seq("src_id"))
+      .join(bwdAgg, Seq("tgt_id"))
+      .withColumn("margin", round(
+        col("cosr").cast("double") *
+          (lit(2L) * col("n_f") * col("n_b")).cast("double") /
+          (col("sum_f") * col("n_b") + col("sum_b") * col("n_f"))
+            .cast("double"), 6))
+      .select(col("src_id"), col("tgt_id"),
+        col("cosr").cast("double").as("cosine"), col("margin"),
+        (col("margin") >= 1.05).as("accepted"))
+      .orderBy(col("src_id"))
+  }
+
+  val bitextMarginMineSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |           x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+      |    CAST(round(list_sum(list_transform(list_zip(a.e, b.e),
+      |      s -> s[1] * s[2])) / (a.nrm * b.nrm), 6) AS DECIMAL(12,6))
+      |      AS cosr
+      |  FROM n a JOIN n b ON a.label < 5 AND b.label >= 5),
+      |r AS (
+      |  SELECT src_id, tgt_id, cosr,
+      |    row_number() OVER (PARTITION BY src_id
+      |      ORDER BY cosr DESC, tgt_id) AS rkf,
+      |    row_number() OVER (PARTITION BY tgt_id
+      |      ORDER BY cosr DESC, src_id) AS rkb
+      |  FROM p),
+      |fa AS (SELECT src_id, sum(cosr) AS sum_f, count(*) AS n_f
+      |       FROM r WHERE rkf <= 4 GROUP BY src_id),
+      |ba AS (SELECT tgt_id, sum(cosr) AS sum_b, count(*) AS n_b
+      |       FROM r WHERE rkb <= 4 GROUP BY tgt_id),
+      |best AS (SELECT src_id, tgt_id, cosr FROM r WHERE rkf = 1),
+      |m AS (
+      |  SELECT best.src_id, best.tgt_id,
+      |    CAST(cosr AS DOUBLE) AS cosine,
+      |    round(CAST(cosr AS DOUBLE) * CAST(2 * n_f * n_b AS DOUBLE)
+      |      / CAST(sum_f * n_b + sum_b * n_f AS DOUBLE), 6) AS margin
+      |  FROM best JOIN fa USING (src_id) JOIN ba USING (tgt_id))
+      |SELECT src_id, tgt_id, cosine, margin, margin >= 1.05 AS accepted
+      |FROM m ORDER BY src_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("emb_project_rp", embProjectRp _, Some(embProjectRpSql)),
       ("emb_quantize_int8", embQuantizeInt8 _, Some(embQuantizeInt8Sql)),
       ("emb_dim_stats", embDimStats _, Some(embDimStatsSql)),
       ("emb_pca_power", embPcaPower _, Some(embPcaPowerSql)),
-      ("emb_pca_project", embPcaProject _, Some(embPcaProjectSql)))
+      ("emb_pca_project", embPcaProject _, Some(embPcaProjectSql)),
+      ("bitext_margin_mine", bitextMarginMine _, Some(bitextMarginMineSql)))
 }

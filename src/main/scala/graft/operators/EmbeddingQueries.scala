@@ -446,8 +446,16 @@ object EmbeddingQueries {
       .agg(sum(col("cosr")).as("sum_f"), count(lit(1)).as("n_f"))
     val bwdAgg = ranked.filter(col("rkb") <= k).groupBy(col("tgt_id"))
       .agg(sum(col("cosr")).as("sum_b"), count(lit(1)).as("n_b"))
-    ranked.filter(col("rkf") === 1)
-      .select(col("src_id"), col("tgt_id"), col("cosr"))
+    marginReadout(ranked.filter(col("rkf") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cosr")), fwdAgg, bwdAgg)
+  }
+
+  /** The margin formula, shared by the batch query and its streaming
+    * twin so the two cannot drift: one correctly-rounded double
+    * expression over exact-decimal operands (see [[bitextMarginMine]]). */
+  private def marginReadout(best: DataFrame, fwdAgg: DataFrame,
+      bwdAgg: DataFrame): DataFrame =
+    best
       .join(fwdAgg, Seq("src_id"))
       .join(bwdAgg, Seq("tgt_id"))
       .withColumn("margin", round(
@@ -458,6 +466,114 @@ object EmbeddingQueries {
       .select(col("src_id"), col("tgt_id"),
         col("cosr").cast("double").as("cosine"), col("margin"),
         (col("margin") >= 1.05).as("accepted"))
+      .orderBy(col("src_id"))
+
+  /** Streaming twin of [[bitextMarginMine]] — target corpus arrives in
+    * batches (the production shape: the source side is your corpus, the
+    * target side is a crawl that keeps landing). A NEW minimal-state
+    * class for the §2.9 taxonomy: '''static-side k-NN maintenance'''.
+    *
+    *   - backward neighborhoods (each target's k-NN IN THE STATIC
+    *     SOURCE SIDE) are COMPLETE the moment the target arrives — the
+    *     store is append-only, one (tgt, Σcos, n) row per target, ever.
+    *   - forward neighborhoods (each source's k-NN over targets seen so
+    *     far) are a per-source bounded top-k heap: top-k(state ∪ batch)
+    *     = top-k(top-k(state) ∪ batch) — the heap property makes the
+    *     k-row remnant the WHOLE state, |A|·k rows regardless of how
+    *     many targets ever arrive. Ranks order on the exact
+    *     DECIMAL(12,6) grid, so merge order cannot flip ties.
+    *   - the margin readout re-runs per trigger over those two
+    *     dimension-sized relations via the SAME [[marginReadout]] as
+    *     the batch query.
+    *
+    * Per-batch work: |A|×|batch| candidate cosines (at 100 TB, the
+    * ANN-candidate stage replaces the sweep exactly as in the batch
+    * query) + a |A|·2k-row rank. Oracle: literally the batch SQL —
+    * after the last batch the state equals the batch query's
+    * neighborhoods by the merge identity above. */
+  def streamBitextMine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 4
+    val v = vecs(s, dir).withColumn("nrm",
+      sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val a = v.filter(col("label") < 5)
+      .select(col("vec_id").as("src_id"), col("v").as("va"),
+        col("nrm").as("na"))
+      .localCheckpoint() // the static side, reused by every trigger
+    val b = v.filter(col("label") >= 5)
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    val Array(idMin, idMax) = b
+      .agg(min(col("tgt_id")), max(col("tgt_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val s1 = idMin + (idMax - idMin) / 3
+    val s2 = idMin + 2 * (idMax - idMin) / 3
+    val staging = graft.streaming.StreamingQueries.stageBatches(
+      "graft_stream_bitext_stage_" + Integer.toHexString(dir.hashCode),
+      Seq(b.filter(col("tgt_id") <= s1),
+        b.filter(col("tgt_id") > s1 && col("tgt_id") <= s2),
+        b.filter(col("tgt_id") > s2)))
+
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_bitext_" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid())
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    base.mkdirs()
+    graft.core.TempDirs.cleanOnExit(base.toPath)
+    val bwdDir = s"$base/bwd"
+    val resultDir = s"$base/result"
+    var fwdState: Option[DataFrame] = None
+
+    val src = s.readStream.schema(
+        b.schema).option("maxFilesPerTrigger", "1")
+      .parquet(staging.toString)
+    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val ss = batch.sparkSession
+      val prevParts = ss.conf.get("spark.sql.shuffle.partitions")
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val pairs = a.crossJoin(broadcast(batch))
+          .withColumn("cosr",
+            round(graft.functions.VectorOps.dot_product(col("va"),
+              col("vb")) / (col("na") * col("nb")), 6)
+              .cast("decimal(12,6)"))
+          .select(col("src_id"), col("tgt_id"), col("cosr"))
+          .localCheckpoint() // two consumers: bwd store + fwd merge
+        // backward store: complete on arrival, append IS the merge
+        pairs.withColumn("rkb", row_number().over(
+            Window.partitionBy(col("tgt_id"))
+              .orderBy(col("cosr").desc, col("src_id"))))
+          .filter(col("rkb") <= k)
+          .groupBy(col("tgt_id"))
+          .agg(sum(col("cosr")).as("sum_b"), count(lit(1)).as("n_b"))
+          .write.mode("append").parquet(bwdDir)
+        // forward heap remnant: top-k of (remnant ∪ batch)
+        val unioned = fwdState match {
+          case None => pairs
+          case Some(prev) => prev.select(col("src_id"), col("tgt_id"),
+            col("cosr")).unionByName(pairs)
+        }
+        val topk = unioned.withColumn("rkf", row_number().over(
+            Window.partitionBy(col("src_id"))
+              .orderBy(col("cosr").desc, col("tgt_id"))))
+          .filter(col("rkf") <= k)
+          .localCheckpoint()
+        fwdState = Some(topk)
+        // margin readout over the two dimension-sized relations
+        val fwdAgg = topk.groupBy(col("src_id"))
+          .agg(sum(col("cosr")).as("sum_f"), count(lit(1)).as("n_f"))
+        marginReadout(topk.filter(col("rkf") === 1)
+            .select(col("src_id"), col("tgt_id"), col("cosr")),
+          fwdAgg, ss.read.parquet(bwdDir))
+          .write.mode("overwrite").parquet(resultDir)
+      } finally ss.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    s.read.parquet(resultDir)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"),
+        col("accepted"))
       .orderBy(col("src_id"))
   }
 
@@ -501,5 +617,8 @@ object EmbeddingQueries {
       ("emb_dim_stats", embDimStats _, Some(embDimStatsSql)),
       ("emb_pca_power", embPcaPower _, Some(embPcaPowerSql)),
       ("emb_pca_project", embPcaProject _, Some(embPcaProjectSql)),
-      ("bitext_margin_mine", bitextMarginMine _, Some(bitextMarginMineSql)))
+      ("bitext_margin_mine", bitextMarginMine _, Some(bitextMarginMineSql)),
+      // streaming twin: same SQL — the state classes above reproduce the
+      // batch neighborhoods exactly (merge identities in the scaladoc)
+      ("stream_bitext_mine", streamBitextMine _, Some(bitextMarginMineSql)))
 }

@@ -772,7 +772,6 @@ object MwasPipelineQueries {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
     graft.core.TempDirs.cleanOnExit(base.toPath)
-    val accumDir = s"$base/accum"
     val resultDir = s"$base/result"
 
     // stage the user input into 3 deterministic batches by run hash —

@@ -76,4 +76,16 @@ class BitextMarginSpec extends AnyFunSuite {
     assert(acc > 0 && acc < got.size,
       s"degenerate acceptance: $acc of ${got.size}")
   }
+
+  test("streaming twin == batch relation, bit for bit") {
+    // the merge identities (append-only bwd store; fwd heap remnant
+    // top-k(remnant ∪ batch) == global top-k on the decimal grid) must
+    // reproduce the batch neighborhoods exactly after the last trigger
+    val batch = EmbeddingQueries.bitextMarginMine(spark, dir)
+      .collect().map(_.toString).sorted
+    val stream = EmbeddingQueries.streamBitextMine(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(stream.length == batch.length)
+    assert(stream.sameElements(batch))
+  }
 }

@@ -128,6 +128,30 @@ class MwasPickleSourceSpec extends AnyFunSuite {
     java.nio.file.Files.delete(bad); java.nio.file.Files.delete(dir)
   }
 
+  test("committed pandas mirror is in sync with the fixture corpus") {
+    // pickle_ds_scan/pickle_migrate's driver oracle reads the COMMITTED
+    // pandas-exported mirror (tools/picklemirror.py); if the fixtures
+    // change without regenerating it, the drift must fail HERE, in sbt
+    // test, not in the driver's round gate
+    val mirrorPath = new java.io.File(
+      new java.io.File(fixtures).getParentFile, "mwaspkl_mirror")
+    val mirror = spark.read
+      .parquet(new java.io.File(mirrorPath, "scan.parquet").toString)
+      .select(col("bioproject"), col("status"), col("attributes"),
+        col("values"), col("index_list"), col("include"),
+        col("n_biosamples").cast("int").as("n_biosamples"))
+      .collect().map(_.toString).sorted
+    val scan = v2.select(col("bioproject"), col("status"),
+        col("attributes"), col("values"),
+        array_join(col("index_list"), "; ").as("index_list"),
+        col("include"), col("n_biosamples"))
+      .collect().map(_.toString).sorted
+    assert(mirror.length == scan.length &&
+      mirror.sameElements(scan),
+      "mwaspkl_mirror is out of sync with the fixture corpus — " +
+        "regenerate with: python3 tools/picklemirror.py")
+  }
+
   test("unsupported predicates stay as residual filters and still apply") {
     val rows = v2.filter(col("status") === "ok" &&
         col("include") === true)

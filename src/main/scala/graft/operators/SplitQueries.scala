@@ -185,10 +185,95 @@ object SplitQueries {
       |SELECT anchor, rank, neg_id FROM ranked WHERE rank <= 3
       |ORDER BY anchor, rank""".stripMargin
 
+  /** Stratified train/val/test split with EXACT per-stratum counts —
+    * the splitter for when sizes are contractual (a benchmark's eval
+    * set is "exactly 10%", not "10% in expectation"). Hash-mod
+    * splitting (splitLeakageAudit's 8/1/1 buckets) is proportional only
+    * in expectation; this apportions each source's 80/10/10 by the
+    * LARGEST-REMAINDER method (Hamilton apportionment — the standard
+    * exact-quota rule): floors ⌊8n/10⌋/⌊n/10⌋/⌊n/10⌋, the 0–2 leftover
+    * docs to the splits with the largest remainders, ties broken
+    * train > val > test (val and test share a remainder by
+    * construction, so the tie rule is load-bearing and spec'd). Docs
+    * order within a stratum by the house portable hash (deterministic
+    * shuffle, no RNG), so membership — not just counts — is exact and
+    * cross-engine.
+    *
+    * Everything is int64 arithmetic (div/mod/comparisons) — no float
+    * quota anywhere — so the relation hash-oracles directly. Scale
+    * shape: one window over (source) for the in-stratum rank (the same
+    * sort class as zorder_layout's global orderBy — range partitioning
+    * absorbs skewed strata), one 20-row count aggregate broadcast back;
+    * the apportionment itself is per-stratum scalar algebra. */
+  def stratifiedSplitExact(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.core.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          graft.functions.PortableHash.raw(col("doc_id")), col("doc_id")))
+        .cast("long"))
+    val quota = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ft", expr("8 * n div 10"))
+      .withColumn("fv", expr("n div 10"))
+      .withColumn("r", col("n") - col("ft") - lit(2) * col("fv"))
+      .withColumn("rt", expr("(8 * n) % 10"))
+      .withColumn("rv", expr("n % 10"))
+      // largest remainder, priority train > val > test on ties; val and
+      // test tie always (same fraction), so only two orders exist:
+      // rt >= rv -> (train, val, test); rt < rv -> (val, test, train)
+      .withColumn("t1", col("ft") + when(col("rt") >= col("rv"),
+        when(col("r") >= 1, 1).otherwise(0))
+        .otherwise(when(col("r") >= 3, 1).otherwise(0)))
+      .withColumn("vx", col("fv") + when(col("rt") >= col("rv"),
+        when(col("r") >= 2, 1).otherwise(0))
+        .otherwise(when(col("r") >= 1, 1).otherwise(0)))
+      .select(col("source"), col("t1"), col("vx"))
+    ranked.join(broadcast(quota), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        when(col("rk") <= col("t1"), lit("train"))
+          .when(col("rk") <= col("t1") + col("vx"), lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val stratifiedSplitExactSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, CAST(row_number() OVER (
+      |      PARTITION BY source ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT), doc_id) AS BIGINT) AS rk
+      |  FROM documents),
+      |quota AS (
+      |  SELECT source, count(*) AS n,
+      |         (8 * count(*)) // 10 AS ft, count(*) // 10 AS fv,
+      |         count(*) - (8 * count(*)) // 10 - 2 * (count(*) // 10) AS r,
+      |         (8 * count(*)) % 10 AS rt, count(*) % 10 AS rv
+      |  FROM ranked GROUP BY source),
+      |cut AS (
+      |  SELECT source,
+      |    ft + CASE WHEN rt >= rv
+      |              THEN CASE WHEN r >= 1 THEN 1 ELSE 0 END
+      |              ELSE CASE WHEN r >= 3 THEN 1 ELSE 0 END END AS t1,
+      |    fv + CASE WHEN rt >= rv
+      |              THEN CASE WHEN r >= 2 THEN 1 ELSE 0 END
+      |              ELSE CASE WHEN r >= 1 THEN 1 ELSE 0 END END AS vx
+      |  FROM quota)
+      |SELECT r.doc_id, r.source,
+      |       CASE WHEN r.rk <= c.t1 THEN 'train'
+      |            WHEN r.rk <= c.t1 + c.vx THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       r.rk
+      |FROM ranked r JOIN cut c USING (source)
+      |ORDER BY r.source, r.rk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("split_leakage_audit", splitLeakageAudit _,
         Some(splitLeakageAuditSql)),
       ("negative_sampling", negativeSampling _,
-        Some(negativeSamplingSql)))
+        Some(negativeSamplingSql)),
+      ("stratified_split_exact", stratifiedSplitExact _,
+        Some(stratifiedSplitExactSql)))
 }

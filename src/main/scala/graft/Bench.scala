@@ -123,9 +123,13 @@ object Bench {
           spark.catalog.clearCache()
           graft.operators.MwasPipelineQueries.evict()
           val t0 = System.nanoTime()
-          try run(SparkEntry.queries(controlName))
-          catch { case _: Throwable => }
-          controlTs :+= (System.nanoTime() - t0) / 1e9
+          // sample only on SUCCESS (r13 advisor): a fast-FAILING control
+          // would contribute near-zero samples that deflate the weather
+          // median and mask real host inflation
+          try {
+            run(SparkEntry.queries(controlName))
+            controlTs :+= (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => }
         }
         name -> timeQuery(name, fn)
       }
@@ -233,26 +237,37 @@ object Bench {
     // run's control sample reflects a different cache climate and must
     // not define the band a full run is judged against.
     val fullRunLines = histLines.map(lineQueries).filter(_.size >= 50)
+    val controlHist = fullRunLines.flatMap(_.get(controlName))
+    val inflationOpt: Option[Double] =
+      if (controlTs.isEmpty || controlHist.isEmpty) None
+      else Some(median(controlTs) / controlHist.min)
     val weatherJson: String = if (controlTs.isEmpty) "null" else {
       val wm = median(controlTs)
-      val hist = fullRunLines.flatMap(_.get(controlName))
+      val raw = controlTs.map(t => f"$t%.3f").mkString("[", ",", "]")
       val bands =
-        if (hist.isEmpty) ""
-        else f""","hist_best":${hist.min}%.3f,"hist_median":${
-          median(hist)}%.3f,"inflation":${wm / hist.min}%.2f"""
-      f"""{"control":"$controlName%s","samples":${controlTs.size}%d,"median":$wm%.3f$bands}"""
+        if (controlHist.isEmpty) ""
+        else f""","hist_best":${controlHist.min}%.3f,"hist_median":${
+          median(controlHist)}%.3f,"inflation":${wm / controlHist.min}%.2f"""
+      f"""{"control":"$controlName%s","samples":${controlTs.size}%d,"median":$wm%.3f,"raw":$raw%s$bands}"""
     }
     // like-for-like total on the PREVIOUS full run's shared surface —
     // the judge's cross-round comparison, computed in-run instead of
-    // reconstructed from BENCH_HISTORY by hand
+    // reconstructed from BENCH_HISTORY by hand. `corrected` carries the
+    // conclusion (VERDICT r13 item 4): now / weather.inflation, so the
+    // artifact is judgeable standalone even when the driver's run lands
+    // in a bad host window.
     val measuredMap = measured.toMap
     val sharedJson: String = fullRunLines.lastOption.flatMap { prev =>
       val shared = measuredMap.keySet intersect prev.keySet
       val now = shared.toSeq.map(measuredMap).sum
       val before = shared.toSeq.map(prev).sum
       if (shared.isEmpty || before <= 0) None
-      else Some(
-        f"""{"queries":${shared.size}%d,"now":$now%.3f,"prev":$before%.3f,"ratio":${now / before}%.3f}""")
+      else {
+        val corr = inflationOpt.filter(_ > 0)
+          .map(i => f""","corrected":${now / i}%.3f""").getOrElse("")
+        Some(
+          f"""{"queries":${shared.size}%d,"now":$now%.3f,"prev":$before%.3f,"ratio":${now / before}%.3f$corr%s}""")
+      }
     }.getOrElse("null")
 
     // Full per-query detail (name-sorted, 3 decimals) goes to a file: the

@@ -30,10 +30,21 @@ object MwasPipelineQueries {
     val candidate = sys.props.get("graft.mwaspkl.dir")
       .map(new java.io.File(_))
       .getOrElse(new java.io.File("src/test/resources/mwaspkl"))
-    require(candidate.isDirectory,
-      s"mwaspkl fixture corpus not found at ${candidate.getAbsolutePath} " +
-        "(run from the repo root or set -Dgraft.mwaspkl.dir=<dir>)")
     candidate.getAbsolutePath
+  }
+
+  /** Validated variant — used by the two pickle QUERY functions, never by
+    * the registry/SQL builders: `val all` must construct without touching
+    * the filesystem (r13 advisor — an absent corpus used to throw
+    * ExceptionInInitializerError from object init and take down every
+    * registry consumer, Bench's weather probe included; now only the two
+    * pickle queries fail, at run time, with this message). */
+  private[operators] def requireFixtureCorpus(): String = {
+    val p = fixtureCorpus
+    require(new java.io.File(p).isDirectory,
+      s"mwaspkl fixture corpus not found at $p " +
+        "(run from the repo root or set -Dgraft.mwaspkl.dir=<dir>)")
+    p
   }
 
   private[operators] def catalog(s: SparkSession, dir: String): DataFrame =
@@ -650,13 +661,9 @@ object MwasPipelineQueries {
     * hash-compared instead of rows-only: the Scala pickle VM's decode is
     * checked cell-for-cell against the independent pandas decode at
     * driver time. Regenerated only when the fixture corpus changes. */
-  private[operators] def mirrorDir: java.io.File = {
-    val d = new java.io.File(new java.io.File(fixtureCorpus).getParentFile,
+  private[operators] def mirrorDir: java.io.File =
+    new java.io.File(new java.io.File(fixtureCorpus).getParentFile,
       "mwaspkl_mirror")
-    require(d.isDirectory,
-      s"mwaspkl mirror not found at $d (run tools/picklemirror.py)")
-    d
-  }
 
   /** S4 — the pickle-corpus migration surface (graft.sources.PickleCompat)
     * over the committed reference-written fixtures. Oracled against the
@@ -667,7 +674,7 @@ object MwasPipelineQueries {
     * `dir` is unused: the corpus is a fixed fixture tree, not
     * scale-factor data. */
   def pickleMigrateQuery(s: SparkSession, dir: String): DataFrame = {
-    graft.sources.PickleCompat.condensedSets(s, fixtureCorpus)
+    graft.sources.PickleCompat.condensedSets(s, requireFixtureCorpus())
       .select(col("bioproject"), col("attributes"), col("values"),
         array_join(col("members"), "; ").as("members"),
         col("n_stored").cast("long").as("n_stored"), col("include"),
@@ -863,7 +870,7 @@ object MwasPipelineQueries {
     * query itself exercises the pushdown: the IN predicate prunes the
     * listing to two files before a byte of the others is read. */
   def pickleDsQuery(s: SparkSession, dir: String): DataFrame = {
-    s.read.format("mwaspkl").load(fixtureCorpus)
+    s.read.format("mwaspkl").load(requireFixtureCorpus())
       .filter(col("bioproject").isin("PRJTEST1", "PRJEDGE"))
       .select(col("bioproject"), col("attributes"), col("values"),
         // string, not ARRAY: the driver's pandas compare can't sort arrays

@@ -72,24 +72,29 @@ object StreamMwasAb {
       timed {
         val pdims = Pipeline.dims(cat, sets)
         pdims.bpUniverse.persist(); pdims.member.persist()
-        slices.foreach { slice =>
-          val prev = spark.conf.get("spark.sql.shuffle.partitions")
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
-          try {
-            val delta = Pipeline.biosampleState(slice, cat, cfg)
-            val merged = state match {
-              case None => delta
-              case Some(p) => Pipeline.mergeBiosampleState(p, delta)
-            }
-            val next = merged.localCheckpoint()
-            state = Some(next)
-            Pipeline.runFromBiosampleState(next, cat, sets, cfg,
-              Some(pdims))
-              .write.mode("overwrite").parquet(resultDir)
-          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        // unpersist exception-safely (r13 advisor): a throwing rep must
+        // not leak cached blocks into the next interleaved A/B sample
+        try {
+          slices.foreach { slice =>
+            val prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try {
+              val delta = Pipeline.biosampleState(slice, cat, cfg)
+              val merged = state match {
+                case None => delta
+                case Some(p) => Pipeline.mergeBiosampleState(p, delta)
+              }
+              val next = merged.localCheckpoint()
+              state = Some(next)
+              Pipeline.runFromBiosampleState(next, cat, sets, cfg,
+                Some(pdims))
+                .write.mode("overwrite").parquet(resultDir)
+            } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+          }
+        } finally {
+          pdims.member.unpersist(blocking = false)
+          pdims.bpUniverse.unpersist(blocking = false)
         }
-        pdims.member.unpersist(blocking = false)
-        pdims.bpUniverse.unpersist(blocking = false)
       }
     }
 

@@ -152,6 +152,30 @@ class MwasPickleSourceSpec extends AnyFunSuite {
         "regenerate with: python3 tools/picklemirror.py")
   }
 
+  test("committed pandas mirror sets.parquet is in sync (migrate grain)") {
+    // same gate for pickle_migrate's oracle grain (r13 advisor: scan
+    // .parquet alone left the condensed-set mirror checked only at the
+    // driver round gate). set_id is excluded exactly as the driver
+    // compare excludes it (xxhash64 is not cross-engine).
+    val mirrorPath = new java.io.File(
+      new java.io.File(fixtures).getParentFile, "mwaspkl_mirror")
+    val mirror = spark.read
+      .parquet(new java.io.File(mirrorPath, "sets.parquet").toString)
+      .select(col("bioproject"), col("attributes"), col("values"),
+        col("members"), col("n_stored").cast("long").as("n_stored"),
+        col("include"), col("n_biosamples").cast("long").as("n_biosamples"))
+      .collect().map(_.toString).sorted
+    val sets = PickleCompat.condensedSets(spark, fixtures)
+      .select(col("bioproject"), col("attributes"), col("values"),
+        array_join(col("members"), "; ").as("members"),
+        col("n_stored").cast("long").as("n_stored"), col("include"),
+        col("n_biosamples").cast("long").as("n_biosamples"))
+      .collect().map(_.toString).sorted
+    assert(mirror.length == sets.length && mirror.sameElements(sets),
+      "mwaspkl_mirror sets.parquet is out of sync with the fixture " +
+        "corpus — regenerate with: python3 tools/picklemirror.py")
+  }
+
   test("unsupported predicates stay as residual filters and still apply") {
     val rows = v2.filter(col("status") === "ok" &&
         col("include") === true)

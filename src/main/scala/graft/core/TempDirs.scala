@@ -25,14 +25,19 @@ object TempDirs {
   }
 
   // fixed-name staging dirs (streaming batch replays) are re-registered
-  // on every bench rep; dedupe so a 3-rep run adds one hook, not three
-  private val registered = new java.util.concurrent.ConcurrentHashMap[Path, Boolean]()
+  // on every bench rep; dedupe so a 3-rep run adds one hook, not three.
+  // A key SET, not a Boolean-valued map: `putIfAbsent(...) == null` with
+  // a Scala primitive value type never compared equal (the unboxed
+  // comparison is constant-false — compiler-warned), so no hook was ever
+  // registered and every fixed-name dir leaked past JVM exit.
+  private val registered = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[Path]()
 
   /** Register an existing directory for removal on JVM exit (idempotent
     * per path). For fixed-name scratch dirs that are deliberately reused
     * within a run. */
   def cleanOnExit(path: Path): Unit =
-    if (registered.putIfAbsent(path, true) == null)
+    if (registered.add(path))
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(path)))
 
   /** Depth-first recursive delete; tolerates files already gone. */

@@ -190,9 +190,14 @@ object MwasQueries {
     * statistic, p-value, method and side counts all hash-match. This
     * leaves only genuinely randomized operators (MC permutation, HLL,
     * percentile sketches) as no-oracle rows. */
-  def q23PermExact(s: SparkSession, dir: String): DataFrame = {
+  /** The exact-enumeration domain (capped, ≥2-per-side groups) shared by
+    * [[q23PermExact]] and ToleranceSpec's MC-vs-exact gate (VERDICT r13
+    * item 5): the spec forces the Monte-Carlo path on EXACTLY these
+    * groups, so the two paths are compared on identical data with no
+    * copied filter logic to drift. */
+  private[operators] def q23PermExactBase(s: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val permUdaf = udaf(new PermutationTest(), Encoders.product[Obs])
     val base = t(s, dir, "orders")
       .filter(col("o_custkey") < 60)
       .select(col("o_custkey"), col("o_orderkey"),
@@ -206,6 +211,12 @@ object MwasQueries {
       .withColumn("n_t", sum(when(col("isTrue"), 1L).otherwise(0L)).over(cw))
       .withColumn("n", count(lit(1)).over(cw))
       .filter(col("n_t") >= 2 && col("n") - col("n_t") >= 2)
+      .select(col("o_custkey"), col("value"), col("isTrue"))
+  }
+
+  def q23PermExact(s: SparkSession, dir: String): DataFrame = {
+    val permUdaf = udaf(new PermutationTest(), Encoders.product[Obs])
+    q23PermExactBase(s, dir)
       .groupBy(col("o_custkey"))
       .agg(permUdaf(col("value"), col("isTrue")).as("r"))
       .select(col("o_custkey"), col("r.statistic").as("stat"),

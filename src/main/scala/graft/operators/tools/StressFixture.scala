@@ -127,6 +127,53 @@ object StressFixture {
     replicate("customer", Map("c_custkey" -> 1000000L))
   }
 
+  /** `genall <outDir> [mult] [vocabMult]`: the COMPLETE mult× fixture
+    * dir (VERDICT r13 item 1 — the registry-wide slope audit needs every
+    * table present so arbitrary registry queries run against it).
+    * TPC-ish facts are replicated with key shifts that keep every
+    * foreign key valid AND keep per-dimension fan-out constant
+    * (lineitem's part/supp keys shift in lockstep with part/supplier);
+    * region/nation stay fixed exactly as TPC-H keeps them fixed across
+    * SFs. All shifts are ≡ 0 (mod 20·64), preserving the `% k` bucket
+    * assignments queries derive from keys (bioproject = custkey % 20
+    * etc.). documents/embeddings go through `gen` with vocabMult
+    * defaulting to mult so word document-frequency DENSITY stays
+    * constant — the scale direction a growing real corpus has (new
+    * documents bring new vocabulary), and the one that doesn't conflate
+    * every similarity join's slope with a df-densification artifact the
+    * dedup notes already measured separately (NOTES_r12 §slope). */
+  private def genAll(spark: SparkSession, outDir: String, mult: Int,
+      vocabMult: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    def replicate(table: String, shifts: Map[String, Long]): Unit = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val copies = (0 until mult).map { i =>
+        src.select(src.columns.map { c =>
+          shifts.get(c) match {
+            case Some(off) => (col(c) + lit(i * off)).as(c)
+            case None      => col(c)
+          }
+        }: _*)
+      }.reduce(_ union _)
+      copies.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table.parquet")
+      println(s"[stress] wrote ${mult}x $table to $outDir")
+    }
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      println(s"[stress] copied 1x $t to $outDir (fixed dim)")
+    }
+    replicate("customer", Map("c_custkey" -> 1000000L))
+    replicate("supplier", Map("s_suppkey" -> 100000L))
+    replicate("part", Map("p_partkey" -> 1000000L))
+    replicate("orders",
+      Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    replicate("lineitem", Map("l_orderkey" -> 10000000L,
+      "l_partkey" -> 1000000L, "l_suppkey" -> 100000L))
+    genEvents(spark, outDir, mult)
+    gen(spark, outDir, mult, vocabMult)
+  }
+
   // a tuple, not a nested private case class: Janino rejects the
   // private accessor in the generated serializer (Doc/Emb survive via
   // mapPartitions' different codegen path; Ev goes through .map)
@@ -240,6 +287,10 @@ object StressFixture {
           rest.drop(1).headOption.map(_.toInt).getOrElse(1))
       case "genrel" :: out :: rest =>
         genRel(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
+      case "genall" :: out :: rest =>
+        val m = rest.headOption.map(_.toInt).getOrElse(10)
+        genAll(spark, out, m,
+          rest.drop(1).headOption.map(_.toInt).getOrElse(m))
       case "genev" :: out :: rest =>
         genEvents(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
       case "measure" :: dir :: rest =>

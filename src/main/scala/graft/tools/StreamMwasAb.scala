@@ -35,10 +35,27 @@ object StreamMwasAb {
     graft.operators.MwasPipelineQueries.abFixtures(spark, sfDir,
       s"$base/input_full")
     val in = spark.read.parquet(s"$base/input_full")
-    val slices = (0 until nSlices).map(k =>
-      in.filter(pmod(xxhash64(col("run")), lit(nSlices)) === k))
+    val mode = if (args.length > 2) args(2) else ""
     val cat = graft.operators.MwasPipelineQueries.abCatalog(spark, sfDir)
       .persist()
+    // `bplocal`: batches are disjoint BIOPROJECT stripes — the update
+    // locality a time/project-ordered production stream has, and the
+    // regime the adaptive delta readout exists for. Default: run-hash
+    // batches (the registry query's shape — zero locality, every batch
+    // touches every bioproject). Input runs absent from the catalog
+    // (null bio_project) ride in stripe 0; the pipeline drops them
+    // identically in every arm.
+    val slices =
+      if (mode == "bplocal") {
+        val runBp = cat.select(col("run"), col("bio_project").as("bp"))
+        (0 until nSlices).map { k =>
+          in.join(runBp, Seq("run"), "left_outer")
+            .filter(coalesce(pmod(xxhash64(col("bp")), lit(nSlices)),
+              lit(0)) === k)
+            .select(in.columns.map(col): _*)
+        }
+      } else (0 until nSlices).map(k =>
+        in.filter(pmod(xxhash64(col("run")), lit(nSlices)) === k))
     val sets = graft.operators.MwasPipelineQueries.abSets(spark, sfDir)
       .persist()
     cat.count(); sets.count()
@@ -98,6 +115,45 @@ object StreamMwasAb {
       }
     }
 
+    /** Arm C (r14, VERDICT r13 item 2): incremental state like B plus
+      * the OPT-IN delta readout ([[Pipeline.incrementalTrigger]] with
+      * deltaReadout = true). Measured verdict: slower than B at every
+      * locally reachable scale (the readout is fixed-cost-bound —
+      * tools.DeltaReadoutProbe), which is WHY the flag defaults off and
+      * the registry query ships B's shape; this arm keeps the negative
+      * reproducible and will flip where the readout data term dominates.
+      * Under run-hash batching the locality guard additionally routes
+      * full (every batch touches every bioproject); `bplocal` batching
+      * exercises the true delta path. */
+    def armC(): Double = {
+      idx += 1
+      val resultDir = s"$base/resultC$idx"
+      var state: Option[DataFrame] = None
+      var results: Option[DataFrame] = None
+      timed {
+        val pdims = Pipeline.dims(cat, sets)
+        pdims.bpUniverse.persist(); pdims.member.persist()
+        val nUniverse = pdims.bpUniverse.count()
+        try {
+          slices.foreach { slice =>
+            val prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try {
+              val (next, full) = Pipeline.incrementalTrigger(slice, cat,
+                sets, cfg.copy(deltaReadout = true), pdims, nUniverse,
+                state, results)
+              state = Some(next)
+              results = Some(full)
+              full.write.mode("overwrite").parquet(resultDir)
+            } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+          }
+        } finally {
+          pdims.member.unpersist(blocking = false)
+          pdims.bpUniverse.unpersist(blocking = false)
+        }
+      }
+    }
+
     // maintenance-only arms: the state-update step alone, readout
     // excluded — this is the component the strategy changes (A re-scans
     // the accumulated log and re-reduces it every trigger: O(T²) rows
@@ -146,19 +202,61 @@ object StreamMwasAb {
       return
     }
 
-    // warm-up both arms once (JIT/codegen), then interleave
-    armA(); armB()
+    // warm-up all arms once (JIT/codegen), then interleave
+    armA(); armB(); armC()
     val as = scala.collection.mutable.ArrayBuffer.empty[Double]
     val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cs = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to reps).foreach { r =>
-      val a = armA(); val b = armB()
-      as += a; bs += b
-      println(f"[ab] rep$r  A(recompute)=$a%.2f s  B(incremental)=$b%.2f s")
+      val a = armA(); val b = armB(); val c = armC()
+      as += a; bs += b; cs += c
+      println(f"[ab] rep$r  A(recompute)=$a%.2f s  B(incremental)=$b%.2f s" +
+        f"  C(delta-readout)=$c%.2f s")
     }
     def med(v: Seq[Double]) = v.sorted.apply((v.size - 1) / 2)
-    println(f"[ab] MEDIAN A(recompute)   ${med(as.toSeq)}%.2f s")
-    println(f"[ab] MEDIAN B(incremental) ${med(bs.toSeq)}%.2f s")
-    println(f"[ab] ratio A/B ${med(as.toSeq) / med(bs.toSeq)}%.2f")
+    println(f"[ab] MEDIAN A(recompute)     ${med(as.toSeq)}%.2f s")
+    println(f"[ab] MEDIAN B(incremental)   ${med(bs.toSeq)}%.2f s")
+    println(f"[ab] MEDIAN C(delta-readout) ${med(cs.toSeq)}%.2f s")
+    println(f"[ab] ratio A/B ${med(as.toSeq) / med(bs.toSeq)}%.2f" +
+      f"  B/C ${med(bs.toSeq) / med(cs.toSeq)}%.2f" +
+      f"  A/C ${med(as.toSeq) / med(cs.toSeq)}%.2f")
+    // result parity across arms on the FINAL trigger — the A/B is only
+    // meaningful if all three strategies converge to the same answer
+    // (arm order in the last rep was A, B, C → idx-2, idx-1, idx).
+    // Exact string equality AND max relative float deviation: a carried
+    // row was computed in an earlier trigger whose aggregation saw a
+    // different partition layout, so ulp-level reassociation differences
+    // are expected — the profcompare standard (float ≤ 1.5e-12) is the
+    // bar, not bit equality across STRATEGIES (each strategy is
+    // bit-deterministic across runs of itself).
+    def snap(path: String): Set[String] = spark.read.parquet(path)
+      .collect().map(_.toString).toSet
+    val pa = snap(s"$base/resultA${idx - 2}")
+    val pb = snap(s"$base/resultB${idx - 1}")
+    val pc = snap(s"$base/resultC$idx")
+    println(s"[ab] parity rows A=${pa.size} B=${pb.size} C=${pc.size}  " +
+      s"A==B ${pa == pb}  B==C ${pb == pc}")
+    val keys = Seq("bioproject", "group", "metadata_field",
+      "metadata_value")
+    def floatdev(p1: String, p2: String): Unit = {
+      val l = spark.read.parquet(p1)
+      val r = spark.read.parquet(p2)
+      val fcols = l.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+        .map(_.name).filterNot(keys.contains)
+      val j = l.as("l").join(r.as("r"), keys, "full_outer")
+      val devs = fcols.map(c => max(abs(col(s"l.$c") - col(s"r.$c")) /
+        greatest(abs(col(s"l.$c")), abs(col(s"r.$c")), lit(1e-300)))
+        .as(c))
+      val row = j.agg(devs.head, devs.tail: _*).head()
+      val joined = j.count(); val nl = l.count(); val nr = r.count()
+      println(s"[ab] floatdev rows l=$nl r=$nr joined=$joined  " +
+        fcols.zipWithIndex.map { case (c, i) =>
+          val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+          f"$c=$v%.2e"
+        }.mkString("  "))
+    }
+    floatdev(s"$base/resultB${idx - 1}", s"$base/resultC$idx")
     spark.stop()
   }
 }

@@ -42,7 +42,9 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "q21_approx_aggs",     // percentile sketch — exact twin q21_stat_aggs
     "q23_permutation",     // seeded resample RNG — spec-oracled vs brute
                            // force; exact twin q23_permutation_exact is
-                           // hash-oracled (r11)
+                           // hash-oracled (r11); MC p-values machine-
+                           // gated within 3·SE of exact enumeration on
+                           // the shared domain (ToleranceSpec, r14)
     // pickle_migrate / pickle_ds_scan left this list in r13: DuckDB
     // still cannot read pickle, but it CAN read the pandas-exported
     // parquet mirror (tools/picklemirror.py), which is now their oracle

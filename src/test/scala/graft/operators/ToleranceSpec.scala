@@ -60,4 +60,41 @@ class ToleranceSpec extends AnyFunSuite {
     assert(math.abs(adApprox - exactAd) <= 0.05 * exactAd,
       s"HLL distinct $adApprox vs exact $exactAd exceeds the 5% contract")
   }
+
+  test("q23_permutation MC p-values within 3·SE of exact enumeration") {
+    // VERDICT r13 item 5 — the last waiver gains a quantitative gate.
+    // On q23_permutation_exact's own domain (the hash-oracled groups,
+    // via the SHARED base extractor so no filter logic is copied), force
+    // the Monte-Carlo path (exactCutoff = 0) with the production 10000
+    // resamples and require each seeded-MC p to sit within
+    // 3·sqrt(p(1−p)/N) of the exact-enumeration p — the binomial
+    // standard-error band the estimator obeys by construction — with a
+    // 2/(N+1) floor absorbing the (hits+1)/(N+1) correction's bias at
+    // the extremes. A broken RNG stream, a biased resampler, or a wrong
+    // two-sided count all blow this band; host noise cannot (the stream
+    // is seeded from data content only).
+    import graft.stats.PermutationTest
+    val n = 10000
+    val groups = MwasQueries.q23PermExactBase(spark, dir).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    assert(groups.size >= 3,
+      s"degenerate domain: only ${groups.size} exact-path groups at $dir")
+    groups.foreach { case (cust, rows) =>
+      val x = rows.filter(_.getBoolean(2)).map(_.getDouble(1))
+      val y = rows.filterNot(_.getBoolean(2)).map(_.getDouble(1))
+      val exact = PermutationTest.test(x, y, n, exactCutoff = 20000)
+      assert(exact.method == "permutation_exact",
+        s"cust $cust unexpectedly off the exact path: ${exact.method}")
+      val mc = PermutationTest.test(x, y, n, exactCutoff = 0)
+      assert(mc.method.startsWith("permutation_mc"),
+        s"cust $cust unexpectedly off the MC path: ${mc.method}")
+      assert(mc.statistic == exact.statistic,
+        s"cust $cust observed statistic differs across paths")
+      val p = exact.p_value
+      val band = math.max(3.0 * math.sqrt(p * (1 - p) / n), 2.0 / (n + 1))
+      assert(math.abs(mc.p_value - p) <= band,
+        f"cust $cust: MC p ${mc.p_value}%.4f vs exact $p%.4f " +
+          f"exceeds 3·SE band $band%.4f")
+    }
+  }
 }

@@ -364,6 +364,91 @@ object DedupQueries {
     containmentPrefixOn(s, dir, Some(keepers))
   }
 
+  /** Data-dependent containment POSTURE SELECTOR (VERDICT r13 item 3):
+    * both arms are oracled; which one is cheaper depends on the corpus —
+    * dedup-first pays only when the near-dup contraction collapses real
+    * mass (r13 measured it as pure overhead on the 98.7%-survivor
+    * fixture). The choice was a human pipeline decision; this operator
+    * makes it from the data.
+    *
+    * Pre-pass estimator: a deterministic 1-in-4 hash sample of the
+    * corpus (house portable hash — no RNG, cross-engine), the
+    * MinHash-LSH pair machinery over the SAMPLE only (sub-quadratic,
+    * ~1/16 of the full pair work), exact-Jaccard-verified at 0.7 — the
+    * same recall-certain relation `dedup_minhash_lsh`'s oracle accepts.
+    * The statistic is the fraction of sampled docs participating in a
+    * near-dup pair; a sampled doc sees its partner with probability 1/4,
+    * so the within-sample rate under-counts by the sample fraction and
+    * is corrected ×4 (documented estimator, spec-pinned). Routing:
+    * corrected rate ≥ 0.25 → a quarter of the corpus collapses →
+    * dedup-first; below → prefix-only. The choice is LOGGED as a
+    * constant `posture` column, so it is part of the hash-compared
+    * result — the oracle replays the same sample, the same exact pair
+    * relation, and the same threshold in SQL and must route identically.
+    *
+    * Scale shape: the pre-pass is two scalar actions over a sampled
+    * sub-quadratic plan (the CC convergence-check precedent); the chosen
+    * arm is unchanged. Wall ≈ better arm + pre-pass on both corpus
+    * classes (measured in NOTES_r14). */
+  def dedupContainmentAuto(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sample = d.filter(
+      graft.functions.PortableHash.bucket(col("doc_id"), 4) === 0)
+    val inPair = minhashPairsOf(sample)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct().count()
+    val nSample = sample.count()
+    val rate = 4.0 * inPair / math.max(nSample, 1L).toDouble
+    val dedupFirst = rate >= 0.25
+    val posture = if (dedupFirst) "dedup_first" else "prefix_only"
+    println(f"[containment_auto] sampled=$nSample in_pair=$inPair " +
+      f"corrected_rate=$rate%.3f -> $posture")
+    val arm =
+      if (dedupFirst) dedupContainmentDedupFirst(s, dir)
+      else containmentPrefixOn(s, dir, None)
+    // the redundant re-sort collapses (EliminateSorts); posture rides in
+    // the compared schema so a mis-route is a hash mismatch, not a log line
+    arm.withColumn("posture", lit(posture))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // lazy: composes dedupContainmentDedupFirstSql, a val defined LATER in
+  // this object — a strict val here would capture null at object init
+  // (the registry at the bottom forces it after every strict val is set)
+  lazy val dedupContainmentAutoSql: String = {
+    val prefixArm = dedupContainmentSql
+      .replace("ORDER BY doc_a, doc_b", "")
+    val dedupArm = dedupContainmentDedupFirstSql
+      .replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH rate AS (
+       |  WITH sh AS (
+       |    SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |            1, 15)) AS BIGINT) % 4 = 0)
+       |    WHERE len(w) >= 3),
+       |  p AS (
+       |    SELECT a.doc_id AS da, b.doc_id AS db
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+       |  ids AS (SELECT da AS id FROM p UNION SELECT db FROM p),
+       |  n AS (SELECT count(*) AS ns FROM documents
+       |        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |          1, 15)) AS BIGINT) % 4 = 0)
+       |  SELECT 4.0 * (SELECT count(*) FROM ids)
+       |           / greatest((SELECT ns FROM n), 1) AS r)
+       |SELECT doc_a, doc_b, containment, jaccard,
+       |       'dedup_first' AS posture
+       |FROM ($dedupArm) WHERE (SELECT r FROM rate) >= 0.25
+       |UNION ALL
+       |SELECT doc_a, doc_b, containment, jaccard,
+       |       'prefix_only' AS posture
+       |FROM ($prefixArm) WHERE (SELECT r FROM rate) < 0.25
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ----------------------------------------------------- D3: MinHash + LSH
 
   /** MinHash(64) → 32 bands × 2 rows → bucket-join candidates → exact
@@ -415,8 +500,14 @@ object DedupQueries {
   /** The unordered MinHash-LSH verified pair relation — shared by
     * [[dedupMinhashLsh]] (the pair query) and [[dedupCanonical]] (which
     * contracts it to clusters). */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = shingleSets(docs(s, dir))
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(docs(s, dir))
+
+  /** [[minhashPairs]] over an arbitrary document relation — the
+    * containment posture selector runs it over a hash SAMPLE of the
+    * corpus ([[dedupContainmentAuto]]). */
+  private[operators] def minhashPairsOf(d: DataFrame): DataFrame = {
+    val base = shingleSets(d)
     val banded = bandRelation(base)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -1348,6 +1439,8 @@ object DedupQueries {
         Some(dedupContainmentSql)), // same relation — shared oracle
       ("dedup_containment_dedupfirst", dedupContainmentDedupFirst _,
         Some(dedupContainmentDedupFirstSql)),
+      ("dedup_containment_auto", dedupContainmentAuto _,
+        Some(dedupContainmentAutoSql)),
       ("corpus_curation_funnel", corpusCurationFunnel _,
         Some(corpusCurationFunnelSql)),
       ("ann_lsh_bucket", annLshBucket _, Some(annLshBucketSql)))

@@ -36,8 +36,16 @@ object StressFixture {
       source: String, n_chars: Long)
   private case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
 
+  /** @param dupFrac fraction of base docs that get a planted near-dup
+    *        twin (default 0.05 = the sf0.1 character)
+    * @param exactFrac fraction that get an EXACT duplicate (default
+    *        0.0016 = the sf0.1 character); crank it (e.g. 0.8) to
+    *        synthesize the dup-heavy boilerplate corpus class (repeated
+    *        crawl snapshots) where the containment posture selector
+    *        must route dedup-first */
   private def gen(spark: SparkSession, outDir: String, mult: Int,
-      vocabMult: Int): Unit = {
+      vocabMult: Int, dupFrac: Double = 0.05,
+      exactFrac: Double = 0.0016): Unit = {
     import spark.implicits._
     val base = "/root/testdata/sf0.1"
     val vocab = spark.read.parquet(s"$base/documents.parquet")
@@ -74,12 +82,12 @@ object StressFixture {
         val src = "src" + r.nextInt(20)
         val d = Doc(id * 2, text, lang, src, text.length.toLong)
         val roll = r.nextDouble()
-        if (roll < 0.05) {
+        if (roll < dupFrac) {
           // planted near-dup twin: ~10% of words re-drawn
           val t2 = w0.map(w => if (r.nextDouble() < 0.1) draw(r) else w)
             .mkString(" ")
           Seq(d, Doc(id * 2 + 1, t2, lang, src, t2.length.toLong))
-        } else if (roll < 0.0516) {
+        } else if (roll < dupFrac + exactFrac) {
           Seq(d, d.copy(doc_id = id * 2 + 1)) // planted exact dup
         } else Seq(d)
       }
@@ -219,6 +227,12 @@ object StressFixture {
       ops: Seq[String], reps: Int): Unit = {
     ops.foreach { name =>
       val ts = (1 to reps).map { _ =>
+        // Bench's cold-rep protocol: without the evict, any query built
+        // on the session-scoped pipeline base cache times the CACHE on
+        // reps 2+ (mwas_pipeline_full read 0.8 s warm vs 25 s cold at
+        // 10× before this matched)
+        spark.catalog.clearCache()
+        graft.operators.MwasPipelineQueries.evict()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -284,7 +298,9 @@ object StressFixture {
     args.toList match {
       case "gen" :: out :: rest =>
         gen(spark, out, rest.headOption.map(_.toInt).getOrElse(10),
-          rest.drop(1).headOption.map(_.toInt).getOrElse(1))
+          rest.drop(1).headOption.map(_.toInt).getOrElse(1),
+          rest.drop(2).headOption.map(_.toDouble).getOrElse(0.05),
+          rest.drop(3).headOption.map(_.toDouble).getOrElse(0.0016))
       case "genrel" :: out :: rest =>
         genRel(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
       case "genall" :: out :: rest =>

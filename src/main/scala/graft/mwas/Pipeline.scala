@@ -228,7 +228,12 @@ object Pipeline {
       case _ =>
         runFromBiosampleState(next, catalog, sets, cfg, Some(pdims))
     }
-    (next, full.localCheckpoint())
+    // the results checkpoint exists ONLY for the delta carry (the next
+    // trigger's anti-join must not re-derive rows from a parquet dir the
+    // write below overwrites); in full-recompute mode nothing ever reads
+    // the carried frame, and the extra materialization cost a measured
+    // ~1 s/trigger (BENCH stream_mwas 11.1 → 14.2 s before this guard)
+    (next, if (cfg.deltaReadout) full.localCheckpoint() else full)
   }
 
   /** Stages 2b–5: the readout from the mergeable biosample state down to

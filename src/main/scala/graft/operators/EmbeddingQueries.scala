@@ -415,19 +415,37 @@ object EmbeddingQueries {
     * ann_cosine_topk posture; target side broadcast, model-sized at
     * test SFs — at 100 TB the pair relation comes from the IVF/LSH
     * candidate stage instead, and everything from `cosr` down is
-    * per-candidate relational algebra: two window ranks + two k-bounded
-    * aggregates + one three-way join, all on the candidate grain). The
-    * pair relation is localCheckpoint'd: three consumers (forward rank,
-    * forward/backward neighborhood aggregates) would otherwise each
-    * recompute the dot products. */
+    * per-candidate relational algebra on the candidate grain). The
+    * pair relation is localCheckpoint'd: the two neighborhood
+    * consumers would otherwise each recompute the dot products.
+    *
+    * r14 slope-audit lever, measured: the two `row_number` windows
+    * were the 10× wall — each is a FULL SORT of the |A|·|B| pair
+    * relation (100M rows at 10×; 391 s median, slope 159× vs ~2.5 s at
+    * 1×). Both neighborhood ranks are k-bounded top-k per group, which
+    * is [[graft.plans.TopKPerGroup]]'s exact contract: a bounded
+    * k-heap per group, O(n log k), NO sort, partial before the
+    * exchange so at most groups·k rows shuffle. Same total order
+    * (cosr DESC, id ASC — pairs are unique per (src,tgt), so ties
+    * cannot flip), bit-identical output, windows gone. `best` (rank 1)
+    * is a k=1 re-top over the |A|·k forward remnant, not a third pass
+    * over the pairs. */
   def bitextMarginMine(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = 4
     val v = vecs(s, dir).withColumn("nrm",
       sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    // the probe side sets the sweep's parallelism: a model-sized vector
+    // table arrives as ONE file split, and a 1-partition probe side runs
+    // the whole |A|·|B| nested-loop sweep as a single task (measured at
+    // 10×: 276 s single-task → 96 s under an argless repartition that
+    // AQE promptly coalesced — the INPUT is 10k tiny rows, but the
+    // OUTPUT each task fans into is |partition|·|B| pairs, which AQE
+    // cannot see → EXPLICIT width, exempt from coalescing). The 10k-row
+    // shuffle is free next to the sweep it parallelizes.
     val a = v.filter(col("label") < 5)
       .select(col("vec_id").as("src_id"), col("v").as("va"),
         col("nrm").as("na"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val b = v.filter(col("label") >= 5)
       .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
         col("nrm").as("nb"))
@@ -437,17 +455,18 @@ object EmbeddingQueries {
           (col("na") * col("nb")), 6).cast("decimal(12,6)"))
       .select(col("src_id"), col("tgt_id"), col("cosr"))
       .localCheckpoint()
-    val ranked = pairs
-      .withColumn("rkf", row_number().over(Window.partitionBy(col("src_id"))
-        .orderBy(col("cosr").desc, col("tgt_id"))))
-      .withColumn("rkb", row_number().over(Window.partitionBy(col("tgt_id"))
-        .orderBy(col("cosr").desc, col("src_id"))))
-    val fwdAgg = ranked.filter(col("rkf") <= k).groupBy(col("src_id"))
+    val fwdTop = graft.plans.TopK.perGroup(pairs, Seq(col("src_id")),
+      Seq(col("cosr").desc, col("tgt_id").asc), k).localCheckpoint()
+    val bwdTop = graft.plans.TopK.perGroup(pairs, Seq(col("tgt_id")),
+      Seq(col("cosr").desc, col("src_id").asc), k)
+    val fwdAgg = fwdTop.groupBy(col("src_id"))
       .agg(sum(col("cosr")).as("sum_f"), count(lit(1)).as("n_f"))
-    val bwdAgg = ranked.filter(col("rkb") <= k).groupBy(col("tgt_id"))
+    val bwdAgg = bwdTop.groupBy(col("tgt_id"))
       .agg(sum(col("cosr")).as("sum_b"), count(lit(1)).as("n_b"))
-    marginReadout(ranked.filter(col("rkf") === 1)
-      .select(col("src_id"), col("tgt_id"), col("cosr")), fwdAgg, bwdAgg)
+    val best = graft.plans.TopK.perGroup(fwdTop, Seq(col("src_id")),
+      Seq(col("cosr").desc, col("tgt_id").asc), 1)
+    marginReadout(best.select(col("src_id"), col("tgt_id"), col("cosr")),
+      fwdAgg, bwdAgg)
   }
 
   /** The margin formula, shared by the batch query and its streaming
@@ -492,13 +511,17 @@ object EmbeddingQueries {
     * after the last batch the state equals the batch query's
     * neighborhoods by the merge identity above. */
   def streamBitextMine(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = 4
     val v = vecs(s, dir).withColumn("nrm",
       sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
     val a = v.filter(col("label") < 5)
       .select(col("vec_id").as("src_id"), col("v").as("va"),
         col("nrm").as("na"))
+      // the static side's partition count IS the per-batch sweep's
+      // parallelism for the stream's whole lifetime — same single-file
+      // single-task hazard as the batch query, fixed the same way
+      // (explicit width: AQE would coalesce the 10k-row exchange)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .localCheckpoint() // the static side, reused by every trigger
     val b = v.filter(col("label") >= 5)
       .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
@@ -540,11 +563,12 @@ object EmbeddingQueries {
               .cast("decimal(12,6)"))
           .select(col("src_id"), col("tgt_id"), col("cosr"))
           .localCheckpoint() // two consumers: bwd store + fwd merge
-        // backward store: complete on arrival, append IS the merge
-        pairs.withColumn("rkb", row_number().over(
-            Window.partitionBy(col("tgt_id"))
-              .orderBy(col("cosr").desc, col("src_id"))))
-          .filter(col("rkb") <= k)
+        // backward store: complete on arrival, append IS the merge.
+        // TopKPerGroup instead of a row_number window (the r14 batch
+        // lever): the per-batch |A|×|batch| rank was a full sort per
+        // trigger; the bounded k-heap prunes map-side, no sort
+        graft.plans.TopK.perGroup(pairs, Seq(col("tgt_id")),
+            Seq(col("cosr").desc, col("src_id").asc), k)
           .groupBy(col("tgt_id"))
           .agg(sum(col("cosr")).as("sum_b"), count(lit(1)).as("n_b"))
           .write.mode("append").parquet(bwdDir)
@@ -554,16 +578,15 @@ object EmbeddingQueries {
           case Some(prev) => prev.select(col("src_id"), col("tgt_id"),
             col("cosr")).unionByName(pairs)
         }
-        val topk = unioned.withColumn("rkf", row_number().over(
-            Window.partitionBy(col("src_id"))
-              .orderBy(col("cosr").desc, col("tgt_id"))))
-          .filter(col("rkf") <= k)
+        val topk = graft.plans.TopK.perGroup(unioned, Seq(col("src_id")),
+            Seq(col("cosr").desc, col("tgt_id").asc), k)
           .localCheckpoint()
         fwdState = Some(topk)
         // margin readout over the two dimension-sized relations
         val fwdAgg = topk.groupBy(col("src_id"))
           .agg(sum(col("cosr")).as("sum_f"), count(lit(1)).as("n_f"))
-        marginReadout(topk.filter(col("rkf") === 1)
+        marginReadout(graft.plans.TopK.perGroup(topk, Seq(col("src_id")),
+            Seq(col("cosr").desc, col("tgt_id").asc), 1)
             .select(col("src_id"), col("tgt_id"), col("cosr")),
           fwdAgg, ss.read.parquet(bwdDir))
           .write.mode("overwrite").parquet(resultDir)

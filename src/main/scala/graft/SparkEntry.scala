@@ -40,7 +40,8 @@ object SparkEntry {
       graft.operators.DsirQueries.all ++
       graft.operators.PrivacyQueries.all ++
       graft.operators.RangeJoinQueries.all ++
-      graft.operators.StreamingRangeJoinQueries.all
+      graft.operators.StreamingRangeJoinQueries.all ++
+      graft.operators.StreamingPcaQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

@@ -959,14 +959,16 @@ object DedupQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB oracle for [[annLshBucket]], generated (not handwritten) so the
-    * hyperplane literals are byte-derived from the same [[lshPlanes]] seed
-    * the Spark plan compiles in. */
-  val annLshBucketSql: String = {
-    val planes = lshPlanes(16, 5)
+  /** Shared CTE block for the generated LSH oracles — planes → sign bits
+    * → per-(vector, table) buckets, with the hyperplane literals
+    * byte-derived from the same [[lshPlanes]] seed the Spark plans
+    * compile in (Java's shortest-round-trip Double rendering parses back
+    * to identical bits DuckDB-side). Used by [[annLshBucketSql]] and
+    * [[dedupEmbComponentsLshSql]]. */
+  private def lshBkCtesSql(planes: Array[Array[Array[Double]]]): String = {
     val rows = for { t <- planes.indices; b <- planes(t).indices } yield
       s"  ($t, $b, [${planes(t)(b).mkString(", ")}]::DOUBLE[])"
-    s"""WITH planes(tbl, bit, p) AS (VALUES
+    s"""planes(tbl, bit, p) AS (VALUES
        |${rows.mkString(",\n")}),
        |n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
        |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
@@ -979,7 +981,14 @@ object DedupQueries {
        |         THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END AS bval
        |  FROM n CROSS JOIN planes pl),
        |bk AS (SELECT vec_id, tbl, CAST(sum(bval) AS BIGINT) AS bucket
-       |       FROM bits GROUP BY 1, 2),
+       |       FROM bits GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[annLshBucket]], generated (not handwritten) so the
+    * hyperplane literals are byte-derived from the same [[lshPlanes]] seed
+    * the Spark plan compiles in. */
+  val annLshBucketSql: String = {
+    s"""WITH ${lshBkCtesSql(lshPlanes(16, 5))},
        |sig AS (SELECT vec_id,
        |          array_to_string(list(bucket::VARCHAR ORDER BY tbl),
        |            '; ') AS buckets
@@ -1154,6 +1163,84 @@ object DedupQueries {
       |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
       |GROUP BY v.vec_id
       |ORDER BY v.vec_id""".stripMargin
+
+  /** D5c: the PRODUCTION arm of [[dedupEmbComponents]] — the same
+    * clustering contract (cos ≥ 0.45 edges → star-rounds contraction →
+    * keep-min-per-component) with candidate generation routed through the
+    * multi-table LSH bucket relation instead of the exact all-pairs
+    * sweep. The r14 slope audit measured the exact arm at 9.7× wall per
+    * 10× input (within-block pairs grow ~quadratically; the lever was
+    * recorded, not shipped) — this arm's candidate join shuffles only on
+    * (tbl, bucket) and verifies bucket-mates, so pair work is bounded by
+    * bucket occupancy (nBits is the knob that holds it as N grows, the
+    * [[annLshNn]] sweep's own scaling rule).
+    *
+    * Same posture as [[annLshBucket]]: with the hyperplanes pinned the
+    * operator is a deterministic function of (corpus, planes), so the
+    * FULL relation — candidate set, edge set, component structure — is
+    * hash-oracled end to end against a DuckDB replay that receives the
+    * same planes as literals. Semantics vs the exact arm: the edge set is
+    * a subset (a ≥ 0.45 pair sharing no bucket in any of the 16 tables is
+    * not a candidate — P(miss) ≈ (1 − p^5)^16 with p = 1 − θ/π, ~14% at
+    * cos = 0.45 and falling fast toward cos = 1), so LSH components only
+    * ever REFINE exact components; DedupEmbLshSpec pins exactly that
+    * containment plus edge-subset, and the measured overlap on the
+    * fixtures. */
+  def dedupEmbComponentsLsh(s: SparkSession, dir: String): DataFrame = {
+    val bv = lshBucketRel(s, dir, lshPlanes(16, 5))
+    val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+    // distinct on the id pair only (the annLshNnFrom shape): vectors
+    // rejoin after dedup so the bucket shuffle stays narrow
+    val candIds = bv.join(
+        bv.select(col("tbl"), col("bucket"), col("vec_id").as("nb_id")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_id") < col("nb_id"))
+      .select(col("vec_id"), col("nb_id"))
+      .distinct()
+    val edges = candIds
+      .join(v, Seq("vec_id"))
+      .join(v.select(col("vec_id").as("nb_id"), col("v").as("vb"),
+        col("nrm").as("nrmb")), Seq("nb_id"))
+      .filter(dotNative(col("v"), col("vb")) /
+        (col("nrm") * col("nrmb")) >= 0.45)
+      .select(col("vec_id").as("u"), col("nb_id").as("v"))
+    val comp = connectedComponents(edges)
+      .select(col("u").as("vec_id"), col("v").as("component"))
+    vecs(s, dir).select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .withColumn("keep", col("vec_id") === col("component"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Generated oracle: the [[lshBkCtesSql]] bucket ladder (same plane
+    * literals as the Spark plan), bucket-mate candidates, cosine-verified
+    * edges, then the same recursive-CTE closure as
+    * [[dedupEmbComponentsSql]]. */
+  val dedupEmbComponentsLshSql: String =
+    s"""WITH RECURSIVE ${lshBkCtesSql(lshPlanes(16, 5))},
+       |cand AS (SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb
+       |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |         WHERE a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT c.pa, c.pb FROM cand c
+       |  JOIN n qa ON qa.vec_id = c.pa
+       |  JOIN n qb ON qb.vec_id = c.pb
+       |  WHERE list_sum(list_transform(list_zip(qa.e, qb.e),
+       |          s -> s[1] * s[2])) / (qa.nrm * qb.nrm) >= 0.45),
+       |sym AS (SELECT pa AS a, pb AS b FROM pairs
+       |        UNION ALL SELECT pb, pa FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |  WHERE s.b <> r.a)
+       |SELECT v.vec_id,
+       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
+       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) = v.vec_id AS keep
+       |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+       |GROUP BY v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 
   /** Transitive closure by recursive CTE — feasible at oracle scale, and
     * exactly the semantics the star rounds converge to. */
@@ -1432,6 +1519,8 @@ object DedupQueries {
       ("dedup_embedding_nn", dedupEmbeddingNn _, Some(dedupEmbeddingNnSql)),
       ("dedup_emb_components", dedupEmbComponents _,
         Some(dedupEmbComponentsSql)),
+      ("dedup_emb_components_lsh", dedupEmbComponentsLsh _,
+        Some(dedupEmbComponentsLshSql)),
       ("ann_cosine_topk", annCosineTopk _, Some(annCosineTopkSql)),
       ("ann_filtered_topk", annFilteredTopk _, Some(annFilteredTopkSql)),
       ("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),

@@ -239,15 +239,20 @@ object EmbeddingQueries {
     * scale, since everything after the covariance pass is
     * dimension-sized. Output: (dim, loading round-6, eigenvalue
     * round-6 — the Rayleigh quotient, constant column). */
+  /** Quantize a (vec_id, v: array<double>) relation to the exact int64
+    * (vec_id, j, vq) grain — step 1 of the ladder, shared with the
+    * streaming twin's per-batch partials ([[StreamingPcaQueries]]). */
+  private[operators] def pcaQuantized(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j"),
+        round(col("x") * 1e6).cast("long").as("vq"))
+
   /** The fit: centered relation, covariance, converged 8-round iterate,
     * and n — shared by the loadings query and the projection. */
   private def pcaFit(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, Long) = {
     val n = Tables(s, dir, "embeddings").count() // scalar, model-sized
-    val q = vecs(s, dir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
-      .select(col("vec_id"), col("j"),
-        round(col("x") * 1e6).cast("long").as("vq"))
+    val q = pcaQuantized(vecs(s, dir).select(col("vec_id"), col("v")))
     val sums = q.groupBy(col("j")).agg(sum(col("vq")).as("sj"))
     val centered = q.join(broadcast(sums), Seq("j"))
       .select(col("vec_id"), col("j"),
@@ -266,6 +271,15 @@ object EmbeddingQueries {
         round(col("cnum").cast("double") / lit(scale), 6)
           .cast("decimal(12,6)").as("cov"))
       .localCheckpoint() // read once per iteration round
+    (centered, cov, pcaIterate(s, cov), n)
+  }
+
+  /** Steps 5's 8 exact-decimal power-iteration rounds over a fitted
+    * (j, k, cov DECIMAL(12,6)) relation — shared by the batch fit and the
+    * streaming twin's readout so both iterate through literally the same
+    * plan fragments. */
+  private[operators] def pcaIterate(s: SparkSession, cov: DataFrame)
+      : DataFrame = {
     var w = s.range(D).select(col("id").as("k"),
       lit(BigDecimal("0.125000")).cast("decimal(12,6)").as("w"))
     (1 to 8).foreach { _ =>
@@ -289,11 +303,13 @@ object EmbeddingQueries {
             .cast("decimal(12,6)").as("w"))
         .localCheckpoint()
     }
-    (centered, cov, w, n)
+    w
   }
 
-  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
-    val (_, cov, w, _) = pcaFit(s, dir)
+  /** The loadings + Rayleigh-quotient tail — shared by [[embPcaPower]]
+    * and the streaming twin's readout. */
+  private[operators] def pcaLoadings(cov: DataFrame, w: DataFrame)
+      : DataFrame = {
     val eig = cov.join(broadcast(w.withColumnRenamed("w", "wk")), Seq("k"))
       .join(broadcast(w.select(col("k").as("j"),
         col("w").as("wj"))), Seq("j"))
@@ -306,6 +322,11 @@ object EmbeddingQueries {
         col("w").cast("double").as("loading"),
         round(col("rayleigh"), 6).as("eigenvalue"))
       .orderBy(col("dim"))
+  }
+
+  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val (_, cov, w, _) = pcaFit(s, dir)
+    pcaLoadings(cov, w)
   }
 
   /** PCA transform — per-vector score on the fitted component,

@@ -41,7 +41,8 @@ object SparkEntry {
       graft.operators.PrivacyQueries.all ++
       graft.operators.RangeJoinQueries.all ++
       graft.operators.StreamingRangeJoinQueries.all ++
-      graft.operators.StreamingPcaQueries.all
+      graft.operators.StreamingPcaQueries.all ++
+      graft.operators.StreamingIvmQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

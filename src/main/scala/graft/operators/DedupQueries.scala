@@ -1128,6 +1128,14 @@ object DedupQueries {
           (col("nrm") * col("nrmb")) >= 0.45)
         .select(col("vec_id").as("u"), col("nb_id").as("v"))
     }.reduce(_ union _)
+    embComponentsFrom(s, dir, edges)
+  }
+
+  /** Shared tail of the three embedding-clustering arms: contract the
+    * (u, v) edge list with the star rounds, left-join the mapping back
+    * onto the vector universe, singletons become their own components. */
+  private def embComponentsFrom(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     val comp = connectedComponents(edges)
       .select(col("u").as("vec_id"), col("v").as("component"))
     vecs(s, dir).select(col("vec_id"))
@@ -1164,16 +1172,29 @@ object DedupQueries {
       |GROUP BY v.vec_id
       |ORDER BY v.vec_id""".stripMargin
 
-  /** D5c: the PRODUCTION arm of [[dedupEmbComponents]] — the same
-    * clustering contract (cos ≥ 0.45 edges → star-rounds contraction →
+  /** D5c: LSH-candidate clustering — the same clustering contract as
+    * [[dedupEmbComponents]] (cos ≥ 0.45 edges → star-rounds contraction →
     * keep-min-per-component) with candidate generation routed through the
     * multi-table LSH bucket relation instead of the exact all-pairs
-    * sweep. The r14 slope audit measured the exact arm at 9.7× wall per
-    * 10× input (within-block pairs grow ~quadratically; the lever was
-    * recorded, not shipped) — this arm's candidate join shuffles only on
-    * (tbl, bucket) and verifies bucket-mates, so pair work is bounded by
-    * bucket occupancy (nBits is the knob that holds it as N grows, the
-    * [[annLshNn]] sweep's own scaling rule).
+    * sweep.
+    *
+    * MEASURED NEGATIVE (r14 continuation — recorded, not hidden): this
+    * arm does NOT scale for threshold clustering and is NOT the
+    * production path. Random pairs collide in some bucket at a rate set
+    * by (L, nBits) alone (~L/2^nBits ≈ 40% of ALL pairs at 16×5 — the
+    * recall-vs-budget sweep's own physics), so the candidate set tracks
+    * N² on any corpus; and holding occupancy by raising nBits collapses
+    * RECALL at moderate thresholds (p_table = 0.685^nBits at cos 0.45).
+    * Measured at the 10× fixture: 25.9 s (16×5) / 21.9 s (16×8) vs the
+    * exact broadcast sweep's 9.5 s — the exact arm never materializes
+    * pairs, this arm shuffles them. Sign-bit LSH is the right candidate
+    * machinery for top-k NN ([[annLshNn]]), where only bucket-MATES are
+    * scored; for threshold clustering the scale arm is the cell-bounded
+    * [[dedupEmbComponentsCells]] (K grows with N; measured slope 1.3×).
+    * The operator stays registered because it is a complete, oracled,
+    * refinement-proven relation a user may still want at NN-like
+    * thresholds (cos ≳ 0.8, where per-pair recall is high and bucket
+    * occupancy prunes hard).
     *
     * Same posture as [[annLshBucket]]: with the hyperplanes pinned the
     * operator is a deterministic function of (corpus, planes), so the
@@ -1186,8 +1207,9 @@ object DedupQueries {
     * ever REFINE exact components; DedupEmbLshSpec pins exactly that
     * containment plus edge-subset, and the measured overlap on the
     * fixtures. */
-  def dedupEmbComponentsLsh(s: SparkSession, dir: String): DataFrame = {
-    val bv = lshBucketRel(s, dir, lshPlanes(16, 5))
+  def dedupEmbComponentsLsh(s: SparkSession, dir: String,
+      nTables: Int = 16, nBits: Int = 5): DataFrame = {
+    val bv = lshBucketRel(s, dir, lshPlanes(nTables, nBits))
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
     // distinct on the id pair only (the annLshNnFrom shape): vectors
     // rejoin after dedup so the bucket shuffle stays narrow
@@ -1204,14 +1226,65 @@ object DedupQueries {
       .filter(dotNative(col("v"), col("vb")) /
         (col("nrm") * col("nrmb")) >= 0.45)
       .select(col("vec_id").as("u"), col("nb_id").as("v"))
-    val comp = connectedComponents(edges)
-      .select(col("u").as("vec_id"), col("v").as("component"))
-    vecs(s, dir).select(col("vec_id"))
-      .join(comp, Seq("vec_id"), "left_outer")
-      .withColumn("component", coalesce(col("component"), col("vec_id")))
-      .withColumn("keep", col("vec_id") === col("component"))
-      .orderBy(col("vec_id"))
+    embComponentsFrom(s, dir, edges)
   }
+
+  /** D5d: CELL-BOUNDED clustering — the "finer cells" lever the r14
+    * slope audit recorded for the exact arm, and the arm that actually
+    * scales for threshold clustering. Candidates are same-cell pairs
+    * under the frozen first-K quantizer ([[SemDedupQueries.cellAssign]],
+    * the SemDedup machinery): within-cell pair work is Σ c² with
+    * c = N/K, so K growing with N holds per-cell work constant and total
+    * pair work LINEAR — the knob the SemDedup paper scales to 10⁸
+    * embeddings with. The sign-bit LSH arm ([[dedupEmbComponentsLsh]])
+    * cannot do this at threshold 0.45: random pairs collide in some
+    * bucket at a rate set by (L, nBits) alone (~40% at 16×5 — the
+    * recall-vs-budget sweep's own physics), so its candidate set tracks
+    * N² on any corpus, while cells track N at held occupancy. Measured
+    * at the 10× fixture in NOTES_r14's continuation table.
+    *
+    * Same oracle posture as [[SemDedupQueries.semDedup]]: the frozen
+    * codebook makes assignment, edges, and components exact functions of
+    * the corpus; DuckDB replays the identical ladder. Semantics: edges
+    * are the cos ≥ 0.45 pairs that share a cell — a subset of the exact
+    * arm's, so cell components REFINE exact components
+    * (DedupEmbCellsSpec). */
+  def dedupEmbComponentsCells(s: SparkSession, dir: String,
+      kCells: Int = 16): DataFrame = {
+    val assign = SemDedupQueries.cellAssign(s, dir, kCells)
+    val nb = assign.select(col("cell"), col("vec_id").as("nb_id"),
+      col("v").as("vb"), col("nrm").as("nrmb"))
+    val edges = assign.join(nb, Seq("cell"))
+      .filter(col("vec_id") < col("nb_id"))
+      .filter(dotNative(col("v"), col("vb")) /
+        (col("nrm") * col("nrmb")) >= 0.45)
+      .select(col("vec_id").as("u"), col("nb_id").as("v"))
+    embComponentsFrom(s, dir, edges)
+  }
+
+  /** Generated oracle: the shared cell-assignment CTEs
+    * ([[SemDedupQueries.cellCtesSql]]), same-cell cosine-verified pairs,
+    * then the recursive closure shared by every clustering oracle. */
+  val dedupEmbComponentsCellsSql: String =
+    s"""WITH RECURSIVE ${SemDedupQueries.cellCtesSql(16)},
+       |pairs AS (
+       |  SELECT x.vec_id AS pa, p.vec_id AS pb
+       |  FROM a x JOIN a p ON x.cell = p.cell AND x.vec_id < p.vec_id
+       |  WHERE list_sum(list_transform(list_zip(x.e, p.e),
+       |          z -> z[1] * z[2])) / (x.nrm * p.nrm) >= 0.45),
+       |sym AS (SELECT pa AS a, pb AS b FROM pairs
+       |        UNION ALL SELECT pb, pa FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |  WHERE s.b <> r.a)
+       |SELECT v.vec_id,
+       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
+       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) = v.vec_id AS keep
+       |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+       |GROUP BY v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 
   /** Generated oracle: the [[lshBkCtesSql]] bucket ladder (same plane
     * literals as the Spark plan), bucket-mate candidates, cosine-verified
@@ -1519,8 +1592,12 @@ object DedupQueries {
       ("dedup_embedding_nn", dedupEmbeddingNn _, Some(dedupEmbeddingNnSql)),
       ("dedup_emb_components", dedupEmbComponents _,
         Some(dedupEmbComponentsSql)),
-      ("dedup_emb_components_lsh", dedupEmbComponentsLsh _,
+      ("dedup_emb_components_lsh",
+        (s: SparkSession, d: String) => dedupEmbComponentsLsh(s, d),
         Some(dedupEmbComponentsLshSql)),
+      ("dedup_emb_components_cells",
+        (s: SparkSession, d: String) => dedupEmbComponentsCells(s, d),
+        Some(dedupEmbComponentsCellsSql)),
       ("ann_cosine_topk", annCosineTopk _, Some(annCosineTopkSql)),
       ("ann_filtered_topk", annFilteredTopk _, Some(annFilteredTopkSql)),
       ("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),

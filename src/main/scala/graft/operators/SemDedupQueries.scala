@@ -46,17 +46,22 @@ object SemDedupQueries {
   private val k = 16 // clusters; fixture-sized stand-in for the paper's 1e5
   private val tau = 0.35 // ε: max-cosine a survivor may have to a prior
 
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Frozen-quantizer cell assignment: (vec_id, cell, v, nrm) under the
+    * first-`kCells`-by-vec_id codebook — shared by [[semDedup]] and the
+    * cell-bounded clustering arm
+    * ([[DedupQueries.dedupEmbComponentsCells]]). */
+  private[operators] def cellAssign(s: SparkSession, dir: String,
+      kCells: Int): DataFrame = {
     val dot = graft.functions.VectorOps.dot_product _
     val v = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val cents = v.filter(col("vec_id") < k)
+    val cents = v.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("v").as("ce"),
         dot(col("v"), col("v")).as("csq"))
     // argmin |v−c|² with the algebraic expansion (|v|² rank-invariant,
     // kept for tie parity with the oracle); deterministic tie-break on cell
-    val assign = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("ce")) +
           col("csq"))
@@ -64,6 +69,31 @@ object SemDedupQueries {
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+  }
+
+  /** The matching DuckDB CTE block (n → centroids → ranked assignment →
+    * `a` = (vec_id, cell, e, nrm)) — the SQL twin of [[cellAssign]],
+    * shared by [[semDedupSql]] and the cell-bounded clustering oracle. */
+  private[operators] def cellCtesSql(kCells: Int): String =
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |          x -> x * x))) AS nrm
+      |      FROM embeddings),
+      |c AS (SELECT vec_id AS cell, e AS ce,
+      |        list_sum(list_transform(e, x -> x * x)) AS csq
+      |      FROM n WHERE vec_id < $kCells),
+      |rk AS (SELECT n.vec_id, c.cell, n.e, n.nrm,
+      |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |           n.nrm * n.nrm
+      |             - 2.0 * list_sum(list_transform(list_zip(n.e, c.ce),
+      |                 z -> z[1] * z[2]))
+      |             + c.csq, c.cell) AS r
+      |       FROM n CROSS JOIN c),
+      |a AS (SELECT vec_id, cell, e, nrm FROM rk WHERE r = 1)""".stripMargin
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.VectorOps.dot_product _
+    val assign = cellAssign(s, dir, k)
     val priors = assign.select(col("cell"), col("vec_id").as("prior_id"),
       col("v").as("vb"), col("nrm").as("nrmb"))
     val sims = assign.join(priors, Seq("cell"))
@@ -83,21 +113,7 @@ object SemDedupQueries {
   }
 
   val semDedupSql: String =
-    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-      |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
-      |          x -> x * x))) AS nrm
-      |      FROM embeddings),
-      |c AS (SELECT vec_id AS cell, e AS ce,
-      |        list_sum(list_transform(e, x -> x * x)) AS csq
-      |      FROM n WHERE vec_id < $k),
-      |rk AS (SELECT n.vec_id, c.cell, n.e, n.nrm,
-      |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
-      |           n.nrm * n.nrm
-      |             - 2.0 * list_sum(list_transform(list_zip(n.e, c.ce),
-      |                 z -> z[1] * z[2]))
-      |             + c.csq, c.cell) AS r
-      |       FROM n CROSS JOIN c),
-      |a AS (SELECT vec_id, cell, e, nrm FROM rk WHERE r = 1),
+    s"""WITH ${cellCtesSql(k)},
       |sims AS (SELECT x.vec_id, count(*) AS n_prior,
       |           max(list_sum(list_transform(list_zip(x.e, p.e),
       |             z -> z[1] * z[2])) / (x.nrm * p.nrm)) AS mc

@@ -69,10 +69,18 @@ object StreamingPcaQueries {
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
     val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       // one quantize pass per batch feeds both partials (each vector
-      // lives wholly in its batch, so the moment self-join is batch-local)
+      // lives wholly in its batch, so the moment self-join is batch-local).
+      // EXPLICIT-width repartition on the join key before the checkpoint:
+      // the staged batch is ONE file split, so without it the entire
+      // 64×64 moment fan-out runs as a single task (the bitext
+      // single-task-sweep lesson, NOTES_r14) — and the width must be
+      // explicit because AQE sizes the 4096-row OUTPUT, not the fan-out.
+      // Co-partitioning both self-join sides on vec_id also makes the
+      // join exchange-free. Measured at the 10× fixture: 28.2 → 12.7 s.
       val bq = EmbeddingQueries.pcaQuantized(
         batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v")))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .localCheckpoint(true)
       bq.alias("a").join(bq.alias("b"), col("a.vec_id") === col("b.vec_id"))
         .groupBy(col("a.j").as("j"), col("b.j").as("k"))

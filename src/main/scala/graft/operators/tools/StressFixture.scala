@@ -268,6 +268,20 @@ object StressFixture {
     time("lsh_nn_5bit") (graft.operators.DedupQueries.annLshNn(spark, dir))
     time("lsh_nn_8bit") (
       graft.operators.DedupQueries.annLshNn(spark, dir, 16, 8))
+    // the emb-clustering LSH arm's occupancy knob: 5-bit = the shipped
+    // oracle setting, 8-bit = the bucket-size-holding setting for a 10×
+    // corpus (raise nBits with log2(N), the annLshNn sweep's rule)
+    time("emb_cc_lsh_5bit") (
+      graft.operators.DedupQueries.dedupEmbComponentsLsh(spark, dir))
+    time("emb_cc_lsh_8bit") (
+      graft.operators.DedupQueries.dedupEmbComponentsLsh(spark, dir, 16, 8))
+    // the cell-bounded arm's occupancy knob: 16 cells = the shipped
+    // oracle setting; 160 = the cell-size-holding setting for a 10×
+    // corpus (K grows with N — the SemDedup paper's own scaling rule)
+    time("emb_cc_cells_16") (
+      graft.operators.DedupQueries.dedupEmbComponentsCells(spark, dir))
+    time("emb_cc_cells_160") (
+      graft.operators.DedupQueries.dedupEmbComponentsCells(spark, dir, 160))
     // the simhash blockBits lever (see DedupQueries.simhashNear): 16-bit
     // blocks ≈ the shipped width, 20-bit = the occupancy-holding setting
     // for ~30× corpora

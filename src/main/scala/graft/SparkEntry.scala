@@ -42,7 +42,8 @@ object SparkEntry {
       graft.operators.RangeJoinQueries.all ++
       graft.operators.StreamingRangeJoinQueries.all ++
       graft.operators.StreamingPcaQueries.all ++
-      graft.operators.StreamingIvmQueries.all
+      graft.operators.StreamingIvmQueries.all ++
+      graft.operators.StreamingComponentsQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

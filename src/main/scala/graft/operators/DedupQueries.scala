@@ -125,17 +125,27 @@ object DedupQueries {
     * variant); `pred` fixes the pairing discipline (a<b for the
     * unordered relation, != for both orientations). Single-sourced so
     * the threshold/prefilter can never drift between consumers. */
+  /* `shuffleWordJoin` pins the (source, word) join to SortMergeJoin.
+   * The store-probe consumer needs it: its left side is the parquet
+   * word STORE, whose small-file size estimate (propagated through the
+   * localCheckpoint — LogicalRDD carries origin stats) makes Catalyst
+   * BROADCAST the multi-million-row store side, and the single-threaded
+   * broadcast build then costs ~wall-linear in store size (measured
+   * 36→105 s/trigger at the 10× fixture; stage listener showed one
+   * 1-task build stage). The batch arms keep their default plans. */
   private def jaccardJoin(w: DataFrame, wRight: DataFrame,
       pred: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column): DataFrame = {
+        org.apache.spark.sql.Column,
+      shuffleWordJoin: Boolean = false): DataFrame = {
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val right = wRight.select(col("source"), col("doc_id").as("doc_r"),
+        col("word"))
+      .join(broadcast(nw.select(col("doc_id").as("doc_r"),
+        col("nw").as("nr"))), "doc_r")
     w.select(col("source"), col("doc_id").as("doc_l"), col("word"))
       .join(broadcast(nw.select(col("doc_id").as("doc_l"),
         col("nw").as("nl"))), "doc_l")
-      .join(wRight.select(col("source"), col("doc_id").as("doc_r"),
-        col("word"))
-        .join(broadcast(nw.select(col("doc_id").as("doc_r"),
-          col("nw").as("nr"))), "doc_r"),
+      .join(if (shuffleWordJoin) right.hint("shuffle_merge") else right,
         Seq("source", "word"))
       .filter(pred(col("doc_l"), col("doc_r")) &&
         least(col("nl"), col("nr")).cast("double") >=
@@ -175,6 +185,29 @@ object DedupQueries {
     jaccardJoin(w, wp, _ =!= _)
       .select(col("doc_l").as("doc_x"), col("doc_r").as("doc_p"))
   }
+
+  /** Word relation from an explicit documents frame — the streaming
+    * accumulate-and-probe consumers' grain
+    * ([[StreamingComponentsQueries]]). Same explode as [[wordRel]]. */
+  private[operators] def wordRelOf(d: DataFrame): DataFrame =
+    d.select(col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+
+  /** Store-probe variant: exact J ≥ 0.7 pairs between the docs of
+    * `probeWords` (a (source, doc_id, word) relation whose docs must
+    * already be IN `store` — the caller has it in hand, so re-deriving
+    * it by semi-joining the store would pay a full store scan per
+    * trigger for nothing) and ANY doc in the accumulated store,
+    * normalized unordered. Threshold and length prefilter single-sourced
+    * through [[jaccardJoin]], so the relation is exactly the subset of
+    * the batch pair relation touching the probe docs — which is what
+    * makes the streaming CC twin's per-trigger edge discovery EXACT. */
+  private[operators] def jaccardPairsStore(store: DataFrame,
+      probeWords: DataFrame): DataFrame =
+    jaccardJoin(store, probeWords, _ =!= _, shuffleWordJoin = true)
+      .select(least(col("doc_l"), col("doc_r")).as("u"),
+        greatest(col("doc_l"), col("doc_r")).as("v"))
+      .distinct()
 
   val dedupJaccardPairsSql: String =
     """WITH w AS (SELECT doc_id, source,

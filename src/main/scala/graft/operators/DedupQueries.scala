@@ -1178,20 +1178,14 @@ object DedupQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** Same recursive-CTE closure as [[dedupComponentsSql]], over the
-    * cosine pair graph. */
-  val dedupEmbComponentsSql: String =
-    """WITH RECURSIVE n AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS e,
-      |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
-      |           x -> x * x))) AS nrm
-      |  FROM embeddings),
-      |pairs AS (
-      |  SELECT a.vec_id AS pa, b.vec_id AS pb
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |  WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
-      |      / (a.nrm * b.nrm) >= 0.45),
-      |sym AS (SELECT pa AS a, pb AS b FROM pairs
+  /** Shared closure tail for the three embedding-clustering oracles:
+    * symmetrize a `pairs(pa, pb)` CTE, take the recursive reach, and
+    * read the (vec_id, component, keep) relation off the embeddings
+    * universe — the single source for what "clustered" means in SQL
+    * (the doc-grain and entity-grain oracles differ in universe and
+    * carried columns, so they state their own tails). */
+  private val embClosureTailSql: String =
+    """sym AS (SELECT pa AS a, pb AS b FROM pairs
       |        UNION ALL SELECT pb, pa FROM pairs),
       |reach(a, b) AS (
       |  SELECT a, b FROM sym
@@ -1204,6 +1198,21 @@ object DedupQueries {
       |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
       |GROUP BY v.vec_id
       |ORDER BY v.vec_id""".stripMargin
+
+  /** Same recursive-CTE closure as [[dedupComponentsSql]], over the
+    * cosine pair graph. */
+  val dedupEmbComponentsSql: String =
+    s"""WITH RECURSIVE n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |           x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+      |      / (a.nrm * b.nrm) >= 0.45),
+      |$embClosureTailSql""".stripMargin
 
   /** D5c: LSH-candidate clustering — the same clustering contract as
     * [[dedupEmbComponents]] (cos ≥ 0.45 edges → star-rounds contraction →
@@ -1305,19 +1314,7 @@ object DedupQueries {
        |  FROM a x JOIN a p ON x.cell = p.cell AND x.vec_id < p.vec_id
        |  WHERE list_sum(list_transform(list_zip(x.e, p.e),
        |          z -> z[1] * z[2])) / (x.nrm * p.nrm) >= 0.45),
-       |sym AS (SELECT pa AS a, pb AS b FROM pairs
-       |        UNION ALL SELECT pb, pa FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM sym
-       |  UNION
-       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-       |  WHERE s.b <> r.a)
-       |SELECT v.vec_id,
-       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
-       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) = v.vec_id AS keep
-       |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
-       |GROUP BY v.vec_id
-       |ORDER BY v.vec_id""".stripMargin
+       |$embClosureTailSql""".stripMargin
 
   /** Generated oracle: the [[lshBkCtesSql]] bucket ladder (same plane
     * literals as the Spark plan), bucket-mate candidates, cosine-verified
@@ -1334,19 +1331,7 @@ object DedupQueries {
        |  JOIN n qb ON qb.vec_id = c.pb
        |  WHERE list_sum(list_transform(list_zip(qa.e, qb.e),
        |          s -> s[1] * s[2])) / (qa.nrm * qb.nrm) >= 0.45),
-       |sym AS (SELECT pa AS a, pb AS b FROM pairs
-       |        UNION ALL SELECT pb, pa FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM sym
-       |  UNION
-       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-       |  WHERE s.b <> r.a)
-       |SELECT v.vec_id,
-       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
-       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) = v.vec_id AS keep
-       |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
-       |GROUP BY v.vec_id
-       |ORDER BY v.vec_id""".stripMargin
+       |$embClosureTailSql""".stripMargin
 
   /** Transitive closure by recursive CTE — feasible at oracle scale, and
     * exactly the semantics the star rounds converge to. */

@@ -103,7 +103,7 @@ object LinkageQueries {
     * the levenshtein join then pairs distinct strings per block, whose
     * count is bounded by |name space| × |corruption positions| no matter
     * how many records stream in (this fixture: 64 names ⇒ ≤ ~2k distinct
-    * dirty strings at ANY corpus size; measured 25.0 → 3.3 s at sf0.1,
+    * dirty strings at ANY corpus size; measured 25.0 → 3.0 s at sf0.1,
     * and the all-records join was quadratic-dead at 10× where this holds
     * the distinct grain CONSTANT). The
     * [[graft.plans.LevenshteinPrefilter]] rule injects the length bound
@@ -124,6 +124,9 @@ object LinkageQueries {
           expr("substr(p_name, pos + 1)")))
       .select(col("p_partkey"), col("dirty_name"),
         substring(col("dirty_name"), 1, 1).as("blk"))
+      // three consumers (reps, star edges, readout): checkpoint so the
+      // part scan + md5 corruption derive once (the pcaFit pattern)
+      .localCheckpoint()
     // exact contraction: identical dirty strings form a clique — one
     // star edge per non-representative record replaces it exactly
     val reps = dirty.groupBy(col("blk"), col("dirty_name"))

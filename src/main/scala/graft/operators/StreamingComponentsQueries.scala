@@ -17,7 +17,15 @@ import org.apache.spark.sql.streaming.Trigger
   *      everything seen so far ([[DedupQueries.jaccardPairsStore]] —
   *      same join, same prefilter, same threshold as the batch pair
   *      relation, so per-trigger discovery is exactly the new-edge
-  *      subset). Per-trigger probe work ∝ batch, never history².
+  *      subset). Honest cost statement: the probe's OUTPUT and its
+  *      word-collision term are ∝ batch, but each trigger re-scans and
+  *      re-shuffles the accumulated store (and re-derives the per-doc
+  *      count relation from it) — one O(history) pass per trigger,
+  *      measured flat ~15 s/trigger across a 3×-growing store at the
+  *      10× fixture. At production scale that pass is the store
+  *      staying cluster-cached between triggers, and the banded
+  *      candidate swap (the batch arm's documented 100 TB path)
+  *      replaces the word join entirely.
   *   2. The component structure is carried as the CONTRACTED MAPPING —
   *      the converged (node → component-min) star relation, |V| rows —
   *      not the accumulated edge list. Each trigger re-contracts
@@ -54,13 +62,8 @@ object StreamingComponentsQueries {
         d.filter(col("doc_id") > b1 && col("doc_id") <= b2),
         d.filter(col("doc_id") > b2)))
 
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_cc_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
+    val base = graft.streaming.StreamingQueries.stateBase(
+      "graft_stream_cc", dir)
     val wordsDir = s"$base/words"
     @volatile var mappingPath: Option[String] = None
 

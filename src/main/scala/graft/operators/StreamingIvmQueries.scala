@@ -82,13 +82,8 @@ object StreamingIvmQueries {
       "graft_stream_ivm_stage_" + Integer.toHexString(dir.hashCode),
       batches)
 
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_ivm_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
+    val base = graft.streaming.StreamingQueries.stateBase(
+      "graft_stream_ivm", dir)
     val deltaDir = s"$base/deltas"
 
     val src = s.readStream.schema(batches.head.schema)

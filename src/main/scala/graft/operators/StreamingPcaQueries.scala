@@ -55,13 +55,8 @@ object StreamingPcaQueries {
         d.filter(col("vec_id") > b1 && col("vec_id") <= b2),
         d.filter(col("vec_id") > b2)))
 
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_pca_" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid())
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
-    base.mkdirs()
-    graft.core.TempDirs.cleanOnExit(base.toPath)
+    val base = graft.streaming.StreamingQueries.stateBase(
+      "graft_stream_pca", dir)
     val momentsDir = s"$base/moments"
     val sumsDir = s"$base/sums"
 

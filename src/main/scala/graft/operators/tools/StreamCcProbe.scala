@@ -74,8 +74,8 @@ object StreamCcProbe {
       // mimic = the operator's exact data shapes: single-partition batch
       // (one staged file per trigger), parquet store read back per
       // trigger, and the cross-session RDD[Row] re-anchor
-      val b1 = if (mimic) b.coalesce(1) else b
-      val w0 = DedupQueries.wordRelOf(b1).localCheckpoint(true)
+      val bDf = if (mimic) b.coalesce(1) else b
+      val w0 = DedupQueries.wordRelOf(bDf).localCheckpoint(true)
       val w = if (mimic) spark.createDataFrame(w0.rdd, w0.schema) else w0
       if (mimic) {
         w0.write.mode("append").parquet(wordsDir)

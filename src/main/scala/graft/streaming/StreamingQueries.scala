@@ -75,6 +75,23 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Per-run scratch base for a stream's STATE stores (partial/delta/
+    * mapping dirs) — the same pid-scoped create-time wipe + exit-hook
+    * cleanup discipline [[stageBatches]] applies to its staging dir,
+    * factored so each harness doesn't restate it (the r13 TempDirs
+    * hook-registration bug lived in exactly this kind of restated
+    * boilerplate). */
+  private[graft] def stateBase(name: String, dir: String): java.io.File = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      name + "_" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid())
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    base.mkdirs()
+    graft.core.TempDirs.cleanOnExit(base.toPath)
+    base
+  }
+
   /** Stage pre-split batches as single parquet files with ASCENDING
     * pinned mtimes, so a `maxFilesPerTrigger=1` file source replays them
     * as deterministic micro-batches in order. Shared by every multi-batch

@@ -32,6 +32,9 @@ class DedupEmbCellsSpec extends AnyFunSuite {
     cells.groupBy(_._2).foreach { case (comp, members) =>
       assert(members.map(_._1).min == comp,
         s"component $comp is not its members' min id")
+      // EXACTLY the component-min row carries keep=true
+      assert(members.filter(_._3).map(_._1).toSeq == Seq(comp),
+        s"keeper of $comp is not the component id")
       val parents = members.map(m => exactComp(m._1)).distinct
       assert(parents.length == 1,
         s"cell component $comp spans exact components ${parents.toList}")

@@ -38,7 +38,9 @@ class DedupEmbLshSpec extends AnyFunSuite {
     lsh.groupBy(_._2).foreach { case (comp, members) =>
       assert(members.map(_._1).min == comp,
         s"component $comp is not its members' min id")
-      assert(members.count(_._3) == (if (members.exists(_._1 == comp)) 1 else 0))
+      // EXACTLY the component-min row carries keep=true
+      assert(members.filter(_._3).map(_._1).toSeq == Seq(comp),
+        s"keeper of $comp is not the component id")
     }
 
     // refinement: every LSH cluster sits wholly inside ONE exact cluster

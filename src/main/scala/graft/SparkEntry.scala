@@ -43,7 +43,8 @@ object SparkEntry {
       graft.operators.StreamingRangeJoinQueries.all ++
       graft.operators.StreamingPcaQueries.all ++
       graft.operators.StreamingIvmQueries.all ++
-      graft.operators.StreamingComponentsQueries.all
+      graft.operators.StreamingComponentsQueries.all ++
+      graft.operators.StreamingLinkageQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

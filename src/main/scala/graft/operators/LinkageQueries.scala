@@ -113,8 +113,11 @@ object LinkageQueries {
     * corruption-proof first char ⇒ same block) — the spec pins that
     * recovery theorem; unrelated-but-similar names merging is the
     * standard over-link trade the threshold encodes. */
-  def entityResolve(s: SparkSession, dir: String): DataFrame = {
-    val dirty = Tables(s, dir, "part")
+  /** The deterministically-corrupted record relation
+    * (p_partkey, dirty_name, blk) — shared by [[entityResolve]] and the
+    * streaming twin ([[StreamingLinkageQueries]]). */
+  private[operators] def dirtyRel(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
       .select(col("p_partkey"), col("p_name"))
       .withColumn("pos",
         (graft.functions.PortableHash.raw(col("p_partkey")) %
@@ -124,9 +127,11 @@ object LinkageQueries {
           expr("substr(p_name, pos + 1)")))
       .select(col("p_partkey"), col("dirty_name"),
         substring(col("dirty_name"), 1, 1).as("blk"))
-      // three consumers (reps, star edges, readout): checkpoint so the
-      // part scan + md5 corruption derive once (the pcaFit pattern)
-      .localCheckpoint()
+
+  def entityResolve(s: SparkSession, dir: String): DataFrame = {
+    // three consumers (reps, star edges, readout): checkpoint so the
+    // part scan + md5 corruption derive once (the pcaFit pattern)
+    val dirty = dirtyRel(s, dir).localCheckpoint()
     // exact contraction: identical dirty strings form a clique — one
     // star edge per non-representative record replaces it exactly
     val reps = dirty.groupBy(col("blk"), col("dirty_name"))

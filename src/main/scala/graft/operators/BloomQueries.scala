@@ -153,7 +153,7 @@ object BloomQueries {
 
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_decon_" + Integer.toHexString(dir.hashCode) +
+      "graft_stream_decon_" + graft.streaming.StreamingQueries.pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
@@ -170,13 +170,13 @@ object BloomQueries {
 
     val probeDocs = d.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), col("text"))
-    val Array(idMin, idMax) = probeDocs
-      .agg(min(col("doc_id")), max(col("doc_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (idMin, idMax) = graft.streaming.StreamingQueries.idRange(probeDocs, "doc_id")
+      .getOrElse(throw new IllegalArgumentException(
+        "empty input relation: nothing to stream"))
     val b1 = idMin + (idMax - idMin) / 3
     val b2 = idMin + 2 * (idMax - idMin) / 3
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_decon_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_decon_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       Seq(probeDocs.filter(col("doc_id") <= b1),
         probeDocs.filter(col("doc_id") > b1 && col("doc_id") <= b2),
         probeDocs.filter(col("doc_id") > b2)))

@@ -118,7 +118,7 @@ object CurationQueries {
     import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val base = sampleBase(s, dir)
     val staging = stageThirds(
-      "graft_stream_wsample_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_wsample_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       base, "doc_id")
     val store = s"${scratchDir("graft_stream_wsample", dir)}/remnants"
 
@@ -204,7 +204,7 @@ object CurationQueries {
     import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val staging = stageThirds(
-      "graft_stream_lm_stage_" + Integer.toHexString(dir.hashCode), d,
+      "graft_stream_lm_stage_" + graft.streaming.StreamingQueries.pathTag(dir), d,
       "doc_id")
     val counts = s"${scratchDir("graft_stream_lm", dir)}/counts"
     val vocab = s"${scratchDir("graft_stream_lm_vocab", dir)}/words"

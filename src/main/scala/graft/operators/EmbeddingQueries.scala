@@ -547,20 +547,20 @@ object EmbeddingQueries {
     val b = v.filter(col("label") >= 5)
       .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
         col("nrm").as("nb"))
-    val Array(idMin, idMax) = b
-      .agg(min(col("tgt_id")), max(col("tgt_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (idMin, idMax) = graft.streaming.StreamingQueries.idRange(b, "tgt_id")
+      .getOrElse(throw new IllegalArgumentException(
+        "empty input relation: nothing to stream"))
     val s1 = idMin + (idMax - idMin) / 3
     val s2 = idMin + 2 * (idMax - idMin) / 3
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_bitext_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_bitext_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       Seq(b.filter(col("tgt_id") <= s1),
         b.filter(col("tgt_id") > s1 && col("tgt_id") <= s2),
         b.filter(col("tgt_id") > s2)))
 
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_bitext_" + Integer.toHexString(dir.hashCode) +
+      "graft_stream_bitext_" + graft.streaming.StreamingQueries.pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()

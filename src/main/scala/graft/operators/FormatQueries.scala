@@ -28,7 +28,7 @@ object FormatQueries {
   private def scratch(tag: String, dir: String): String =
     scratchDirs.computeIfAbsent(tag + "|" + dir,
       _ => graft.core.TempDirs.create(
-        tag + "_" + Integer.toHexString(dir.hashCode)))
+        tag + "_" + graft.streaming.StreamingQueries.pathTag(dir)))
   private def orcDir(dir: String) = scratch("graft_orc_events", dir)
   private def jsonlDir(dir: String) = scratch("graft_jsonl_events", dir)
 

@@ -401,7 +401,7 @@ object IvfQueries {
   def annIndexSearch(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_pq_index_" + Integer.toHexString(dir.hashCode) +
+      "graft_pq_index_" + graft.streaming.StreamingQueries.pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     graft.core.TempDirs.cleanOnExit(base.toPath)

@@ -84,6 +84,21 @@ object LinkageQueries {
       |       CAST(dist AS INT) AS dist, cand = p_name AS recovered
       |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin
 
+  /** The deterministically-corrupted record relation
+    * (p_partkey, dirty_name, blk) — shared by [[entityResolve]] and the
+    * streaming twin ([[StreamingLinkageQueries]]). */
+  private[operators] def dirtyRel(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"))
+      .withColumn("pos",
+        (graft.functions.PortableHash.raw(col("p_partkey")) %
+          (length(col("p_name")) - 1) + 2).cast("int"))
+      .withColumn("dirty_name",
+        concat(expr("substr(p_name, 1, pos - 1)"),
+          expr("substr(p_name, pos + 1)")))
+      .select(col("p_partkey"), col("dirty_name"),
+        substring(col("dirty_name"), 1, 1).as("blk"))
+
   /** Full entity RESOLUTION — [[entityMatch]] links dirty records to a
     * clean catalog; real ER rarely has one. This is the catalog-free
     * form: records pair with OTHER records (same block, levenshtein ≤ 2
@@ -113,21 +128,6 @@ object LinkageQueries {
     * corruption-proof first char ⇒ same block) — the spec pins that
     * recovery theorem; unrelated-but-similar names merging is the
     * standard over-link trade the threshold encodes. */
-  /** The deterministically-corrupted record relation
-    * (p_partkey, dirty_name, blk) — shared by [[entityResolve]] and the
-    * streaming twin ([[StreamingLinkageQueries]]). */
-  private[operators] def dirtyRel(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "part")
-      .select(col("p_partkey"), col("p_name"))
-      .withColumn("pos",
-        (graft.functions.PortableHash.raw(col("p_partkey")) %
-          (length(col("p_name")) - 1) + 2).cast("int"))
-      .withColumn("dirty_name",
-        concat(expr("substr(p_name, 1, pos - 1)"),
-          expr("substr(p_name, pos + 1)")))
-      .select(col("p_partkey"), col("dirty_name"),
-        substring(col("dirty_name"), 1, 1).as("blk"))
-
   def entityResolve(s: SparkSession, dir: String): DataFrame = {
     // three consumers (reps, star edges, readout): checkpoint so the
     // part scan + md5 corruption derive once (the pcaFit pattern)

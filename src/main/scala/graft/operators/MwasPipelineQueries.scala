@@ -774,7 +774,7 @@ object MwasPipelineQueries {
     // let a concurrently-exiting peer JVM delete this dir mid-stream
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_mwas_" + Integer.toHexString(dir.hashCode) +
+      "graft_stream_mwas_" + graft.streaming.StreamingQueries.pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
@@ -787,7 +787,7 @@ object MwasPipelineQueries {
     input(s, dir).write.mode("overwrite").parquet(s"$base/input_full")
     val in = s.read.parquet(s"$base/input_full")
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_mwas_batches_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_mwas_batches_" + graft.streaming.StreamingQueries.pathTag(dir),
       (0 until 3).map(k =>
         in.filter(pmod(xxhash64(col("run")), lit(3)) === k)))
 

@@ -79,7 +79,7 @@ object PrivacyQueries {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
     val staging = stageThirds(
-      "graft_stream_kanon_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_kanon_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       d, "doc_id")
     val store = s"${scratchDir("graft_stream_kanon", dir)}/counts"
 

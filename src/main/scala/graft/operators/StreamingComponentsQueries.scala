@@ -51,13 +51,13 @@ object StreamingComponentsQueries {
   def streamComponents(s: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
-    val Array(idMin, idMax) = d
-      .agg(min(col("doc_id")), max(col("doc_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (idMin, idMax) = graft.streaming.StreamingQueries.idRange(d, "doc_id")
+      .getOrElse(throw new IllegalArgumentException(
+        "empty input relation: nothing to stream"))
     val b1 = idMin + (idMax - idMin) / 3
     val b2 = idMin + 2 * (idMax - idMin) / 3
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_cc_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_cc_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       Seq(d.filter(col("doc_id") <= b1),
         d.filter(col("doc_id") > b1 && col("doc_id") <= b2),
         d.filter(col("doc_id") > b2)))

@@ -40,13 +40,13 @@ object StreamingDedupQueries {
     val d = DedupQueries.docs(s, dir).select(col("doc_id"), col("text"))
     // deterministic 3-way id-range split from one min/max aggregate (two
     // scalars to the driver; same shape as the append-window staging)
-    val Array(idMin, idMax) = d
-      .agg(min(col("doc_id")), max(col("doc_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (idMin, idMax) = graft.streaming.StreamingQueries.idRange(d, "doc_id")
+      .getOrElse(throw new IllegalArgumentException(
+        "empty input relation: nothing to stream"))
     val b1 = idMin + (idMax - idMin) / 3
     val b2 = idMin + 2 * (idMax - idMin) / 3
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_mhdedup_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_mhdedup_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       Seq(d.filter(col("doc_id") <= b1),
         d.filter(col("doc_id") > b1 && col("doc_id") <= b2),
         d.filter(col("doc_id") > b2)))
@@ -55,7 +55,7 @@ object StreamingDedupQueries {
     // same crash-debris trade as the other streaming harnesses
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_mhdedup_" + Integer.toHexString(dir.hashCode) +
+      "graft_stream_mhdedup_" + graft.streaming.StreamingQueries.pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()

@@ -20,7 +20,7 @@ object StreamingDqQueries {
     import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val li = Tables(s, dir, "lineitem")
     val staging = stageThirds(
-      "graft_stream_dq_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_dq_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       li, "l_orderkey")
     val store = s"${scratchDir("graft_stream_dq", dir)}/counters"
 

@@ -22,7 +22,7 @@ object StreamingDriftQueries {
     val d = Tables(s, dir, "documents").select(col("doc_id"),
       col("source"), col("text"))
     val staging = stageThirds(
-      "graft_stream_drift_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_drift_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       d, "doc_id")
     val store = s"${scratchDir("graft_stream_drift", dir)}/counts"
 

@@ -33,7 +33,7 @@ object StreamingExperimentQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
     val staging = stageThirds(
-      "graft_stream_exp_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_exp_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       ev, "event_id")
     val store = s"${scratchDir("graft_stream_exp", dir)}/user_type_sums"
 

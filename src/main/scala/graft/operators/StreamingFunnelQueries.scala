@@ -31,7 +31,7 @@ object StreamingFunnelQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"))
     val staging = stageThirds(
-      "graft_stream_fnl_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_fnl_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       ev, "event_id")
     val store = s"${scratchDir("graft_stream_fnl", dir)}/funnel_events"
 

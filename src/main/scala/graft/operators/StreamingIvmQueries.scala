@@ -79,7 +79,7 @@ object StreamingIvmQueries {
   def streamIvmAgg(s: SparkSession, dir: String): DataFrame = {
     val batches = cdcBatches(s, dir)
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_ivm_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_ivm_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       batches)
 
     val base = graft.streaming.StreamingQueries.stateBase(
@@ -88,7 +88,7 @@ object StreamingIvmQueries {
 
     val src = s.readStream.schema(batches.head.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    val q = src.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       // each record folds to ±contributions: after-image adds (I, U),
       // before-image retracts (U, D); the null side of I/D carries dn=0
       // and a null group, dropped before the partial aggregate
@@ -105,14 +105,23 @@ object StreamingIvmQueries {
         .filter(col("priority").isNotNull)
         .groupBy(col("priority"))
         .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
-        .write.mode("append").parquet(deltaDir)
+        // batchId-keyed path + overwrite (not a blind append): if the
+        // engine ever re-executes a micro-batch after a transient task
+        // failure, the replay lands on the same path and the deltas
+        // stay exactly-once — partials are NOT ratio-invariant, a
+        // double-append would silently double-count
+        .write.mode("overwrite").parquet(s"$deltaDir/b$bid")
       ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
     // merge = integer sum; groups retracted to zero rows disappear,
     // exactly as they are absent from the final snapshot's aggregate
-    s.read.parquet(deltaDir)
+    // recursiveFileLookup (not a /b* glob): reads every batch's partials
+    // under the keyed subdirs, and the existing parent dir keeps the
+    // FileStreamSink.hasMetadata probe from logging a spurious
+    // FileNotFoundException trace
+    s.read.option("recursiveFileLookup", "true").parquet(deltaDir)
       .groupBy(col("priority"))
       .agg(sum(col("dn")).as("n_orders"), sum(col("dcents")).as("cents"))
       .filter(col("n_orders") > 0)

@@ -45,7 +45,7 @@ object StreamingLinkageQueries {
     // hash stripes: arrival order decorrelated from key order, so rep
     // demotions (the repair path) actually occur
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_er_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_er_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       (0 until 3).map(i => dirty.filter(
         pmod(graft.functions.PortableHash.raw(col("p_partkey")), lit(3))
           === i)))

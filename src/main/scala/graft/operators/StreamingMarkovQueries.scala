@@ -41,7 +41,7 @@ object StreamingMarkovQueries {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"))
     val staging = stageThirds(
-      "graft_stream_mkv_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_mkv_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       ev, "event_id")
     val base = scratchDir("graft_stream_mkv", dir)
     val pairsDir = s"$base/pairs"

@@ -23,7 +23,7 @@ object StreamingMixQueries {
     import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val base = TextCorpusQueries.mixBase(s, dir)
     val staging = stageThirds(
-      "graft_stream_mix_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_mix_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       base, "doc_id")
     val store = s"${scratchDir("graft_stream_mix", dir)}/hist"
 

@@ -44,13 +44,13 @@ object StreamingPcaQueries {
   def streamPcaPower(s: SparkSession, dir: String): DataFrame = {
     val d = graft.core.Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val Array(idMin, idMax) = d
-      .agg(min(col("vec_id")), max(col("vec_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (idMin, idMax) = graft.streaming.StreamingQueries.idRange(d, "vec_id")
+      .getOrElse(throw new IllegalArgumentException(
+        "empty input relation: nothing to stream"))
     val b1 = idMin + (idMax - idMin) / 3
     val b2 = idMin + 2 * (idMax - idMin) / 3
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_pca_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_pca_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       Seq(d.filter(col("vec_id") <= b1),
         d.filter(col("vec_id") > b1 && col("vec_id") <= b2),
         d.filter(col("vec_id") > b2)))
@@ -62,7 +62,7 @@ object StreamingPcaQueries {
 
     val src = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    val q = src.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       // one quantize pass per batch feeds both partials (each vector
       // lives wholly in its batch, so the moment self-join is batch-local).
       // EXPLICIT-width repartition on the join key before the checkpoint:
@@ -82,19 +82,24 @@ object StreamingPcaQueries {
         // cast BEFORE the multiply — vq·vq fits int64 but the SUM does
         // not at scale (the batch fit's own ANSI-caught lesson)
         .agg(sum(col("a.vq").cast("decimal(38,0)") * col("b.vq")).as("m"))
-        .write.mode("append").parquet(momentsDir)
+        // batchId-keyed overwrite: a replayed micro-batch lands on its
+        // own path instead of double-appending moment partials (sums of
+        // integers are not replay-invariant)
+        .write.mode("overwrite").parquet(s"$momentsDir/b$bid")
       bq.groupBy(col("j"))
         .agg(sum(col("vq")).as("sj"), count(lit(1)).as("nb"))
-        .write.mode("append").parquet(sumsDir)
+        .write.mode("overwrite").parquet(s"$sumsDir/b$bid")
       ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
     // merge = integer sum over both stores, then the covariance identity
     // and the SAME iterate/loadings code path as the batch fit
-    val m = s.read.parquet(momentsDir)
+    // recursiveFileLookup (not a /b* glob): see StreamingIvmQueries —
+    // same read discipline over the batchId-keyed partial dirs
+    val m = s.read.option("recursiveFileLookup", "true").parquet(momentsDir)
       .groupBy(col("j"), col("k")).agg(sum(col("m")).as("m"))
-    val sums = s.read.parquet(sumsDir)
+    val sums = s.read.option("recursiveFileLookup", "true").parquet(sumsDir)
       .groupBy(col("j")).agg(sum(col("sj")).as("sj"), sum(col("nb")).as("nb"))
       .localCheckpoint(true) // scalar n + two broadcast sides below
     val n = sums.filter(col("j") === 0).head().getAs[Long]("nb")

@@ -31,7 +31,7 @@ object StreamingRangeJoinQueries {
   def streamRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_rangejoin_" + Integer.toHexString(dir.hashCode) +
+      "graft_stream_rangejoin_" + graft.streaming.StreamingQueries.pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
@@ -52,13 +52,13 @@ object StreamingRangeJoinQueries {
     val pts = Events(s, dir)
       .filter(col("event_type") === "error")
       .select(col("event_id"), col("ts"))
-    val Array(idMin, idMax) = pts
-      .agg(min(col("event_id")), max(col("event_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (idMin, idMax) = graft.streaming.StreamingQueries.idRange(pts, "event_id")
+      .getOrElse(throw new IllegalArgumentException(
+        "empty input relation: nothing to stream"))
     val b1 = idMin + (idMax - idMin) / 3
     val b2 = idMin + 2 * (idMax - idMin) / 3
     val staging = graft.streaming.StreamingQueries.stageBatches(
-      "graft_stream_rangejoin_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_rangejoin_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       Seq(pts.filter(col("event_id") <= b1),
         pts.filter(col("event_id") > b1 && col("event_id") <= b2),
         pts.filter(col("event_id") > b2)))

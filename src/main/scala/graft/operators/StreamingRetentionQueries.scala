@@ -28,7 +28,7 @@ object StreamingRetentionQueries {
     val ev = Events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"))
     val staging = stageThirds(
-      "graft_stream_ret_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_ret_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       ev, "event_id")
     val store = s"${scratchDir("graft_stream_ret", dir)}/user_days"
 

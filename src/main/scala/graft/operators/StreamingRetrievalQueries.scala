@@ -27,7 +27,7 @@ object StreamingRetrievalQueries {
     import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val staging = stageThirds(
-      s"graft_stream_${tag}_stage_" + Integer.toHexString(dir.hashCode),
+      s"graft_stream_${tag}_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       d, "doc_id")
     val store = s"${scratchDir(s"graft_stream_$tag", dir)}/postings"
     runBatches(s, d.schema, staging) { batch =>

@@ -26,7 +26,7 @@ object StreamingSubstringQueries {
     import graft.streaming.StreamingQueries.{runBatches, scratchDir, stageThirds}
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val staging = stageThirds(
-      "graft_stream_substr_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_substr_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       d, "doc_id")
     val store = s"${scratchDir("graft_stream_substr", dir)}/shingles"
 
@@ -52,7 +52,7 @@ object StreamingSubstringQueries {
     val d = Tables(s, dir, "documents").select(col("doc_id"),
       col("source"), col("text"))
     val staging = stageThirds(
-      "graft_stream_srcov_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_srcov_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       d, "doc_id")
     val store = s"${scratchDir("graft_stream_srcov", dir)}/membership"
 

@@ -99,7 +99,7 @@ object TrainingIoQueries {
     val e = Tables(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"))
     val staging = stageThirds(
-      "graft_stream_topk_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_topk_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       e, "event_id")
     val store = s"${scratchDir("graft_stream_topk", dir)}/heaps"
 

@@ -29,6 +29,27 @@ case class UserStats(user_id: Long, n: Long, sum: Double, max: Double)
   */
 object StreamingQueries {
 
+  /** Collision-resistant tag for a dataset path — scratch/staging dir
+    * names embed this instead of `String.hashCode` (two distinct dirs
+    * with colliding 32-bit hashes in one JVM would wipe each other's
+    * live state at create time; an 8-byte md5 prefix makes that
+    * practically impossible). */
+  private[graft] def pathTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+
+  /** (min, max) of a LONG key column, or None when the relation is
+    * empty — the shared guard for the id-range batch splitters (a bare
+    * `Array(min, max)` destructure casts SQL NULL to 0L silently, and
+    * downstream consumers then stage nonsense batches). */
+  private[graft] def idRange(df: DataFrame, keyCol: String)
+      : Option[(Long, Long)] = {
+    val r = df.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+  }
+
   /** Stage a relation as three deterministic batches split by thirds of
     * a LONG key column — the incremental-maintenance suite's shared
     * front (the key must be ordered consistently with the semantics the
@@ -37,9 +58,9 @@ object StreamingQueries {
       keyCol: String): java.io.File = {
     // cast before the agg so an int-typed key column (a fixture
     // regenerated with int32 keys) stages instead of ClassCastException
-    val Array(kMin, kMax) = df
-      .agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (kMin, kMax) = idRange(df, keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"stageThirds($name): input relation is empty — nothing to stage"))
     val b1 = kMin + (kMax - kMin) / 3
     val b2 = kMin + 2 * (kMax - kMin) / 3
     stageBatches(name,
@@ -53,7 +74,7 @@ object StreamingQueries {
   private[graft] def scratchDir(name: String, dir: String): java.io.File = {
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      name + "_" + Integer.toHexString(dir.hashCode) +
+      name + "_" + pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
@@ -84,7 +105,7 @@ object StreamingQueries {
   private[graft] def stateBase(name: String, dir: String): java.io.File = {
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      name + "_" + Integer.toHexString(dir.hashCode) +
+      name + "_" + pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
@@ -304,9 +325,13 @@ object StreamingQueries {
     // range filters keep every stage fully parallel. Uneven thirds are
     // fine: the append-mode emission set depends only on the FINAL
     // watermark, the split merely forces multiple micro-batches.
-    val Array(tsMin, tsMax) = ev
-      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (tsMin, tsMax) = {
+      val r = ev.agg(min(col("ts")).cast("long"),
+        max(col("ts")).cast("long")).head()
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        "empty input relation: nothing to stream")
+      (r.getLong(0), r.getLong(1))
+    }
     val b1 = tsMin + (tsMax - tsMin) / 3
     val b2 = tsMin + 2 * (tsMax - tsMin) / 3
     val ranges: Seq[org.apache.spark.sql.Column] = Seq(
@@ -314,7 +339,7 @@ object StreamingQueries {
       col("ts").cast("long") >= b1 && col("ts").cast("long") < b2,
       col("ts").cast("long") >= b2)
     val staging = stageBatches(
-      "graft_stream_append_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_append_" + pathTag(dir),
       ranges.map(ev.filter))
     val schema = ev.schema
     val src = s.readStream.schema(schema)

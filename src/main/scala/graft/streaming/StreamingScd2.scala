@@ -36,13 +36,17 @@ object StreamingScd2 {
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("status"))
     // deterministic 3-way ts-range split (two scalar bounds to the driver)
-    val Array(tsMin, tsMax) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (tsMin, tsMax) = {
+      val r = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        "empty input relation: nothing to stream")
+      (r.getLong(0), r.getLong(1))
+    }
     val b1 = tsMin + (tsMax - tsMin) / 3
     val b2 = tsMin + 2 * (tsMax - tsMin) / 3
     val staging = StreamingQueries.stageBatches(
-      "graft_stream_scd2_stage_" + Integer.toHexString(dir.hashCode),
+      "graft_stream_scd2_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
       Seq(ev.filter(unix_micros(col("ts")) <= b1),
         ev.filter(unix_micros(col("ts")) > b1 &&
           unix_micros(col("ts")) <= b2),
@@ -50,7 +54,7 @@ object StreamingScd2 {
 
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_scd2_" + Integer.toHexString(dir.hashCode) +
+      "graft_stream_scd2_" + graft.streaming.StreamingQueries.pathTag(dir) +
         "_" + ProcessHandle.current().pid())
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()

@@ -267,10 +267,99 @@ object SortedLongJaccard {
   }
 }
 
+/** Per-row MinHash band hashes of a hash-set column: `numHashes`
+  * signature slots m_k = min over the set of XXH64(element, seed = k),
+  * folded into `numBands` band hashes (rows-per-band =
+  * numHashes/numBands consecutive slots chained through XXH64). One
+  * compiled loop per row — the banded streaming stores
+  * ([[graft.operators.StreamingComponentsQueries]]) compute signatures
+  * per ROW at ingest instead of paying the explode + 64-aggregate
+  * shuffle + reassembly join of the batch arm's
+  * [[graft.operators.DedupQueries.bandRelation]] every trigger. The
+  * values are internal to the store (never compared cross-engine), so
+  * the seed scheme only needs determinism, not bandRelation parity.
+  * Empty input yields the seeds' fold of Long.MaxValue slots — empty
+  * sets all land in the same buckets and are rejected by exact
+  * verification (J(∅,∅) = 0.0 in [[SortedLongJaccard]]). */
+case class MinhashBands(child: Expression, numHashes: Int, numBands: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && numBands > 0 && numHashes % numBands == 0,
+    s"minhash_bands needs numBands | numHashes, got $numHashes/$numBands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects ARRAY<BIGINT NOT NULL>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashBands.compute(NgramHashes.emptyLongs(),
+      numHashes, numBands)
+    else MinhashBands.compute(v.asInstanceOf[ArrayData], numHashes, numBands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = graft.functions.MinhashBands.compute(
+          ${childGen.isNull} ? graft.functions.NgramHashes.emptyLongs()
+            : ${childGen.value}, $numHashes, $numBands);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object MinhashBands {
+  /** Static forwarder target for generated code. */
+  def compute(hs: ArrayData, numHashes: Int, numBands: Int): ArrayData = {
+    val n = hs.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = XXH64.hashLong(h, k)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val rows = numHashes / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = 42L
+      var r = 0
+      while (r < rows) {
+        acc = XXH64.hashLong(mins(b * rows + r), acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object ShingleOps {
   /** Column-world entry points. */
   def ngram_hashes(words: Column, n: Int): Column =
     bridge.column(NgramHashes(bridge.expression(words), n))
+
+  def minhash_bands(hs: Column, numHashes: Int, numBands: Int): Column =
+    bridge.column(MinhashBands(bridge.expression(hs), numHashes, numBands))
 
   def ngram_hashes_pos(words: Column, n: Int): Column =
     bridge.column(NgramHashesPos(bridge.expression(words), n))

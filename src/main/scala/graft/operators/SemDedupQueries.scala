@@ -60,21 +60,38 @@ object SemDedupQueries {
       .select(col("vec_id").as("cell"), col("v").as("ce"),
         dot(col("v"), col("v")).as("csq"))
     // argmin |v−c|² with the algebraic expansion (|v|² rank-invariant,
-    // kept for tie parity with the oracle); deterministic tie-break on cell
+    // kept for tie parity with the oracle); deterministic tie-break on
+    // cell via lexicographic min(struct(dist, cell)) — selection-equal
+    // to the oracle's row_number ORDER BY (dist, cell), but it PARTIAL
+    // AGGREGATES map-side: the N×K fan-out collapses to one row per
+    // vector before the exchange, where the former window formulation
+    // shuffled and sorted all N×K rows (wall-visible once K is
+    // data-derived — K ∝ N makes the fan-out grow quadratically).
+    // first(v)/first(nrm) are group-constant (every fan-out row carries
+    // the same vector), so the nondeterminism caveat is vacuous.
     v.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("ce")) +
           col("csq"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("mc"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("mc").getField("cell").as("cell"),
+        col("v"), col("nrm"))
   }
 
   /** The matching DuckDB CTE block (n → centroids → ranked assignment →
     * `a` = (vec_id, cell, e, nrm)) — the SQL twin of [[cellAssign]],
     * shared by [[semDedupSql]] and the cell-bounded clustering oracle. */
   private[operators] def cellCtesSql(kCells: Int): String =
+    cellCtesSqlExpr(kCells.toString)
+
+  /** [[cellCtesSql]] with the cell count as an arbitrary SQL scalar
+    * expression — the data-derived-K consumer
+    * ([[DedupQueries.dedupEmbComponentsCells]]) passes the same
+    * integer-exact count formula the Spark side evaluates, so both
+    * engines derive the identical codebook from the data. */
+  private[operators] def cellCtesSqlExpr(kCells: String): String =
     s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
       |          x -> x * x))) AS nrm

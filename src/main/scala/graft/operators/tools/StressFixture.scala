@@ -279,9 +279,9 @@ object StressFixture {
     // oracle setting; 160 = the cell-size-holding setting for a 10×
     // corpus (K grows with N — the SemDedup paper's own scaling rule)
     time("emb_cc_cells_16") (
-      graft.operators.DedupQueries.dedupEmbComponentsCells(spark, dir))
+      graft.operators.DedupQueries.dedupEmbComponentsCellsAt(spark, dir, 16))
     time("emb_cc_cells_160") (
-      graft.operators.DedupQueries.dedupEmbComponentsCells(spark, dir, 160))
+      graft.operators.DedupQueries.dedupEmbComponentsCellsAt(spark, dir, 160))
     // the simhash blockBits lever (see DedupQueries.simhashNear): 16-bit
     // blocks ≈ the shipped width, 20-bit = the occupancy-holding setting
     // for ~30× corpora

@@ -153,7 +153,12 @@ object MultimodalQueries {
     * over 4 blocks forces one identical block, so candidates shuffle on
     * 12-bit bucket values and nothing is all-pairs. The oracle states
     * the O(n²) pair join directly (correctness-only side). */
-  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The phash corpus: documents plus the deterministic "re-encode" arm
+    * (every 10th payload with one flipped mid-payload byte), hashed to
+    * the 48-bit integer-exact block-mean fingerprint — shared by the
+    * n_near profile ([[mmPhashDedup]]) and the clustering operator
+    * ([[dedupImagePhash]]). */
+  private def phashRel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val reencoded = Tables(s, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
@@ -191,25 +196,65 @@ object MultimodalQueries {
         PhashRow(id, hash)
       })
       .toDF()
+    hashed
+  }
 
+  /** EXACT hamming ≤ 3 pair relation over the phash corpus via the
+    * pigeonhole 4×12-bit block join ([[DedupQueries.dedupSimhash]]'s
+    * trick): distance ≤ 3 over 4 blocks forces one identical block, so
+    * candidates shuffle on 12-bit bucket values and nothing is
+    * all-pairs — and unlike MinHash banding the candidate set is a
+    * PROVABLE superset of the radius, so the verified relation equals
+    * the exhaustive sweep exactly (PhashClusterSpec pins set equality
+    * on the fixture). */
+  private def phashNearPairs(hashed: DataFrame): DataFrame = {
     val blocked = hashed.select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map(j => struct(lit(j).as("blk"),
         shiftright(col("phash"), j * 12).bitwiseAND(0xfffL)
           .as("bv"))): _*)).as("e"))
       .select(col("doc_id"), col("phash"), col("e.blk"), col("e.bv"))
-    val near = blocked.as("x").join(blocked.as("y"),
+    blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.phash").as("ha"), col("y.phash").as("hb"))
       .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+  }
+
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = phashRel(s, dir).localCheckpoint()
+    val near = phashNearPairs(hashed)
     val cnt = near.select(col("doc_a").as("doc_id"))
       .union(near.select(col("doc_b")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
     hashed.join(cnt, Seq("doc_id"), "left_outer")
       .na.fill(Map("n_near" -> 0L))
       .select(col("doc_id"), col("phash"), col("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image near-dup CLUSTERING on perceptual-hash hamming distance —
+    * the keep-one-per-group operator image curation ships (the Jaccard/
+    * cosine dedup family's missing hamming-space member): pigeonhole-
+    * banded hamming ≤ 3 pairs ([[phashNearPairs]], exact by the block
+    * bound) contracted through the shared star rounds
+    * ([[DedupQueries.connectedComponents]]), survivor = component-min
+    * doc_id. Transitivity is the point — A≈B and B≈C must share one
+    * survivor even when d(A,C) > 3 (re-encode chains), exactly the gap
+    * [[DedupQueries.dedupComponents]] closes for text. Oracle: the
+    * exhaustive O(n²) hamming join + recursive-CTE closure (the
+    * correctness-only side; the banded Spark arm never goes all-pairs). */
+  def dedupImagePhash(s: SparkSession, dir: String): DataFrame = {
+    val hashed = phashRel(s, dir).localCheckpoint()
+    val comp = DedupQueries.connectedComponents(
+        phashNearPairs(hashed)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("u").as("doc_id"), col("v").as("component"))
+    hashed.join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("keep", col("doc_id") === col("component"))
+      .select(col("doc_id"), col("phash"), col("component"), col("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -247,10 +292,58 @@ object MultimodalQueries {
       |FROM s LEFT JOIN cnt c ON s.doc_id = c.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** The phash-corpus CTEs (base → byte codes → 48-bit hash) shared by
+    * both phash oracles — identical text to the n_near oracle's head. */
+  private val phashCtesSql: String =
+    """base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         substr(text, 1, strlen(text)//2 - 1) || 'z' ||
+      |         substr(text, strlen(text)//2 + 1)
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |m AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    list_transform(range(1, strlen(text)+1),
+      |      i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
+      |  FROM base),
+      |s AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), j ->
+      |    CASE WHEN ((j+1)*n)//48 - (j*n)//48 > 0
+      |          AND list_sum(list_transform(
+      |                range((j*n)//48 + 1, ((j+1)*n)//48 + 1),
+      |                i -> codes[CAST(i AS INT)])) * n
+      |              >= list_sum(codes) * (((j+1)*n)//48 - (j*n)//48)
+      |         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END))
+      |    AS BIGINT) AS phash
+      |  FROM m)""".stripMargin
+
+  val dedupImagePhashSql: String =
+    s"""WITH RECURSIVE $phashCtesSql,
+      |pairs AS (
+      |  SELECT a.doc_id AS pa, b.doc_id AS pb FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id
+      |    AND bit_count(xor(a.phash, b.phash)) <= 3),
+      |sym AS (SELECT pa AS a, pb AS b FROM pairs
+      |        UNION ALL SELECT pb, pa FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, x.b FROM reach r JOIN sym x ON r.b = x.a
+      |  WHERE x.b <> r.a)
+      |SELECT s.doc_id, s.phash,
+      |       least(s.doc_id, coalesce(min(r.b), s.doc_id)) AS component,
+      |       least(s.doc_id, coalesce(min(r.b), s.doc_id)) = s.doc_id
+      |         AS keep
+      |FROM s LEFT JOIN reach r ON r.a = s.doc_id
+      |GROUP BY s.doc_id, s.phash
+      |ORDER BY s.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm_decode_features", mmDecodeFeatures _, Some(mmDecodeFeaturesSql)),
       ("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)),
       ("mm_resize_meta", mmResizeMeta _, Some(mmResizeMetaSql)),
-      ("mm_phash_dedup", mmPhashDedup _, Some(mmPhashDedupSql)))
+      ("mm_phash_dedup", mmPhashDedup _, Some(mmPhashDedupSql)),
+      ("dedup_image_phash", dedupImagePhash _, Some(dedupImagePhashSql)))
 }

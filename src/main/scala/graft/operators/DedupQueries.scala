@@ -1596,6 +1596,180 @@ object DedupQueries {
       .orderBy(col("stage"))
   }
 
+  /** The fused end-to-end curation pipeline — the composition real
+    * users run as ONE job where [[corpusCurationFunnel]] reports stage
+    * stats: quality floor → exact dedup → near-dup contraction →
+    * near-dup-aware Hamilton split → token-budget shard packing, one
+    * composed plan emitting the training-ready survivor manifest
+    * (doc_id, source, component, split, quality, n_tokens, shard).
+    *
+    * Stage semantics are the standalone operators', unchanged: quality
+    * ≥ 0.35 ([[TextQueries.qualityScore]]), min-doc_id per md5(text),
+    * the J ≥ 0.7 word-Jaccard components over survivors (shared
+    * [[jaccardJoin]] + [[connectedComponents]]), component-min
+    * survivorship. The split is [[SplitQueries.splitByComponent]]'s
+    * contract COLLAPSED to the survivor grain: post-dedup, each
+    * component is exactly its surviving representative, and no J ≥ 0.7
+    * pair exists between survivors at all — zero leakage holds by
+    * construction without a component join (CorpusPipelineE2eSpec
+    * drives the pair relation over the output and asserts it).
+    * Packing: per (split, source), docs ordered by the house portable
+    * hash accumulate tokens; shard = running-total div 500 — the
+    * deterministic shard manifest a tokenizer fleet consumes.
+    *
+    * Plan shape: the two survivor sets materialize ONCE
+    * (localCheckpoint, the funnel's bounded-staging argument) and every
+    * later stage derives from them; inside the pair join both sides of
+    * the (source, word) exchange are the SAME subtree over the
+    * checkpointed survivors, so Catalyst plans one exchange and reuses
+    * it (spec-asserted with AQE off, the PipelineSpec precedent). The
+    * split/pack tail is window algebra over the survivor relation —
+    * partitioned by (split, source), so no global sort appears before
+    * the final presentation orderBy. */
+  def corpusPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val s1 = d.join(TextQueries.qualityScore(s, dir), Seq("doc_id"))
+      .filter(col("quality") >= 0.35)
+      .select(col("doc_id"), col("source"), col("text"), col("quality"))
+      .localCheckpoint(true)
+    val s2 = s1.join(
+      s1.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val w2 = s2.select(col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val comp = connectedComponents(
+      edgesE2e(w2))
+      .select(col("u").as("doc_id"), col("v").as("component"))
+    val s3 = s2.join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .filter(col("component") === col("doc_id"))
+    // Hamilton 80/10/10 at the survivor (= component) grain, then the
+    // token-budget pack — int64 all the way (the splitByComponent rules)
+    val ranked = s3.select(col("component"), col("source"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          graft.functions.PortableHash.raw(col("component")),
+          col("component"))).cast("long"))
+    val quota = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ft", expr("8 * n div 10"))
+      .withColumn("fv", expr("n div 10"))
+      .withColumn("r", col("n") - col("ft") - lit(2) * col("fv"))
+      .withColumn("rt", expr("(8 * n) % 10"))
+      .withColumn("rv", expr("n % 10"))
+      .withColumn("t1", col("ft") + when(col("rt") >= col("rv"),
+        when(col("r") >= 1, 1).otherwise(0))
+        .otherwise(when(col("r") >= 3, 1).otherwise(0)))
+      .withColumn("vx", col("fv") + when(col("rt") >= col("rv"),
+        when(col("r") >= 2, 1).otherwise(0))
+        .otherwise(when(col("r") >= 1, 1).otherwise(0)))
+      .select(col("source"), col("t1"), col("vx"))
+    val csplit = ranked.join(broadcast(quota), Seq("source"))
+      .select(col("component"),
+        when(col("rk") <= col("t1"), lit("train"))
+          .when(col("rk") <= col("t1") + col("vx"), lit("val"))
+          .otherwise(lit("test")).as("split"))
+    val packed = s3.join(csplit, Seq("component"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("split"), col("source")).orderBy(
+          graft.functions.PortableHash.raw(col("doc_id")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard", expr("start_off div 500"))
+    packed.select(col("doc_id"), col("source"), col("component"),
+        col("split"), col("quality"), col("n_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The e2e pipeline's edge relation, factored so
+    * CorpusPipelineE2eSpec can assert its exchange-reuse plan shape in
+    * isolation (AQE off). */
+  private[operators] def edgesE2e(w2: DataFrame): DataFrame =
+    jaccardJoin(w2, w2, _ < _)
+      .select(col("doc_l").as("u"), col("doc_r").as("v"))
+
+  val corpusPipelineE2eSql: String =
+    """WITH RECURSIVE sc AS (
+      |  SELECT doc_id, source, text,
+      |    round(least(len(string_split(text,' ')) / 200.0, 1.0) * 0.5
+      |      + (CAST(len(list_filter(string_split(text,' '), w -> w IN
+      |          ('the','a','and','of','to','in','is','it','that','for')))
+      |          AS DOUBLE) / len(string_split(text,' '))) * 0.3
+      |      + (1.0 - CAST(length(text) - length(regexp_replace(text,
+      |          '[.,;:!?()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.2,
+      |      6) AS quality
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, source, text, quality FROM sc
+      |       WHERE quality >= 0.35),
+      |s2 AS (SELECT doc_id, source, text, quality FROM s1
+      |       WHERE doc_id IN (SELECT min(doc_id) FROM s1
+      |                        GROUP BY md5(text))),
+      |w AS (SELECT doc_id, source,
+      |      list_distinct(string_split(text, ' ')) AS w FROM s2),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) >= 0.7),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, x.b FROM reach r JOIN sym x ON r.b = x.a
+      |  WHERE x.b <> r.a),
+      |comp AS (SELECT d.doc_id, d.source, d.text, d.quality,
+      |           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      |         FROM s2 d LEFT JOIN reach r ON r.a = d.doc_id
+      |         GROUP BY d.doc_id, d.source, d.text, d.quality),
+      |s3 AS (SELECT * FROM comp WHERE component = doc_id),
+      |ranked AS (
+      |  SELECT component, source, CAST(row_number() OVER (
+      |      PARTITION BY source ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+      |        AS BIGINT), component) AS BIGINT) AS rk
+      |  FROM s3),
+      |quota AS (
+      |  SELECT source, count(*) AS n,
+      |         (8 * count(*)) // 10 AS ft, count(*) // 10 AS fv,
+      |         count(*) - (8 * count(*)) // 10 - 2 * (count(*) // 10) AS r,
+      |         (8 * count(*)) % 10 AS rt, count(*) % 10 AS rv
+      |  FROM ranked GROUP BY source),
+      |cut AS (
+      |  SELECT source,
+      |    ft + CASE WHEN rt >= rv
+      |              THEN CASE WHEN r >= 1 THEN 1 ELSE 0 END
+      |              ELSE CASE WHEN r >= 3 THEN 1 ELSE 0 END END AS t1,
+      |    fv + CASE WHEN rt >= rv
+      |              THEN CASE WHEN r >= 2 THEN 1 ELSE 0 END
+      |              ELSE CASE WHEN r >= 1 THEN 1 ELSE 0 END END AS vx
+      |  FROM quota),
+      |csplit AS (
+      |  SELECT r.component,
+      |         CASE WHEN r.rk <= c.t1 THEN 'train'
+      |              WHEN r.rk <= c.t1 + c.vx THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM ranked r JOIN cut c USING (source)),
+      |o AS (
+      |  SELECT s3.doc_id, s3.source, s3.component, cs.split, s3.quality,
+      |         CAST(len(string_split(s3.text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM s3 JOIN csplit cs USING (component)),
+      |pk AS (
+      |  SELECT *, coalesce(sum(n_tokens) OVER (
+      |      PARTITION BY split, source ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS start_off
+      |  FROM o)
+      |SELECT doc_id, source, component, split, quality, n_tokens,
+      |       start_off // 500 AS shard
+      |FROM pk ORDER BY doc_id""".stripMargin
+
   val corpusCurationFunnelSql: String =
     """WITH RECURSIVE sc AS (
       |  SELECT doc_id, source, text,
@@ -1676,5 +1850,7 @@ object DedupQueries {
         Some(dedupContainmentAutoSql)),
       ("corpus_curation_funnel", corpusCurationFunnel _,
         Some(corpusCurationFunnelSql)),
+      ("corpus_pipeline_e2e", corpusPipelineE2e _,
+        Some(corpusPipelineE2eSql)),
       ("ann_lsh_bucket", annLshBucket _, Some(annLshBucketSql)))
 }

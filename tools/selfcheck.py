@@ -45,6 +45,7 @@ ROUNDED_COLS = {
     "text_quality": {"avg_word_len", "stopword_ratio", "punct_ratio",
                      "upper_ratio", "quality"},
     "text_filter_pipeline": {"quality"},
+    "corpus_pipeline_e2e": {"quality"},
     "text_repetition": {"dup_word_frac", "top_word_frac",
                         "top_bigram_frac"},
     "text_decontaminate": {"overlap"},

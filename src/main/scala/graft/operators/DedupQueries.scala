@@ -125,28 +125,39 @@ object DedupQueries {
     * variant); `pred` fixes the pairing discipline (a<b for the
     * unordered relation, != for both orientations). Single-sourced so
     * the threshold/prefilter can never drift between consumers. */
-  /* `shuffleWordJoin` pins the (source, word) join to SortMergeJoin.
-   * The store-probe consumer needs it: its left side is the parquet
-   * word STORE, whose small-file size estimate (propagated through the
-   * localCheckpoint — LogicalRDD carries origin stats) makes Catalyst
-   * BROADCAST the multi-million-row store side, and the single-threaded
-   * broadcast build then costs ~wall-linear in store size (measured
-   * 36→105 s/trigger at the 10× fixture; stage listener showed one
-   * 1-task build stage). The batch arms keep their default plans. */
+  /* Plan shape, pinned BOTH ways after the r15 three-point audit.
+   * Catalyst's estimate-driven choice has two failure modes here:
+   * (a) a corpus whose parquet compresses under the 10 MB broadcast
+   * threshold (the 10× fixture's documents land at 6.0 MB) broadcasts
+   * the word side but leaves the probe side at INPUT-SPLIT parallelism
+   * — the quadratic pair fan-out + partial aggregate ran as ONE 317 s
+   * task on a single-file table (353 s vs 33 s for identical rows
+   * split across 10 files); (b) forcing SortMergeJoin instead splits
+   * each pair's shared words across word-hash partitions, so the
+   * partial aggregate can no longer combine a pair locally — measured
+   * 2.7 GB agg exchange + 23 GB spill at the same 10× fixture. The
+   * winning shape pins BOTH decisions: the probe side repartitions by
+   * doc_id at explicit width (every pair's fan-out lands whole in one
+   * task → the partial aggregate emits final-sized counts, no giant
+   * exchange, no spill), and the word side broadcasts explicitly.
+   * This exact arm is the documented ≤30×/oracle path — the forced
+   * broadcast is bounded by that posture; the 100 TB path is the
+   * banded candidate relation (dedupMinhashLsh), where the probe side
+   * of THIS join is a batch and the broadcast is ∝ batch by design. */
   private def jaccardJoin(w: DataFrame, wRight: DataFrame,
       pred: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column,
-      shuffleWordJoin: Boolean = false): DataFrame = {
+        org.apache.spark.sql.Column): DataFrame = {
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val right = wRight.select(col("source"), col("doc_id").as("doc_r"),
         col("word"))
       .join(broadcast(nw.select(col("doc_id").as("doc_r"),
         col("nw").as("nr"))), "doc_r")
-    w.select(col("source"), col("doc_id").as("doc_l"), col("word"))
+    w.repartition(w.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("source"), col("doc_id").as("doc_l"), col("word"))
       .join(broadcast(nw.select(col("doc_id").as("doc_l"),
         col("nw").as("nl"))), "doc_l")
-      .join(if (shuffleWordJoin) right.hint("shuffle_merge") else right,
-        Seq("source", "word"))
+      .join(broadcast(right), Seq("source", "word"))
       .filter(pred(col("doc_l"), col("doc_r")) &&
         least(col("nl"), col("nr")).cast("double") >=
           lit(jaccardThreshold) * greatest(col("nl"), col("nr")))
@@ -219,7 +230,7 @@ object DedupQueries {
     * makes the streaming CC twin's per-trigger edge discovery EXACT. */
   private[operators] def jaccardPairsStore(store: DataFrame,
       probeWords: DataFrame): DataFrame =
-    jaccardJoin(store, probeWords, _ =!= _, shuffleWordJoin = true)
+    jaccardJoin(store, probeWords, _ =!= _)
       .select(least(col("doc_l"), col("doc_r")).as("u"),
         greatest(col("doc_l"), col("doc_r")).as("v"))
       .distinct()
@@ -263,13 +274,18 @@ object DedupQueries {
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     val w = wordRel(s, dir)
     val nw = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val shared = w.select(col("source"), col("doc_id").as("doc_a"),
-        col("word"))
+    // jaccardJoin's pinned shape (r15 audit): doc-partitioned probe at
+    // explicit width + broadcast word side — pair fan-outs stay
+    // task-local so the partial aggregate emits final-sized counts
+    val shared = w
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"), col("doc_id").as("doc_a"), col("word"))
       .join(broadcast(nw.select(col("doc_id").as("doc_a"),
         col("nw").as("na"))), "doc_a")
-      .join(w.select(col("source"), col("doc_id").as("doc_b"), col("word"))
-        .join(broadcast(nw.select(col("doc_id").as("doc_b"),
-          col("nw").as("nb"))), "doc_b"),
+      .join(broadcast(
+        w.select(col("source"), col("doc_id").as("doc_b"), col("word"))
+          .join(broadcast(nw.select(col("doc_id").as("doc_b"),
+            col("nw").as("nb"))), "doc_b")),
         Seq("source", "word"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -354,11 +370,15 @@ object DedupQueries {
     // distinct fold symmetric duplicates; this halves the join output
     // at identical recall (spec'd bit-exact against the exact arm).
     val cand = prefix
+      // explicit-width doc partitioning of the generating side — the
+      // jaccardJoin pinned shape (r15 audit)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("source"), col("doc_id").as("doc_p"), col("word"),
         col("nw").as("np"))
-      .join(w.select(col("source"), col("doc_id").as("doc_o"), col("word"))
-          .join(broadcast(nw.select(col("doc_id").as("doc_o"),
-            col("nw").as("no"))), "doc_o"),
+      .join(broadcast(
+          w.select(col("source"), col("doc_id").as("doc_o"), col("word"))
+            .join(broadcast(nw.select(col("doc_id").as("doc_o"),
+              col("nw").as("no"))), "doc_o")),
         Seq("source", "word"))
       .filter(col("no") > col("np") ||
         (col("no") === col("np") && col("doc_p") < col("doc_o")))
@@ -751,28 +771,34 @@ object DedupQueries {
     * gates (AnnRecall). */
   private[operators] def exactNn(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 4
+    // explicit-width repartition of the STREAMED side: a single-file
+    // embeddings table is one input split, and the whole N×block
+    // nested-loop sweep would run as one task (r15 audit: 357 s
+    // single-task stage at the 10× fixture; the r14 bitext lesson)
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
-    // max over struct orders by cos first, then by -nn_id — so ties on
-    // cosine resolve to the SMALLEST neighbor id, matching the oracle's
-    // ORDER BY cos DESC, nn_id
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // argmax by cos, ties to the SMALLEST neighbor id (the oracle's
+    // ORDER BY cos DESC, nn_id) — through the HASH-aggregable
+    // ArgMaxTiebreak: the old max(struct(cos, -id)) spelling fell back
+    // to SortAggregate (struct buffer), which sorted the whole N×block
+    // fan-out per task (r15 audit: 43 GB spill at the 10× fixture)
+    val argmax = graft.functions.ArgMax.arg_max_tiebreak _
     val partials = (0 until nBlocks).map { k =>
       val block = v
         .filter(pmod(col("vec_id"), lit(nBlocks)) === k)
         .select(col("vec_id").as("nn_id"), col("v").as("vb"),
           col("nrm").as("nrmb"))
       v.join(broadcast(block), col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), struct(
-          (dotNative(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
-            .as("cos"),
-          (-col("nn_id")).as("neg_id")).as("c"))
         .groupBy(col("vec_id"))
-        .agg(max(col("c")).as("c"))
+        .agg(argmax(
+          dotNative(col("v"), col("vb")) / (col("nrm") * col("nrmb")),
+          col("nn_id")).as("c"))
     }
     partials.reduce(_ union _)
       .groupBy(col("vec_id"))
-      .agg(max(col("c")).as("c"))
-      .select(col("vec_id"), (-col("c.neg_id")).as("nn_id"),
-        col("c.cos").as("cos"))
+      .agg(argmax(col("c.ord"), col("c.id")).as("c"))
+      .select(col("vec_id"), col("c.id").as("nn_id"),
+        col("c.ord").as("cos"))
   }
 
   def dedupEmbeddingNn(s: SparkSession, dir: String): DataFrame =
@@ -958,20 +984,18 @@ object DedupQueries {
       .join(v.select(col("vec_id").as("nn_id"), col("v").as("vb"),
         col("nrm").as("nrmb")), Seq("nn_id"))
       .withColumn("cos", dotNative(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
-    // top-1 + candidate count in ONE hash aggregate: max over a
-    // (cos, -nn_id) struct is the argmax with smallest-id tiebreak
-    // (exactNn's trick). The earlier shape — a row_number window branch
-    // next to a count-agg branch — sorted every candidate group and paid
-    // a second shuffle + join to recombine them (exchange reuse DID
-    // dedup the candidate join itself); the merged agg combines map-side
-    // before its one shuffle (r9 profile: full ann_lsh_bucket median
-    // 7.2 → 5.1 s, tools.LshProfile).
+    // top-1 + candidate count in ONE hash aggregate — ArgMaxTiebreak
+    // (primitive buffer) instead of max(struct(cos, -id)), whose struct
+    // buffer silently demoted the whole aggregate (count included) to
+    // SortAggregate over the candidate fan-out (r15 audit). The merged
+    // agg still combines map-side before its one shuffle (the r9
+    // row_number-window replacement, tools.LshProfile).
     val top = cand.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_candidates"),
-        max(struct(col("cos").as("cos"), (-col("nn_id")).as("neg_id")))
+        graft.functions.ArgMax.arg_max_tiebreak(col("cos"), col("nn_id"))
           .as("c"))
       .select(col("vec_id"), col("n_candidates"),
-        (-col("c.neg_id")).as("nn_id"), round(col("c.cos"), 6).as("cosine"))
+        col("c.id").as("nn_id"), round(col("c.ord"), 6).as("cosine"))
     vecs(s, dir).select(col("vec_id"))
       .join(top, Seq("vec_id"), "left_outer")
       .na.fill(Map("n_candidates" -> 0L))
@@ -1166,7 +1190,9 @@ object DedupQueries {
     * ([[annLshNn]] pairs ≥ τ) — the clustering stage is unchanged. */
   def dedupEmbComponents(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 4
+    // explicit-width streamed side — see exactNn (r15 audit)
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val edges = (0 until nBlocks).map { k =>
       val block = v.filter(pmod(col("vec_id"), lit(nBlocks)) === k)
         .select(col("vec_id").as("nb_id"), col("v").as("vb"),

@@ -77,15 +77,15 @@ object IvfQueries {
       .withColumn("cos",
         graft.functions.VectorOps.dot_product(col("v"), col("vb")) /
           (col("nrm") * col("nrmb")))
-    // single-pass argmax + count (see DedupQueries.annLshNn: the
-    // max-struct agg replaces a row_number window that both sorted each
-    // group and recomputed the candidate join for the count branch)
+    // single-pass argmax + count via the hash-aggregable
+    // ArgMaxTiebreak (the max-struct spelling demoted this aggregate to
+    // SortAggregate over the candidate fan-out — r15 audit)
     val top = cand.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_candidates"),
-        max(struct(col("cos").as("cos"), (-col("nn_id")).as("neg_id")))
+        graft.functions.ArgMax.arg_max_tiebreak(col("cos"), col("nn_id"))
           .as("c"))
       .select(col("vec_id"), col("n_candidates"),
-        (-col("c.neg_id")).as("nn_id"), round(col("c.cos"), 6).as("cosine"))
+        col("c.id").as("nn_id"), round(col("c.ord"), 6).as("cosine"))
     assigned.select(col("vec_id"))
       .join(top, Seq("vec_id"), "left_outer")
       .na.fill(Map("n_candidates" -> 0L))
@@ -212,10 +212,10 @@ object IvfQueries {
         dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
     val top = cand.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_candidates"),
-        max(struct(col("cos").as("cos"), (-col("nn_id")).as("neg_id")))
+        graft.functions.ArgMax.arg_max_tiebreak(col("cos"), col("nn_id"))
           .as("c"))
       .select(col("vec_id"), col("n_candidates"),
-        (-col("c.neg_id")).as("nn_id"), round(col("c.cos"), 6).as("cosine"))
+        col("c.id").as("nn_id"), round(col("c.ord"), 6).as("cosine"))
     assign.join(probeSig, Seq("vec_id"))
       .join(top, Seq("vec_id"), "left_outer")
       .na.fill(Map("n_candidates" -> 0L))

@@ -69,7 +69,11 @@ object SemDedupQueries {
     // data-derived — K ∝ N makes the fan-out grow quadratically).
     // first(v)/first(nrm) are group-constant (every fan-out row carries
     // the same vector), so the nondeterminism caveat is vacuous.
-    v.crossJoin(broadcast(cents))
+    v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      // explicit-width streamed side: the N×K fan-out must not run at
+      // input-split parallelism (one task for a single-file table) —
+      // the DedupQueries.exactNn r15 audit lesson
+      .crossJoin(broadcast(cents))
       .withColumn("dist",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("ce")) +
           col("csq"))

@@ -222,25 +222,53 @@ object StressFixture {
 
   /** `measureq <dir> <ops-csv> [reps]`: time ANY registry queries by
     * name against a fixture dir — the generic slope harness for
-    * operators outside the original dedup/ANN set. */
+    * operators outside the original dedup/ANN set. Each line also
+    * carries the run's task-metric totals (shuffle write + memory/disk
+    * spill, summed over the MEDIAN-rep window's tasks) so a slope table
+    * can attribute wall growth to exchange volume vs compute — the r15
+    * three-point curvature audit's added column. */
   private def measureQ(spark: SparkSession, dir: String,
       ops: Seq[String], reps: Int): Unit = {
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     ops.foreach { name =>
-      val ts = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
         // Bench's cold-rep protocol: without the evict, any query built
         // on the session-scoped pipeline base cache times the CACHE on
         // reps 2+ (mwas_pipeline_full read 0.8 s warm vs 25 s cold at
         // 10× before this matched)
         spark.catalog.clearCache()
         graft.operators.MwasPipelineQueries.evict()
+        shuffleW.set(0); spillMem.set(0); spillDisk.set(0)
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        // listener events drain async; give the bus a beat so the
+        // per-rep metric attribution is not cut short
+        Thread.sleep(200)
+        (w, shuffleW.get, spillMem.get, spillDisk.get)
       }
+      val ts = runs.map(_._1)
       val med = ts.sorted.apply(ts.size / 2)
+      val medRun = runs.minBy(r => math.abs(r._1 - med))
       println(f"[stress] $name%-20s median=$med%6.2f s  " +
-        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+        ts.map(t => f"$t%.2f").mkString("[", " ", "]") +
+        f"  shufW=${medRun._2 / 1048576.0}%.1f MiB" +
+        f" spill=${(medRun._3 + medRun._4) / 1048576.0}%.1f MiB")
     }
   }
 

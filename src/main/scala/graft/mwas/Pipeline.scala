@@ -46,11 +46,14 @@ case class MwasConfig(
     // ~5% data term at 550k state rows — tools.DeltaReadoutProbe), so
     // the delta arm's extra jobs cost more than the restriction saves
     // (tools.StreamMwasAb arm C, 10-trigger bplocal: 59.7 vs 42.3 s).
-    // The flag exists for the regime the math favors: readout data term
-    // >> per-trigger fixed cost (real-cluster state, minutes-long
-    // readouts), where per-trigger work drops to O(changed). Parity is
-    // measured, not assumed: row-identical, floats within 5.7e-12
-    // (reassociation only — the profcompare standard).
+    // The positive regime is MEASURED, not argued (r15,
+    // DeltaReadoutProbe on the genrel 100× fixture, 5.5M state rows,
+    // 1-of-20 bioprojects changed): restricted readout 5.92 s vs full
+    // 13.68 s — 2.3× in the delta arm's favor once the data term
+    // dominates the fixed cost. Both sides of the crossover are now
+    // measurement (NOTES_r15). Parity is measured, not assumed:
+    // row-identical, floats within 5.7e-12 (reassociation only — the
+    // profcompare standard).
     deltaReadout: Boolean = false)
 
 /** The MWAS query engine: the reference's run_on_file + process_bioproject +

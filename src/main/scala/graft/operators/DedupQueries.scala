@@ -1793,7 +1793,7 @@ object DedupQueries {
       |      AS start_off
       |  FROM o)
       |SELECT doc_id, source, component, split, quality, n_tokens,
-      |       start_off // 500 AS shard
+      |       CAST(start_off // 500 AS BIGINT) AS shard
       |FROM pk ORDER BY doc_id""".stripMargin
 
   val corpusCurationFunnelSql: String =

@@ -203,6 +203,24 @@ def eq(a, b, strict=False):
     return a == b
 
 
+def kind_conflict(gd, ed):
+    """True when one side is integer-kind and the other float-kind.
+
+    The driver's strict hash materializes values AS TYPED: a DuckDB
+    HUGEINT (→ double in the harness) against Spark's BIGINT hashes
+    `0.0` vs `0` even when every value is numerically equal — the r15
+    red row (corpus_pipeline_e2e's uncast `start_off // 500`). The
+    float-coercing eq() below is value-blind to that class by design,
+    so the KIND must be compared separately. Only int-vs-float is
+    fatal: same-kind width differences (int32 vs int64) survive the
+    driver's materialization, and object-kind columns (strings,
+    decimals, lists) have engine-specific pandas reprs that eq()
+    already normalizes."""
+    ints, flts = set("iu"), set("f")
+    gk, ek = gd.kind, ed.kind
+    return (gk in ints and ek in flts) or (gk in flts and ek in ints)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -230,11 +248,33 @@ def main(sf_dir, out_dir):
                 failures += 1
             print(f"{name}: {status} rows={len(got)}")
             continue
-        exp = con.execute(oracle[name]).fetchdf()
+        # Bind (not execute) the oracle to audit its DECLARED result
+        # types: any HUGEINT output column is an automatic failure —
+        # the driver harness materializes HUGEINT as a double and the
+        # strict hash diverges from Spark's integral value even when
+        # the numbers are equal. CAST the oracle column to BIGINT.
+        rel = con.sql(oracle[name])
+        huge = [c for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()]
+        if huge:
+            print(f"{name}: ORACLE TYPE HUGEINT cols={huge} "
+                  f"(driver hashes as double; CAST ... AS BIGINT)")
+            failures += 1
+            continue
+        exp = rel.fetchdf()
         got2 = got[sorted(got.columns)]
         exp2 = exp[sorted(exp.columns)]
         if list(got2.columns) != list(exp2.columns):
             print(f"{name}: SCHEMA MISMATCH got={list(got2.columns)} exp={list(exp2.columns)}")
+            failures += 1
+            continue
+        tbad = [c for c in got2.columns
+                if kind_conflict(got2[c].dtype, exp2[c].dtype)]
+        if tbad:
+            print(f"{name}: TYPE KIND MISMATCH cols="
+                  + str([(c, str(got2[c].dtype), str(exp2[c].dtype))
+                         for c in tbad])
+                  + " (int-vs-float is fatal to the driver's hash)")
             failures += 1
             continue
         if len(got2) != len(exp2):

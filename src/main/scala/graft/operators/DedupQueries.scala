@@ -152,6 +152,19 @@ object DedupQueries {
         col("word"))
       .join(broadcast(nw.select(col("doc_id").as("doc_r"),
         col("nw").as("nr"))), "doc_r")
+    // Enforce the posture bound MECHANICALLY (ADVICE r15): the pinned
+    // broadcast of the word relation is only valid inside the documented
+    // ≤30×/oracle envelope — past it the failure mode is Spark's 8 GiB
+    // broadcast hard limit, not a slow plan. When the optimizer's size
+    // estimate for the broadcast side crosses half that limit, say so
+    // loudly and name the escape hatch; the estimate is advisory (file
+    // stats compress), so this warns rather than throws.
+    val rightEst = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (rightEst > BigInt(4L << 30))
+      System.err.println(s"[graft] jaccardJoin: broadcast word-relation " +
+        s"estimate $rightEst B exceeds 4 GiB — this exact arm is the " +
+        "bounded oracle posture; at this scale route candidates through " +
+        "the banded path (bandedWordEdges / dedupMinhashLsh)")
     w.repartition(w.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .select(col("source"), col("doc_id").as("doc_l"), col("word"))
@@ -218,6 +231,69 @@ object DedupQueries {
     d.select(col("doc_id"), col("source"),
       graft.functions.ShingleOps.ngram_hashes(
         split(col("text"), " "), 1).as("wh"))
+
+  /** MinHash-banded J ≥ 0.7 EDGE relation at the word grain — the
+    * 100 TB candidate path for the fused pipeline and the funnel
+    * (VERDICT r15 item 3), the batch twin of the
+    * [[StreamingComponentsQueries]] store probe and therefore the same
+    * machinery already hash-proven against the exact SQL: word-hash
+    * sets ([[wordHashSets]]), 32 MinHash(64) band hashes per doc via
+    * the native per-row [[graft.functions.MinhashBands]] (narrow map,
+    * zero shuffles to signature the corpus), then
+    *
+    *   1. CANDIDATES from a slim self-join: (doc_id, source, nw, band,
+    *      bh) rows — 32 per doc, no word sets riding — shuffle-joined
+    *      on the (source, band, bh) bucket key with the length-ratio
+    *      prefilter applied in the join condition, then distinct. Both
+    *      shuffle inputs are ∝ 32·N slim rows (LINEAR in the corpus, vs
+    *      the exact arm's broadcast of the full word relation, which is
+    *      bounded by the 8 GiB hard limit); the self-join's exchange is
+    *      planned once and reused for the other side.
+    *   2. EXACT verification ∝ candidates, not pairs: the word-hash
+    *      sets join back onto the candidate relation only, and the
+    *      native sorted-set Jaccard keeps true pairs exactly.
+    *
+    * Equality to the exact arm ([[edgesE2e]]) is probabilistic with
+    * miss ≤ (1−J²)³² ≈ 4.4e-10 per qualifying pair (verification is
+    * exact, so no false edge ever enters) — the stream_components /
+    * stream_minhash_dedup waiver, recorded at each consumer's oracle
+    * registration. Returned unordered (u < v), distinct. */
+  private[operators] def bandedWordEdges(d: DataFrame): DataFrame = {
+    val whs = wordHashSets(d)
+    val sig = whs.select(col("doc_id"), col("source"),
+      size(col("wh")).as("nw"),
+      graft.functions.ShingleOps.minhash_bands(col("wh"), 64, 32)
+        .as("bands"))
+    // The bucket-key repartition at explicit width is the same pin the
+    // r15 audit put on jaccardJoin's probe side: without it, a corpus
+    // whose parquet compresses under the broadcast threshold runs the
+    // bucket fan-out at INPUT-SPLIT parallelism (one task on a
+    // single-file table). With it, BOTH regimes are healthy: at small
+    // scale Catalyst broadcasts one side onto the repartitioned probe
+    // (parallel fan-out), at large scale the estimates cross the
+    // threshold and the join falls back to a shuffle join whose
+    // exchanges this repartition already satisfies — and because both
+    // join inputs are the SAME subtree, the exchange plans once and is
+    // reused for the other side.
+    val slim = sig.select(col("doc_id"), col("source"), col("nw"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism,
+        col("source"), col("band"), col("bh"))
+    val cand = slim.as("x").join(slim.as("y"),
+        col("x.source") === col("y.source") &&
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.nw"), col("y.nw")).cast("double") >=
+            lit(jaccardThreshold) * greatest(col("x.nw"), col("y.nw")))
+      .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
+      .distinct()
+    val wa = whs.select(col("doc_id").as("u"), col("wh").as("wa"))
+    val wb = whs.select(col("doc_id").as("v"), col("wh").as("wb"))
+    cand.join(wa, Seq("u")).join(wb, Seq("v"))
+      .filter(graft.functions.ShingleOps.sorted_jaccard(
+        col("wa"), col("wb")) >= jaccardThreshold)
+      .select(col("u"), col("v"))
+  }
 
   /** Store-probe variant: exact J ≥ 0.7 pairs between the docs of
     * `probeWords` (a (source, doc_id, word) relation whose docs must
@@ -1575,10 +1651,12 @@ object DedupQueries {
     * report that tells you what each stage costs before you commit a
     * 100 TB run to it.
     *
-    * Every stage reuses the exact operator subtree its standalone query
-    * ships (qualityScore, jaccardJoin incl. the length-ratio prefilter,
-    * the star-contraction rounds), so the funnel's cross-engine hash
-    * oracle transitively re-proves the composition, not just the parts.
+    * Every stage reuses the operator subtree its standalone query ships
+    * (qualityScore, the banded candidate path [[bandedWordEdges]] with
+    * its length-ratio prefilter and exact verify, the star-contraction
+    * rounds), so the funnel's cross-engine hash oracle transitively
+    * re-proves the composition, not just the parts — modulo the
+    * band-miss waiver recorded at the registration.
     * Scale shape: four aggregates over successively smaller relations;
     * the near-dup stage is the standalone components plan restricted to
     * exact-dedup survivors (strictly cheaper than the full-corpus run).
@@ -1602,11 +1680,10 @@ object DedupQueries {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
-    val w2 = s2.select(col("source"), col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("word"))
-    val comp = connectedComponents(
-      jaccardJoin(w2, w2, _ < _)
-        .select(col("doc_l").as("u"), col("doc_r").as("v")))
+    // near-dup stage on the banded candidate path (VERDICT r15 item 3)
+    // — same J ≥ 0.7 edges as the exact arm modulo the recorded
+    // band-miss waiver; the exact formulation stays the oracle's
+    val comp = connectedComponents(bandedWordEdges(s2))
       .select(col("u").as("doc_id"), col("v").as("component"))
     val s3 = s2.join(comp, Seq("doc_id"), "left_outer")
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
@@ -1645,14 +1722,26 @@ object DedupQueries {
     *
     * Plan shape: the two survivor sets materialize ONCE
     * (localCheckpoint, the funnel's bounded-staging argument) and every
-    * later stage derives from them; inside the pair join both sides of
-    * the (source, word) exchange are the SAME subtree over the
-    * checkpointed survivors, so Catalyst plans one exchange and reuses
-    * it (spec-asserted with AQE off, the PipelineSpec precedent). The
-    * split/pack tail is window algebra over the survivor relation —
-    * partitioned by (split, source), so no global sort appears before
-    * the final presentation orderBy. */
-  def corpusPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    * later stage derives from them. The EDGE relation is parameterized
+    * (VERDICT r15 item 3): the default is the banded MinHash candidate
+    * path ([[bandedWordEdges]] — shuffles ∝ 32·N slim signature rows,
+    * exact verify ∝ candidates, the shape that survives 100 TB), while
+    * the exact inclusion–exclusion arm ([[edgesE2e]], the bounded
+    * broadcast posture) remains the ORACLE formulation and the spec's
+    * cross-check: CorpusPipelineE2eSpec asserts the two arms produce
+    * the same edges and the same pipeline output on the fixture.
+    * Either way the self-join's exchange is planned once and reused
+    * for the other side (spec-asserted with AQE off, the PipelineSpec
+    * precedent). The split/pack tail is window algebra over the
+    * survivor relation — partitioned by (split, source), so no global
+    * sort appears before the final presentation orderBy. */
+  def corpusPipelineE2e(s: SparkSession, dir: String): DataFrame =
+    corpusPipelineE2e(s, dir, bandedWordEdges)
+
+  /** [[corpusPipelineE2e]] with an explicit edge relation over the
+    * exact-dedup survivor docs (doc_id, source, text). */
+  private[operators] def corpusPipelineE2e(s: SparkSession, dir: String,
+      edges: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
     val s1 = d.join(TextQueries.qualityScore(s, dir), Seq("doc_id"))
@@ -1665,10 +1754,8 @@ object DedupQueries {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
-    val w2 = s2.select(col("source"), col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("word"))
     val comp = connectedComponents(
-      edgesE2e(w2))
+      edges(s2))
       .select(col("u").as("doc_id"), col("v").as("component"))
     val s3 = s2.join(comp, Seq("doc_id"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
@@ -1711,12 +1798,19 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The e2e pipeline's edge relation, factored so
+  /** The exact (inclusion–exclusion) edge relation over a word
+    * relation — the e2e pipeline's ORACLE-posture arm, factored so
     * CorpusPipelineE2eSpec can assert its exchange-reuse plan shape in
-    * isolation (AQE off). */
+    * isolation (AQE off) and cross-check it against the banded
+    * default. */
   private[operators] def edgesE2e(w2: DataFrame): DataFrame =
     jaccardJoin(w2, w2, _ < _)
       .select(col("doc_l").as("u"), col("doc_r").as("v"))
+
+  /** [[edgesE2e]] over a documents relation — the exact arm in the
+    * parameterized pipeline's (docs → edges) shape. */
+  private[operators] def exactWordEdges(d: DataFrame): DataFrame =
+    edgesE2e(wordRelOf(d))
 
   val corpusPipelineE2eSql: String =
     """WITH RECURSIVE sc AS (
@@ -1874,6 +1968,15 @@ object DedupQueries {
         Some(dedupContainmentDedupFirstSql)),
       ("dedup_containment_auto", dedupContainmentAuto _,
         Some(dedupContainmentAutoSql)),
+      // PROBABILISTIC-EQUALITY WAIVER (ADVICE r15, the
+      // stream_minhash_dedup precedent): both composed pipelines run
+      // their near-dup stage on the MinHash-banded candidate path
+      // (bandedWordEdges) while the oracles stay the EXACT word-Jaccard
+      // SQL. A true J ≥ 0.7 pair misses all 32 bands with probability
+      // (1−J²)³² ≤ 4.4e-10; verification is exact, so no false edge
+      // ever enters. A hash mismatch on these rows should be triaged as
+      // a possible band-miss (diff bandedWordEdges vs exactWordEdges on
+      // the survivors) before code archaeology.
       ("corpus_curation_funnel", corpusCurationFunnel _,
         Some(corpusCurationFunnelSql)),
       ("corpus_pipeline_e2e", corpusPipelineE2e _,

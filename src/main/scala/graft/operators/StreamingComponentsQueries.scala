@@ -30,9 +30,14 @@ import org.apache.spark.sql.streaming.Trigger
   *      is exact, so no false edge ever enters: the twin hash-oracles
   *      against the literally-same batch SQL.
   *
-  *      Cost shape, honestly: per-trigger MATERIALIZED work (broadcast,
-  *      shuffles, writes) is ∝ batch; the store pass is a columnar SCAN
-  *      of one row per doc (never re-shuffled, never re-aggregated —
+  *      Cost shape, honestly: per-trigger broadcasts are ∝ batch, and
+  *      the PAIR-DISCOVERY shuffles/writes are ∝ batch — but the
+  *      mapping side is inherently ∝ history: the |V|-row mapping is
+  *      scanned for the endpoint rewrite, shuffled by the star rounds,
+  *      and rewritten each trigger (the mapping IS the state; any exact
+  *      CC maintenance pays at least a pass over it). The store pass is
+  *      a columnar SCAN of one row per doc (never re-shuffled, never
+  *      re-aggregated —
   *      the r14 shape re-shuffled and re-aggregated the FULL exploded
   *      word store every trigger, the r14 verdict's one named
   *      scale-killer). The residual history term is the scan itself
@@ -120,14 +125,32 @@ object StreamingComponentsQueries {
     * the edge-mass lever on twin-dense corpora: the driver sf0.1
     * fixture verifies ~140k pairs in its last trigger, almost all
     * internal to already-known cliques — pre-contraction hands the
-    * star rounds |V| mapping rows + a few thousand bridges instead. */
+    * star rounds |V| mapping rows + a few thousand bridges instead.
+    *
+    * The endpoint lookup never broadcasts the |V|-row mapping (ADVICE
+    * r15): prev grows with HISTORY, so broadcast(prev) walks into the
+    * 8 GiB broadcast hard limit / driver heap long before the 100 TB
+    * posture. Spark can only broadcast the non-preserved side of an
+    * outer join — which here IS the mapping — so the join is
+    * restructured: an INNER join of the mapping scan against the
+    * broadcast distinct endpoint keys (∝ batch) extracts the
+    * ≤ 2·|pairs| matched reps map-side, and THAT batch-sized relation
+    * broadcasts into the preserved-side outer joins. Per trigger the
+    * mapping is scanned, never shuffled or broadcast, for the rewrite;
+    * every broadcast is ∝ batch. (Callers hand in a MATERIALIZED
+    * newPairs — streamComponents writes/reads the per-trigger pair
+    * relation, StreamCcProbe localCheckpoints it — because it is
+    * referenced three times here and would otherwise recompute the
+    * probe join per reference.) */
   private[operators] def advanceMapping(prev: DataFrame,
       newPairs: DataFrame): DataFrame = {
-    val pu = prev.select(col("u"), col("v").as("ru"))
-    val pv = prev.select(col("u").as("v"), col("v").as("rv"))
+    def reps(keyCol: String, repAs: String): DataFrame =
+      prev.select(col("u").as(keyCol), col("v").as(repAs))
+        .join(broadcast(newPairs.select(col(keyCol)).distinct()),
+          Seq(keyCol))
     val bridges = newPairs
-      .join(broadcast(pu), Seq("u"), "left_outer")
-      .join(broadcast(pv), Seq("v"), "left_outer")
+      .join(broadcast(reps("u", "ru")), Seq("u"), "left_outer")
+      .join(broadcast(reps("v", "rv")), Seq("v"), "left_outer")
       .select(coalesce(col("ru"), col("u")).as("a"),
         coalesce(col("rv"), col("v")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -183,7 +206,14 @@ object StreamingComponentsQueries {
       // verify INSIDE the map stage, so only verified edges shuffle.
       // The source rides in the bucket key (the oracle pairs
       // within-source only).
-      val newPairs = probePairs(store, bsig)
+      // materialize the per-trigger verified pairs (∝ batch) before the
+      // mapping advance: advanceMapping references them three times
+      // (left side + two endpoint-key extracts) and would recompute the
+      // probe join per reference; batchId-keyed overwrite keeps the
+      // write replay-idempotent like the signature store's
+      probePairs(store, bsig).write.mode("overwrite")
+        .parquet(s"$base/pairs_b$bid")
+      val newPairs = ss.read.parquet(s"$base/pairs_b$bid")
       val prev = mappingPath match {
         case Some(p) => ss.read.parquet(p)
         case None => ss.createDataFrame(
@@ -208,6 +238,14 @@ object StreamingComponentsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // PROBABILISTIC-EQUALITY WAIVER (recorded here, at the registration,
+  // per ADVICE r15): pair discovery is MinHash-banded while the oracle
+  // is the EXACT dedup_components SQL. A true J ≥ 0.7 pair misses all
+  // 32 bands with probability (1−J²)³² ≤ 4.4e-10 (verification is
+  // exact, so no false edge ever enters) — the stream_minhash_dedup
+  // precedent. If this row ever hash-fails, triage as a possible
+  // band-miss on a near-threshold pair BEFORE code archaeology: rerun
+  // and diff the pair relations (probePairs vs dedupJaccardPairs).
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("stream_components", streamComponents _,
       Some(DedupQueries.dedupComponentsSql)))

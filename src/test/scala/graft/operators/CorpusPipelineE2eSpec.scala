@@ -70,6 +70,55 @@ class CorpusPipelineE2eSpec extends AnyFunSuite {
     }
   }
 
+  test("banded edge arm equals the exact arm, and the pipeline output " +
+      "is identical under both") {
+    // the registered query runs the banded MinHash candidate path;
+    // the ORACLE stays the exact word-Jaccard SQL — this is the local
+    // proof that the two arms agree (band-miss waiver: ≤4.4e-10/pair)
+    val s2 = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
+    val banded = DedupQueries.bandedWordEdges(s2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupQueries.exactWordEdges(s2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.nonEmpty, "fixture has no near-dup structure")
+    assert(banded == exact,
+      s"banded-only: ${(banded -- exact).take(5)}; " +
+        s"exact-only: ${(exact -- banded).take(5)}")
+
+    val viaBanded = DedupQueries.corpusPipelineE2e(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val viaExact = DedupQueries.corpusPipelineE2e(spark, dir,
+        DedupQueries.exactWordEdges).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(viaBanded.toSeq == viaExact.toSeq)
+  }
+
+  test("the banded arm's slim band self-join reuses one exchange and " +
+      "never carries the word sets into the candidate shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s2 = DedupQueries.docs(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(true)
+      val plan = DedupQueries.bandedWordEdges(s2)
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(_.contains("ReusedExchange")),
+        s"no ReusedExchange in the banded edge plan:\n$plan")
+      // the candidate join's exchanges must be the slim signature rows:
+      // a `wh` column inside any hashpartitioning exchange input means
+      // the word sets are being shuffled 32x per doc
+      val candidateExchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .filter(l => l.contains("band") || l.contains("bh"))
+        .toSeq
+      assert(candidateExchanges.nonEmpty, s"no band-bucket exchange:\n$plan")
+      assert(!candidateExchanges.exists(_.contains("wh")),
+        s"word sets ride the candidate shuffle:\n$candidateExchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("the pair join's (source, word) exchange is planned once and " +
       "reused for the other side") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

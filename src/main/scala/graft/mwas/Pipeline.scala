@@ -438,9 +438,24 @@ object Pipeline {
         // anything near or under the threshold runs the full budget
         val permUdf = Pipeline.permPaddedUdf(cfg.permResamples,
           earlyStopAbove = 20.0 * cfg.pValueThreshold)
+        // WIDTH PIN (r16 audit): the explicit repartition between the
+        // memo dedup and the kernel projection is load-bearing. Without
+        // it, AQE coalesces the dedup's post-shuffle partitions by
+        // BYTES — and memo rows are tiny, so the CPU-heavy resampling
+        // kernel (the one place bytes wildly understate cost) collapsed
+        // to a 15.9 s single-task straggler at the 10× fixture while
+        // the 30× point, with more bytes and therefore more coalesced
+        // partitions, ran FASTER (the r15 audit's inverted-curvature
+        // row). A user repartition is never coalesced, the shuffled
+        // relation is the distinct memo tuples (small by construction),
+        // and hash-on-key spreads the early-stop cost variance across
+        // the full width. Measured 26.1 → 9.5 s at 10×; monotone
+        // 1×/10×/30× walls after the pin (NOTES_r16).
         val permResults = keyed.filter(!col("is_t_test"))
           .select(memoCols.map(col): _*)
           .dropDuplicates(memoCols)
+          .repartition(
+            keyed.sparkSession.sparkContext.defaultParallelism)
           .select(col("memo_key") +: memoCols.drop(1).map(col) :+
             permUdf(col("stored_vals"), col("all_vals"), col("include"),
               col("num_true"), col("num_false")).as("perm"): _*)

@@ -147,12 +147,18 @@ object PermutationTest {
     } else {
       // Monte-Carlo: seed from a commutative content hash (Long addition is
       // order-independent, unlike FP summation) so the result is reproducible
-      // across runs, row orders, and partitionings.
+      // across runs, row orders, and partitionings. SplittableRandom, not
+      // java.util.Random: Random.next() CASes an AtomicLong per draw, which
+      // dominated the hot loop (the r16 audit's 7.9 s single-row straggler
+      // in mwas_pipeline_full — resamples × min-side draws at the
+      // permMaxPooled bound). Every consumer gate is statistical (3·SE
+      // bands, order-invariance, early-stop equivalence), so the stream
+      // only needs to be deterministic, not any particular sequence.
       var seed = 41L * n + 7L * nx
       pooled.foreach { v =>
         seed += java.lang.Double.doubleToLongBits(v) * 0x9E3779B97F4A7C15L
       }
-      val rng = new java.util.Random(seed)
+      val rng = new java.util.SplittableRandom(seed)
       // sort so the resampling stream is independent of input row order
       // (the statistic depends only on the multiset)
       val work = pooled.clone()

@@ -55,6 +55,65 @@ class RegistrySmokeSpec extends AnyFunSuite {
                            // itself is hash-oracled as ann_ivf_exactfit
                            // (r13)
 
+  // ---- golden oracle-type registry (VERDICT r15 item 7) -----------------
+  // tools/oracle_types.py binds every oracle SQL in REAL DuckDB and
+  // records each result column's type kind (int/float/other) plus a
+  // sha256 of the SQL; it hard-fails on HUGEINT. The two tests below +
+  // the per-query kind check close the r15 red-row class in `sbt test`:
+  //   - editing an oracle SQL fails the sha check until the tool
+  //     regenerates the golden — which re-runs the HUGEINT audit;
+  //   - a Spark-vs-DuckDB int/float kind divergence (fatal to the
+  //     driver's strict hash even when values are numerically equal)
+  //     fails the query's own smoke test.
+  private lazy val goldenTypes: Map[String, (String, Map[String, String])] = {
+    val src = scala.io.Source.fromFile(
+      "src/test/resources/oracle_types.tsv", "UTF-8")
+    try src.getLines().map { line =>
+      val Array(name, sha, cols) = line.split("\t", 3)
+      val kinds = cols.split(",").map { ck =>
+        val i = ck.lastIndexOf(':')
+        ck.substring(0, i) -> ck.substring(i + 1)
+      }.toMap
+      name -> (sha, kinds)
+    }.toMap
+    finally src.close()
+  }
+
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def sparkKind(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case FloatType | DoubleType => "float"
+      case _ => "other"
+    }
+  }
+
+  private val regenHint =
+    "regenerate: sbt 'runMain graft.Verify /root/testdata/sf0.001 " +
+      "/tmp/vout' then python3 tools/oracle_types.py /root/testdata/" +
+      "sf0.001 /tmp/vout/oracle_sql.json src/test/resources/oracle_types.tsv"
+
+  test("golden oracle-type registry covers every oracle and matches " +
+      "the declared SQL") {
+    val oracles = SparkEntry.oracleSql
+    val missing = oracles.keySet -- goldenTypes.keySet
+    assert(missing.isEmpty,
+      s"oracles missing from oracle_types.tsv: $missing — $regenHint")
+    val stale = goldenTypes.keySet -- oracles.keySet
+    assert(stale.isEmpty,
+      s"stale oracle_types.tsv entries: $stale — $regenHint")
+    val drifted = oracles.collect {
+      case (name, sql) if goldenTypes(name)._1 != sha256(sql) => name
+    }
+    assert(drifted.isEmpty,
+      s"oracle SQL changed since the golden type audit: $drifted — " +
+        s"$regenHint (the regen re-runs the HUGEINT check in real DuckDB)")
+  }
+
   test("registry names are unique across all contributing files") {
     // SparkEntry.queries is a toMap over a hand-maintained concatenation;
     // a name collision would silently DROP a query from the driver
@@ -87,6 +146,17 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // not skip meaningful work at this SF
       val df = fn(spark, dir)
       df.limit(1).count() // any row count (incl. 0) is fine; throwing is not
+      // kind parity vs the golden DuckDB oracle types: int-vs-float is
+      // fatal to the driver's strict hash even when values are equal
+      for ((_, kinds) <- goldenTypes.get(name);
+           f <- df.schema.fields; gk <- kinds.get(f.name)) {
+        val sk = sparkKind(f.dataType)
+        assert(!(gk == "int" && sk == "float") &&
+          !(gk == "float" && sk == "int"),
+          s"$name.${f.name}: Spark $sk (${f.dataType.simpleString}) vs " +
+            s"DuckDB oracle $gk — the driver's hash will mismatch; cast " +
+            "one side (usually CAST ... AS BIGINT in the oracle)")
+      }
     }
   }
 }

@@ -144,15 +144,19 @@ object StreamingComponentsQueries {
     * probe join per reference.) */
   private[operators] def advanceMapping(prev: DataFrame,
       newPairs: DataFrame): DataFrame = {
-    def reps(keyCol: String, repAs: String): DataFrame =
-      prev.select(col("u").as(keyCol), col("v").as(repAs))
-        .join(broadcast(newPairs.select(col(keyCol)).distinct()),
-          Seq(keyCol))
+    // one key relation (both endpoints), so the mapping is scanned ONCE
+    // for the lookup; the two outer joins below share the identical
+    // broadcast(reps) subtree, which Catalyst builds once and reuses
+    val keys = newPairs.select(col("u").as("k"))
+      .unionByName(newPairs.select(col("v").as("k"))).distinct()
+    val reps = prev.select(col("u").as("k"), col("v").as("rep"))
+      .join(broadcast(keys), Seq("k"))
     val bridges = newPairs
-      .join(broadcast(reps("u", "ru")), Seq("u"), "left_outer")
-      .join(broadcast(reps("v", "rv")), Seq("v"), "left_outer")
+      .join(broadcast(reps), col("u") === col("k"), "left_outer")
+      .select(col("u"), col("v"), col("rep").as("ru"))
+      .join(broadcast(reps), col("v") === col("k"), "left_outer")
       .select(coalesce(col("ru"), col("u")).as("a"),
-        coalesce(col("rv"), col("v")).as("b"))
+        coalesce(col("rep"), col("v")).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))

@@ -1177,8 +1177,15 @@ object DedupQueries {
     * than its neighborhood minimum — no collect, no giant adjacency lists.
     */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges0 = jaccardPairs(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // banded candidate edges (r16): this query only consumes the EDGE
+    // SET, so it rides the linear-shuffle banded path like the fused
+    // pipelines — the r15 audit's exact-arm row here (71.1 s, 44.7 GiB
+    // spill at 30×) was the designed pair-mass superlinearity that the
+    // banded arm avoids. The exact formulation stays the oracle
+    // (band-miss waiver at the registration) and stays the default for
+    // dedup_jaccard_pairs, which OUTPUTS the jaccard values.
+    val edges0 = bandedWordEdges(
+      docs(s, dir).select(col("doc_id"), col("source"), col("text")))
     val comp = connectedComponents(edges0)
       .select(col("u").as("doc_id"), col("v").as("component"))
     docs(s, dir).select(col("doc_id"))
@@ -1946,6 +1953,10 @@ object DedupQueries {
     Seq(
       ("dedup_exact", dedupExact _, Some(dedupExactSql)),
       ("dedup_canonical", dedupCanonical _, Some(dedupCanonicalSql)),
+      // dedup_components runs the banded candidate path against the
+      // exact SQL oracle — same probabilistic-equality waiver as the
+      // composed pipelines below ((1−J²)³² ≤ 4.4e-10 per qualifying
+      // pair, verification exact)
       ("dedup_components", dedupComponents _, Some(dedupComponentsSql)),
       ("dedup_jaccard_pairs", dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
       ("dedup_minhash_lsh", dedupMinhashLsh _, Some(dedupMinhashLshSql)),

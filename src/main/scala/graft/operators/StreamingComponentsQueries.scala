@@ -213,11 +213,12 @@ object StreamingComponentsQueries {
       // materialize the per-trigger verified pairs (∝ batch) before the
       // mapping advance: advanceMapping references them three times
       // (left side + two endpoint-key extracts) and would recompute the
-      // probe join per reference; batchId-keyed overwrite keeps the
-      // write replay-idempotent like the signature store's
-      probePairs(store, bsig).write.mode("overwrite")
-        .parquet(s"$base/pairs_b$bid")
-      val newPairs = ss.read.parquet(s"$base/pairs_b$bid")
+      // probe join per reference. Eager localCheckpoint, not a parquet
+      // round-trip: the relation is batch-sized and consumed entirely
+      // within this trigger (a replayed trigger recomputes it from the
+      // idempotent store, so nothing durable is needed), and the
+      // in-memory cut measured ~0.3 s/trigger cheaper than write+read
+      val newPairs = probePairs(store, bsig).localCheckpoint(true)
       val prev = mappingPath match {
         case Some(p) => ss.read.parquet(p)
         case None => ss.createDataFrame(

@@ -92,10 +92,13 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  // the `__sql_only__` filter matches no query, so Verify skips every
+  // dump but still writes oracle_sql.json — the cheap regen path
   private val regenHint =
     "regenerate: sbt 'runMain graft.Verify /root/testdata/sf0.001 " +
-      "/tmp/vout' then python3 tools/oracle_types.py /root/testdata/" +
-      "sf0.001 /tmp/vout/oracle_sql.json src/test/resources/oracle_types.tsv"
+      "/tmp/vout __sql_only__' then python3 tools/oracle_types.py " +
+      "/root/testdata/sf0.001 /tmp/vout/oracle_sql.json " +
+      "src/test/resources/oracle_types.tsv"
 
   test("golden oracle-type registry covers every oracle and matches " +
       "the declared SQL") {

@@ -295,8 +295,14 @@ object SplitQueries {
     * doc→component mapping. No collect, no driver loop beyond the CC
     * convergence scalar. */
   def splitByComponent(s: SparkSession, dir: String): DataFrame = {
-    val edges = DedupQueries.jaccardPairs(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // banded candidate edges (r16): like dedup_components, this query
+    // only consumes the component structure, so it rides the
+    // linear-shuffle banded path; the exact SQL oracle stands with the
+    // same band-miss waiver (≤ 4.4e-10 per qualifying pair, exact
+    // verification) recorded at the dedup family's registrations
+    val edges = DedupQueries.bandedWordEdges(
+      DedupQueries.docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text")))
     val comp = DedupQueries.connectedComponents(edges)
       .select(col("u").as("doc_id"), col("v").as("component"))
     val d = DedupQueries.docs(s, dir)

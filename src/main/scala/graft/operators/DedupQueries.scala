@@ -182,6 +182,16 @@ object DedupQueries {
       .select(col("doc_l"), col("doc_r"), col("jaccard"))
   }
 
+  /** [[bandedWordEdges]] over the corpus, in the pair relation's
+    * (doc_a, doc_b) spelling — the edge source for consumers that use
+    * the near-dup pair STRUCTURE but never the jaccard value (graph
+    * analytics, splits, clustering). Probabilistically equal to
+    * [[jaccardPairs]] under the recorded band-miss waiver. */
+  private[operators] def bandedPairs(s: SparkSession, dir: String): DataFrame =
+    bandedWordEdges(docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
+
   private def wordRel(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("source"), col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("word"))

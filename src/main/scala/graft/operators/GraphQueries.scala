@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * example), with `localCheckpoint` per round so the plan does not
   * accrete five rounds of lineage (the CC precedent).
   *
-  * Graph: the word-Jaccard ≥ 0.7 pairs ([[DedupQueries.jaccardPairs]])
+  * Graph: the word-Jaccard ≥ 0.7 pairs ([[DedupQueries.bandedPairs]],
+  * the banded candidate path with exact verification — r16)
   * as an undirected graph (both directions materialized); within a
   * near-dup corpus, high PageRank marks the TEMPLATE documents — hubs
   * every near-copy points at — which is the curation use (rank the
@@ -34,7 +35,7 @@ object GraphQueries {
   /** Full rank relation (doc_id, deg, pr) — shared by the top-k query
     * and the mass-conservation spec. */
   private[operators] def fullRanks(s: SparkSession, dir: String): DataFrame =
-    fullRanksFrom(DedupQueries.jaccardPairs(s, dir))
+    fullRanksFrom(DedupQueries.bandedPairs(s, dir))
 
   /** The iteration engine over ANY (doc_a, doc_b) pair relation. Split
     * out because the operator's measured 30× slope is ~entirely the
@@ -131,8 +132,11 @@ object GraphQueries {
     // expensive subtree and the plan below consumes pairs/edges from
     // SIX positions — un-checkpointed, Spark re-derives it per consumer
     // (the pagerank/CC precedent; plans/triangle_count.txt before/after)
-    val pairs = DedupQueries.jaccardPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+    // banded candidate pairs (r16): the measured 30x slope here was
+    // ~entirely the exact pair derivation (scaladoc above); the graph
+    // math never reads the jaccard value, and the exact SQL oracle
+    // stands under the dedup family's recorded band-miss waiver
+    val pairs = DedupQueries.bandedPairs(s, dir)
       .localCheckpoint(true)
     val deg = pairs.select(col("doc_a").as("node"))
       .unionByName(pairs.select(col("doc_b").as("node")))
@@ -238,8 +242,11 @@ object GraphQueries {
     * SFs and the spec asserts an extra round changes nothing — the same
     * bounded-unrolling contract as the oracle's unrolled CTE chain. */
   def kCore(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries.jaccardPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+    // banded candidate pairs (r16): the measured 30x slope here was
+    // ~entirely the exact pair derivation (scaladoc above); the graph
+    // math never reads the jaccard value, and the exact SQL oracle
+    // stands under the dedup family's recorded band-miss waiver
+    val pairs = DedupQueries.bandedPairs(s, dir)
       .localCheckpoint(true)
     var edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * 0–7 train, 8–9 validation (80/20, deterministic on both engines, no
   * RNG). Near-dup relation: the SAME pair graph as
   * [[DedupQueries.jaccardPairs]] (word Jaccard ≥ 0.7 within source
-  * blocks) — the audit composes the split with the existing dedup
-  * operator rather than inventing a new similarity.
+  * blocks, derived via the banded candidate path
+  * [[DedupQueries.bandedPairs]] since r16) — the audit composes the
+  * split with the existing dedup operator rather than inventing a new
+  * similarity.
   *
   * Output grain: per source — train/val sizes, leaked-val count, leak
   * rate (int/int division, bit-identical cross-engine). Scale shape:
@@ -33,8 +35,7 @@ object SplitQueries {
     val d = DedupQueries.docs(s, dir)
       .select(col("source"), col("doc_id"),
         (bucket(col("doc_id")) >= 8).as("is_val"))
-    val pairs = DedupQueries.jaccardPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = DedupQueries.bandedPairs(s, dir)
     val labels = d.select(col("doc_id"), col("is_val"))
     // a val doc leaks if EITHER side of a crossing pair is in train
     val leaked = pairs

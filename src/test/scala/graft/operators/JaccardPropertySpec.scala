@@ -70,4 +70,26 @@ class JaccardPropertySpec extends Properties("DedupJaccardPairs") {
       if (got != exp) println(s"docs=$docs\ngot=$got\nexp=$exp")
       got == exp
     }
+
+  /** The banded candidate arm (the edges-only family's default since
+    * r16) must produce the SAME pair set on the same adversarial
+    * shapes — single-word docs, twins, ratio-straddling sizes. A
+    * band-miss here is ≤ 4.4e-10 per qualifying pair (the recorded
+    * waiver), i.e. never over this test's lifetime; a failure means
+    * band-count/seed/threshold drift between the arms, and the printed
+    * diff separates missed-candidate from verify-level divergence. */
+  property("banded candidate edges equal the brute-force pair set") =
+    Prop.forAll(genDocs) { docs =>
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("banded_prop").toString
+      graft.core.TempDirs.cleanOnExit(java.nio.file.Paths.get(dir))
+      docs.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = DedupQueries.bandedPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = expected(docs).map(t => (t._1, t._2))
+      if (got != exp) println(s"docs=$docs\nbanded=$got\nexp=$exp")
+      got == exp
+    }
 }

@@ -44,7 +44,8 @@ object SparkEntry {
       graft.operators.StreamingPcaQueries.all ++
       graft.operators.StreamingIvmQueries.all ++
       graft.operators.StreamingComponentsQueries.all ++
-      graft.operators.StreamingLinkageQueries.all
+      graft.operators.StreamingLinkageQueries.all ++
+      graft.operators.StreamingCurationQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

@@ -1777,8 +1777,18 @@ object DedupQueries {
     val s3 = s2.join(comp, Seq("doc_id"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .filter(col("component") === col("doc_id"))
-    // Hamilton 80/10/10 at the survivor (= component) grain, then the
-    // token-budget pack — int64 all the way (the splitByComponent rules)
+    manifestTail(s3)
+  }
+
+  /** The fused pipeline's split/pack TAIL over the near-dup survivor
+    * relation (doc_id, source, text, quality, component) — factored so
+    * the incremental twin ([[StreamingCurationQueries]]) replays the
+    * literally-same readout over its accumulated survivor store:
+    * Hamilton 80/10/10 at the survivor (= component) grain, then the
+    * token-budget pack — int64 all the way (the splitByComponent
+    * rules). */
+  private[operators] def manifestTail(s3: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ranked = s3.select(col("component"), col("source"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(

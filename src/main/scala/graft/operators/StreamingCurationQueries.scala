@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental fused curation — the flagship end-to-end pipeline
+  * ([[DedupQueries.corpusPipelineE2e]]: quality floor → exact dedup →
+  * near-dup contraction → Hamilton split → shard pack) maintained as
+  * documents ARRIVE, instead of recomputed from scratch. This is the
+  * "one job real users run" in its continuously-running form: per
+  * trigger the work is batch-scoped (score, dedup, signature, probe);
+  * the training-ready manifest is read out over the accumulated
+  * survivor state.
+  *
+  * Stage-by-stage incrementality, each exact:
+  *
+  *   1. QUALITY is a pure per-doc function
+  *      ([[TextQueries.qualityScoreOf]]) — one narrow pass per batch.
+  *   2. EXACT DEDUP keeps min doc_id per md5(text). Batches are staged
+  *      in doc_id ORDER (id-range stripes, the [[StreamingComponentsQueries]]
+  *      pattern), so an accepted hash can never be displaced by a later
+  *      arrival — survivorship is append-only, no retraction state.
+  *      The accumulated hash store is SCANNED, never shuffled or
+  *      broadcast: the store scan inner-joins the broadcast batch
+  *      hashes (∝ batch) to extract the already-seen subset, and the
+  *      batch anti-joins against that small relation (the
+  *      advanceMapping lookup discipline).
+  *   3. NEAR-DUP CC over the exact-dedup survivors reuses the banded
+  *      signature store + map-side probe + contracted-mapping advance
+  *      verbatim ([[StreamingComponentsQueries.signatureRows]]/
+  *      [[StreamingComponentsQueries.probePairs]]/
+  *      [[StreamingComponentsQueries.advanceMapping]]) — additions only
+  *      ever merge components, and component-min ids are stable under
+  *      merges, so the final mapping equals the batch run's.
+  *   4. The READOUT replays the literally-same split/pack tail as the
+  *      batch pipeline ([[DedupQueries.manifestTail]]) over the
+  *      accumulated survivor store + final mapping, so the stream
+  *      hash-oracles against the SAME SQL as `corpus_pipeline_e2e`
+  *      (incl. its band-miss waiver, recorded at the registrations).
+  *
+  * Determinism: staged single-file batches, `maxFilesPerTrigger=1`,
+  * `Trigger.AvailableNow`; every store write is batchId-keyed with
+  * overwrite (replay-idempotent). */
+object StreamingCurationQueries {
+
+  def streamCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val (idMin, idMax) = graft.streaming.StreamingQueries.idRange(d, "doc_id")
+      .getOrElse(throw new IllegalArgumentException(
+        "empty input relation: nothing to stream"))
+    val b1 = idMin + (idMax - idMin) / 3
+    val b2 = idMin + 2 * (idMax - idMin) / 3
+    val staging = graft.streaming.StreamingQueries.stageBatches(
+      "graft_stream_cur_stage_" + graft.streaming.StreamingQueries.pathTag(dir),
+      Seq(d.filter(col("doc_id") <= b1),
+        d.filter(col("doc_id") > b1 && col("doc_id") <= b2),
+        d.filter(col("doc_id") > b2)))
+
+    val base = graft.streaming.StreamingQueries.stateBase(
+      "graft_stream_cur", dir)
+    val hashDir = s"$base/h"
+    val survDir = s"$base/surv"
+    val sigDir = s"$base/sig"
+    @volatile var mappingPath: Option[String] = None
+
+    val src = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+    val q = src.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val ss = batch.sparkSession
+      // stage 1: quality floor, batch-scoped
+      val bq = batch
+        .join(TextQueries.qualityScoreOf(batch), Seq("doc_id"))
+        .filter(col("quality") >= 0.35)
+        .select(col("doc_id"), col("source"), col("text"), col("quality"))
+      // stage 2: exact dedup. Within-batch min per hash first, then
+      // drop hashes already accepted by an earlier trigger — extracted
+      // from the store via its scan against the BROADCAST batch hashes
+      // (∝ batch), never a store-wide shuffle or broadcast.
+      val bh = bq.withColumn("h", md5(col("text")))
+      val keep = bh.join(
+        bh.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("h", "doc_id"), "left_semi")
+      val seen: Option[DataFrame] =
+        if (new java.io.File(hashDir).exists())
+          Some(ss.read.option("recursiveFileLookup", "true")
+            .parquet(hashDir))
+        else None
+      val sb0 = seen match {
+        case Some(store) =>
+          val matched = store
+            .join(broadcast(keep.select(col("h")).distinct()), Seq("h"))
+          keep.join(broadcast(matched), Seq("h"), "left_anti")
+        case None => keep
+      }
+      // materialize the batch survivors once (∝ batch, consumed by the
+      // hash/survivor/signature writes below)
+      val sb = sb0.localCheckpoint(true)
+      sb.select(col("h")).write.mode("overwrite")
+        .parquet(s"$hashDir/b$bid")
+      sb.select(col("doc_id"), col("source"), col("text"), col("quality"))
+        .write.mode("overwrite").parquet(s"$survDir/b$bid")
+      // stage 3: banded CC over survivors — the StreamingComponents
+      // machinery verbatim (append-first so within-batch pairs discover
+      // in the same trigger)
+      StreamingComponentsQueries.signatureRows(
+          sb.select(col("doc_id"), col("source"), col("text")))
+        .write.mode("overwrite").parquet(s"$sigDir/b$bid")
+      val bsig = ss.read.parquet(s"$sigDir/b$bid")
+      val store = ss.read.option("recursiveFileLookup", "true")
+        .parquet(sigDir)
+      val newPairs = StreamingComponentsQueries.probePairs(store, bsig)
+        .localCheckpoint(true)
+      val prev = mappingPath match {
+        case Some(p) => ss.read.parquet(p)
+        case None => ss.createDataFrame(
+          ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
+      }
+      val next = StreamingComponentsQueries.advanceMapping(prev, newPairs)
+      val nextPath = s"$base/mapping_g$bid"
+      next.write.mode("overwrite").parquet(nextPath)
+      mappingPath = Some(nextPath)
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // stage 4: the batch pipeline's readout over the accumulated state
+    val surv = s.read.option("recursiveFileLookup", "true").parquet(survDir)
+    val comp = s.read.parquet(mappingPath.get)
+      .select(col("u").as("doc_id"), col("v").as("component"))
+    val s3 = surv.join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .filter(col("component") === col("doc_id"))
+    DedupQueries.manifestTail(s3)
+  }
+
+  // same probabilistic-equality waiver as corpus_pipeline_e2e — the
+  // near-dup stage is banded while the oracle is the exact SQL
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("stream_corpus_pipeline", streamCorpusPipeline _,
+      Some(DedupQueries.corpusPipelineE2eSql)))
+}

@@ -103,8 +103,14 @@ object TextQueries {
     * (`DedupQueries.dedupCanonical`). Same arithmetic, same round(…,6),
     * so the cross-engine exactness proven by the `text_quality` oracle
     * carries over verbatim. */
-  private[operators] def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  private[operators] def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(docs(s, dir))
+
+  /** [[qualityScore]] over an explicit (doc_id, text, …) relation — the
+    * score is a pure per-doc function, so the incremental curation
+    * stream ([[StreamingCurationQueries]]) scores one BATCH at a time
+    * through the same expressions. */
+  private[operators] def qualityScoreOf(d: DataFrame): DataFrame = {
     val stopCounts = stopCountRel(d)
     val nChars = length(col("text")).cast("double")
     val nWords = size(words).cast("double")

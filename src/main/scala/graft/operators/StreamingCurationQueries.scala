@@ -82,18 +82,23 @@ object StreamingCurationQueries {
       val keep = bh.join(
         bh.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
         Seq("h", "doc_id"), "left_semi")
-      val seen: Option[DataFrame] =
-        if (new java.io.File(hashDir).exists())
-          Some(ss.read.option("recursiveFileLookup", "true")
-            .parquet(hashDir))
-        else None
-      val sb0 = seen match {
-        case Some(store) =>
+      // read the store EXCLUDING this batch's own subdir: a REPLAYED
+      // trigger would otherwise anti-join the batch against its own
+      // prior write and drop every survivor — subdir exclusion keeps
+      // the whole trigger idempotent, matching the overwrite-keyed
+      // writes below
+      val prevHashDirs = Option(new java.io.File(hashDir).listFiles())
+        .map(_.filter(f => f.isDirectory && f.getName != s"b$bid")
+          .map(_.getPath).toSeq)
+        .getOrElse(Seq.empty)
+      val sb0 =
+        if (prevHashDirs.isEmpty) keep
+        else {
+          val store = ss.read.parquet(prevHashDirs: _*)
           val matched = store
             .join(broadcast(keep.select(col("h")).distinct()), Seq("h"))
           keep.join(broadcast(matched), Seq("h"), "left_anti")
-        case None => keep
-      }
+        }
       // materialize the batch survivors once (∝ batch, consumed by the
       // hash/survivor/signature writes below)
       val sb = sb0.localCheckpoint(true)

@@ -45,7 +45,8 @@ object SparkEntry {
       graft.operators.StreamingIvmQueries.all ++
       graft.operators.StreamingComponentsQueries.all ++
       graft.operators.StreamingLinkageQueries.all ++
-      graft.operators.StreamingCurationQueries.all
+      graft.operators.StreamingCurationQueries.all ++
+      graft.operators.StreamingPhashQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

@@ -158,20 +158,34 @@ object MultimodalQueries {
     * the 48-bit integer-exact block-mean fingerprint — shared by the
     * n_near profile ([[mmPhashDedup]]) and the clustering operator
     * ([[dedupImagePhash]]). */
-  private def phashRel(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def phashRel(s: SparkSession, dir: String): DataFrame =
+    phashOf(phashCorpusDocs(s, dir))
+
+  /** The phash corpus BEFORE hashing: base documents plus the
+    * deterministic re-encode arm (every 10th text with one flipped
+    * mid-payload byte, doc_id offset by 1,000,000) — factored so the
+    * incremental twin ([[StreamingPhashQueries]]) can stage the SAME
+    * corpus as arrival-ordered batches. */
+  private[operators] def phashCorpusDocs(s: SparkSession,
+      dir: String): DataFrame = {
     val reencoded = Tables(s, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(
           expr("substr(text, 1, length(text) div 2 - 1)"), lit("z"),
           expr("substr(text, length(text) div 2 + 1)")).as("text"))
-    val corpus = Tables(s, dir, "documents").select(col("doc_id"),
-        col("text"))
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       .unionByName(reencoded)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  }
 
-    val hashed = corpus.select(col("doc_id"), col("payload"))
+  /** 48-bit integer-exact block-mean hash of each row's UTF-8 payload —
+    * one narrow compiled `mapPartitions` pass over (doc_id, text), the
+    * batch/stream-shared hashing kernel. */
+  private[operators] def phashOf(corpus: DataFrame): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    corpus
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
         // integer-exact aHash: same `(j·n)÷48` block boundaries and
@@ -196,7 +210,6 @@ object MultimodalQueries {
         PhashRow(id, hash)
       })
       .toDF()
-    hashed
   }
 
   /** EXACT hamming ≤ 3 pair relation over the phash corpus via the
@@ -208,11 +221,7 @@ object MultimodalQueries {
     * the exhaustive sweep exactly (PhashClusterSpec pins set equality
     * on the fixture). */
   private def phashNearPairs(hashed: DataFrame): DataFrame = {
-    val blocked = hashed.select(col("doc_id"), col("phash"),
-      explode(array((0 until 4).map(j => struct(lit(j).as("blk"),
-        shiftright(col("phash"), j * 12).bitwiseAND(0xfffL)
-          .as("bv"))): _*)).as("e"))
-      .select(col("doc_id"), col("phash"), col("e.blk"), col("e.bv"))
+    val blocked = phashBlocks(hashed, "doc_id", "phash")
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -221,6 +230,19 @@ object MultimodalQueries {
       .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
   }
+
+  /** A phash relation exploded to the (blk, bv) 12-bit bucket grain —
+    * the ONE banding definition shared by the batch pair join above and
+    * the incremental store probe ([[StreamingPhashQueries]]); a drifted
+    * re-implementation on either side would silently break the
+    * pigeonhole completeness bound. */
+  private[operators] def phashBlocks(hashed: DataFrame, idAs: String,
+      hAs: String): DataFrame =
+    hashed.select(col("doc_id").as(idAs), col("phash").as(hAs),
+      explode(array((0 until 4).map(j => struct(lit(j).as("blk"),
+        shiftright(col("phash"), j * 12).bitwiseAND(0xfffL)
+          .as("bv"))): _*)).as("e"))
+      .select(col(idAs), col(hAs), col("e.blk"), col("e.bv"))
 
   def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
     val hashed = phashRel(s, dir).localCheckpoint()

@@ -46,7 +46,8 @@ object SparkEntry {
       graft.operators.StreamingComponentsQueries.all ++
       graft.operators.StreamingLinkageQueries.all ++
       graft.operators.StreamingCurationQueries.all ++
-      graft.operators.StreamingPhashQueries.all
+      graft.operators.StreamingPhashQueries.all ++
+      graft.operators.StreamingAnnIndexQueries.all
 
   /** Registry names BEFORE the toMap — exposed so RegistrySmokeSpec can
     * assert uniqueness: a duplicate name anywhere in the concatenation

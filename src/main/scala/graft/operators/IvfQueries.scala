@@ -267,7 +267,7 @@ object IvfQueries {
   // ------------------------- product quantization + asymmetric distance
 
   private val pqM = 8 // subspaces (64 dims / 8 per sub)
-  private val pqK = 16 // codewords per subspace
+  private[operators] val pqK = 16 // codewords per subspace
   private val pqQueries = 5 // query vectors (vec_id < 5), as annCosineTopk
 
   /** Product quantization with asymmetric distance (ADC) — the memory
@@ -298,9 +298,15 @@ object IvfQueries {
     * per-candidate state anywhere is the 8 code ids — the compression IS
     * the plan. */
   /** (vec_id, m, sv, sq): the per-subspace view of the corpus. */
-  private def pqSub(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def pqSub(s: SparkSession, dir: String): DataFrame =
+    pqSubOf(Tables(s, dir, "embeddings"))
+
+  /** [[pqSub]] over an arbitrary (vec_id, embedding) relation — the
+    * batch/stream-shared subspace view ([[StreamingAnnIndexQueries]]
+    * encodes arriving batches through the same definition). */
+  private[operators] def pqSubOf(emb: DataFrame): DataFrame = {
     val dot = graft.functions.VectorOps.dot_product _
-    Tables(s, dir, "embeddings")
+    emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), posexplode(array(
         (0 until pqM).map(m => slice(col("v"), m * 8 + 1, 8)): _*))
@@ -308,7 +314,7 @@ object IvfQueries {
       .withColumn("sq", dot(col("sv"), col("sv")))
   }
 
-  private def pqCw(sub: DataFrame): DataFrame =
+  private[operators] def pqCw(sub: DataFrame): DataFrame =
     sub.filter(col("vec_id") < pqK)
       .select(col("vec_id").as("c"), col("m"), col("sv").as("cv"),
         col("sq").as("csq"))
@@ -344,7 +350,7 @@ object IvfQueries {
     * this recomputes — the codebook (vec_id < [[pqK]]) and the query
     * subvectors (vec_id < [[pqQueries]]) — is a PRUNED scan with pushed
     * filters; the corpus-scale relation is only ever `enc`. */
-  private def pqSearch(s: SparkSession, dir: String,
+  private[operators] def pqSearch(s: SparkSession, dir: String,
       enc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dot = graft.functions.VectorOps.dot_product _

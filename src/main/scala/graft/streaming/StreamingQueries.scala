@@ -87,11 +87,19 @@ object StreamingQueries {
     * the deterministic-replay driver every maintenance query shares. */
   private[graft] def runBatches(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      staging: java.io.File)(f: DataFrame => Unit): Unit = {
+      staging: java.io.File)(f: DataFrame => Unit): Unit =
+    runBatchesWithId(s, schema, staging)((batch, _) => f(batch))
+
+  /** [[runBatches]] with the micro-batch id handed through — for
+    * harnesses whose state writes are batchId-keyed (the
+    * replay-idempotence discipline). */
+  private[graft] def runBatchesWithId(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staging: java.io.File)(f: (DataFrame, Long) => Unit): Unit = {
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-        f(batch); ()
+      .writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+        f(batch, bid); ()
       }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }

@@ -193,8 +193,17 @@ object StreamingComponentsQueries {
 
     val src = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-      val ss = batch.sparkSession
+    val q = src.writeStream.foreachBatch { (batch0: DataFrame, bid: Long) =>
+      val ss = batch0.sparkSession
+      // WIDTH PIN (the stream_phash_dedup / jaccardJoin precedent):
+      // the staged batch is one file and signatureRows is a NARROW map,
+      // so without this both the signature pass and — via the store
+      // subdir's file count — every later trigger's map-side probe CPU
+      // run at file-count parallelism (1-3 tasks). The explicit
+      // repartition spreads the batch once (shuffled bytes ∝ batch) and
+      // the store layout inherits the width. Measured at 100× docs:
+      // 156 → 50 s.
+      val batch = batch0.repartition(ss.sparkContext.defaultParallelism)
       // signature the NEW docs once (batch-sized, a single narrow map
       // job straight to the store path — write-then-read-back replaces
       // localCheckpoint, so the probe and the store share the on-disk

@@ -71,8 +71,20 @@ object StreamingPhashQueries {
 
     val src = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
-    val q = src.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-      val ss = batch.sparkSession
+    val q = src.writeStream.foreachBatch { (batch0: DataFrame, bid: Long) =>
+      val ss = batch0.sparkSession
+      // WIDTH PIN (the jaccardJoin/mwas-memo precedent): the staged
+      // batch is one small file, and everything downstream of it is
+      // NARROW — without the pin the hashing kernel AND the store
+      // probe's candidate expansion (the per-trigger CPU, quadratic in
+      // bucket occupancy once the 12-bit blocks saturate) run at
+      // file-count parallelism, 1-3 tasks. The explicit repartition
+      // (never AQE-coalesced) spreads the batch once, and the store
+      // subdir inherits the width, so every later trigger's store scan
+      // is parallel too. Shuffled bytes ∝ batch. Measured at 100×
+      // docs: 161 → 45 s (the residual vs the batch arm's 16 s is the
+      // inherent Σ_t store_t×batch_t probe mass plus per-trigger CC).
+      val batch = batch0.repartition(ss.sparkContext.defaultParallelism)
       // hash the new media once, straight to the store path (append-
       // first, so within-batch pairs discover in the same trigger);
       // write-then-read-back so probe and store share the on-disk rows

@@ -109,8 +109,14 @@ object StreamingCurationQueries {
           keep.join(broadcast(matched), Seq("h"), "left_anti")
         }
       // materialize the batch survivors once (∝ batch, consumed by the
-      // hash/survivor/signature writes below)
-      val sb = sb0.localCheckpoint(true)
+      // hash/survivor/signature writes below). RE-pin the width first:
+      // AQE byte-coalesces the quality join's post-shuffle partitions
+      // to ~1 at small batch sizes (the mwas-memo class), and the
+      // localCheckpoint would FREEZE that into every store subdir —
+      // a user repartition is never coalesced, and the survivor
+      // shuffle is ∝ batch (StreamWidthPinSpec gates the store layout)
+      val sb = sb0.repartition(ss.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
       sb.select(col("h")).write.mode("overwrite")
         .parquet(s"$hashDir/b$bid")
       sb.select(col("doc_id"), col("source"), col("text"), col("quality"))

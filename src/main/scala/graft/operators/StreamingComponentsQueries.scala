@@ -228,16 +228,23 @@ object StreamingComponentsQueries {
       // idempotent store, so nothing durable is needed), and the
       // in-memory cut measured ~0.3 s/trigger cheaper than write+read
       val newPairs = probePairs(store, bsig).localCheckpoint(true)
-      val prev = mappingPath match {
-        case Some(p) => ss.read.parquet(p)
-        case None => ss.createDataFrame(
-          ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
+      // zero-discovery short-circuit (the stream_phash_dedup pattern):
+      // contracting the already-converged mapping with an empty bridge
+      // set returns it unchanged — skip the star rounds entirely.
+      // Exact and replay-safe; the guard count scans the checkpointed
+      // batch-sized pair relation, not the probe.
+      if (!newPairs.isEmpty || mappingPath.isEmpty) {
+        val prev = mappingPath match {
+          case Some(p) => ss.read.parquet(p)
+          case None => ss.createDataFrame(
+            ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
+        }
+        val next = advanceMapping(prev, newPairs)
+        val nextPath = s"$base/mapping_g$bid"
+        next.write.mode("overwrite").parquet(nextPath)
+        mappingPath = Some(nextPath)
       }
-      val next = advanceMapping(prev, newPairs)
-      val nextPath = s"$base/mapping_g$bid"
-      next.write.mode("overwrite").parquet(nextPath)
-      mappingPath = Some(nextPath)
       ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

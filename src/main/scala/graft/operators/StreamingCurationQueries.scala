@@ -132,16 +132,21 @@ object StreamingCurationQueries {
         .parquet(sigDir)
       val newPairs = StreamingComponentsQueries.probePairs(store, bsig)
         .localCheckpoint(true)
-      val prev = mappingPath match {
-        case Some(p) => ss.read.parquet(p)
-        case None => ss.createDataFrame(
-          ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
+      // zero-discovery short-circuit (the stream_phash_dedup pattern):
+      // an empty bridge set leaves the converged mapping unchanged —
+      // skip the star rounds. Exact and replay-safe.
+      if (!newPairs.isEmpty || mappingPath.isEmpty) {
+        val prev = mappingPath match {
+          case Some(p) => ss.read.parquet(p)
+          case None => ss.createDataFrame(
+            ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
+        }
+        val next = StreamingComponentsQueries.advanceMapping(prev, newPairs)
+        val nextPath = s"$base/mapping_g$bid"
+        next.write.mode("overwrite").parquet(nextPath)
+        mappingPath = Some(nextPath)
       }
-      val next = StreamingComponentsQueries.advanceMapping(prev, newPairs)
-      val nextPath = s"$base/mapping_g$bid"
-      next.write.mode("overwrite").parquet(nextPath)
-      mappingPath = Some(nextPath)
       ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -108,17 +108,26 @@ object StreamingPhashQueries {
           greatest(col("doc_a"), col("doc_b")).as("v"))
         .distinct()
         .localCheckpoint(true)
-      val prev = mappingPath match {
-        case Some(p) => ss.read.parquet(p)
-        case None => ss.createDataFrame(
-          ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
+      // zero-discovery short-circuit: the previous mapping is already
+      // converged, and contracting it with an EMPTY bridge set returns
+      // it unchanged — skip the whole star-rounds pass (each round is
+      // two eager actions over the ∝-history mapping). Exact, and
+      // replay-safe: a replayed empty trigger leaves the mapping where
+      // it was. (newPairs is localCheckpointed, so the guard count is
+      // a cheap in-memory scan, not a probe recompute.)
+      if (!newPairs.isEmpty || mappingPath.isEmpty) {
+        val prev = mappingPath match {
+          case Some(p) => ss.read.parquet(p)
+          case None => ss.createDataFrame(
+            ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
+        }
+        val next = StreamingComponentsQueries
+          .advanceMappingForProbe(prev, newPairs)
+        val nextPath = s"$stateBase/mapping_g$bid"
+        next.write.mode("overwrite").parquet(nextPath)
+        mappingPath = Some(nextPath)
       }
-      val next = StreamingComponentsQueries
-        .advanceMappingForProbe(prev, newPairs)
-      val nextPath = s"$stateBase/mapping_g$bid"
-      next.write.mode("overwrite").parquet(nextPath)
-      mappingPath = Some(nextPath)
       ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -56,12 +56,23 @@ object GraphQueries {
       .localCheckpoint(true)
     val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
     val n = deg.count()
+    // loop-INVARIANT join hoist (r16): edges ⋈ deg never changes across
+    // rounds, yet inside the loop Spark re-derived it per iteration —
+    // 5 joins (and their exchanges) for one relation. Materialize it
+    // once, pre-partitioned on the join key, so each round only the
+    // rank vector moves: small-scale the planner broadcasts the rank
+    // side (no edge exchange at all), large-scale the SMJ/SHJ reuses
+    // the checkpointed HashPartitioning(doc_a) instead of re-shuffling
+    // the edge relation every round.
+    val edgesW = edges.join(deg, Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("deg"))
+      .repartition(col("doc_a"))
+      .localCheckpoint(true)
     var ranks = deg.select(col("doc_a").as("doc_id"),
       lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
-      ranks = edges
-        .join(deg, Seq("doc_a"))
-        .join(ranks, edges("doc_a") === ranks("doc_id"))
+      ranks = edgesW
+        .join(ranks, edgesW("doc_a") === ranks("doc_id"))
         .select(col("doc_b").as("doc_id"), (col("pr") / col("deg"))
           .as("m"))
         .groupBy(col("doc_id"))

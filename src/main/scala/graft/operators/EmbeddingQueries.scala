@@ -252,7 +252,21 @@ object EmbeddingQueries {
   private def pcaFit(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, Long) = {
     val n = Tables(s, dir, "embeddings").count() // scalar, model-sized
-    val q = pcaQuantized(vecs(s, dir).select(col("vec_id"), col("v")))
+    // WIDTH PIN on the self-join key (r16): every pass below descends
+    // from the embeddings scan through narrow ops only, so a
+    // single-file fixture runs the quantize→explode→center ladder AND
+    // the D²-per-vector covariance fan-out at file-count parallelism
+    // (measured: one 3.6 s serial task at sf0.1 doing ~everything).
+    // One vec_id-hash shuffle of the raw vectors (linear bytes) fixes
+    // the width of the whole fit: explode/broadcast-join/select all
+    // preserve the partitioning, the checkpoint freezes it, and the
+    // covariance self-join on vec_id becomes co-partitioned —
+    // zero-exchange — on both sides. The width is EXPLICIT: a keyed
+    // repartition without a number is AQE-byte-coalesced (~30 MB of
+    // quantized rows → 1 partition, re-freezing the serial layout —
+    // the curation-stream lesson, re-measured here).
+    val q = pcaQuantized(vecs(s, dir).select(col("vec_id"), col("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")))
     val sums = q.groupBy(col("j")).agg(sum(col("vq")).as("sj"))
     val centered = q.join(broadcast(sums), Seq("j"))
       .select(col("vec_id"), col("j"),

@@ -1035,7 +1035,16 @@ object DedupQueries {
   /** Per-(vector, table) bucket relation (vec_id, tbl, bucket). */
   private def lshBucketRel(s: SparkSession, dir: String,
       planes: Array[Array[Array[Double]]]): DataFrame = {
+    // WIDTH PIN (r16, the pcaFit precedent): the L×nBits dot products
+    // per row (~5k FLOPs/vector) descend from the embeddings scan
+    // through narrow ops, so a single-file fixture runs the whole
+    // signature compute serially (measured 1.9-2.3 s one-task stages in
+    // ann_lsh_bucket / dedup_emb_components_lsh). One explicit-width
+    // vec_id-hash shuffle of the raw vectors (linear, ~0.5 KB/row)
+    // parallelizes every signature pass; explicit because AQE
+    // byte-coalesces keyed repartitions at these sizes.
     val v = vecs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val tables = planes.indices.map { t =>
       val bucket = planes(t).indices.map { i =>
         val p = typedLit(planes(t)(i).toSeq)
@@ -1104,7 +1113,11 @@ object DedupQueries {
     * compare can't sort ARRAY cells (unhashable ndarray), and the join is
     * a bijection on the ordered signature — no information loss. */
   def annLshBucket(s: SparkSession, dir: String): DataFrame = {
-    val bv = lshBucketRel(s, dir, lshPlanes(16, 5))
+    // materialize the signature relation once (r16): THREE consumers —
+    // the sig aggregate plus both sides of the candidate self-join —
+    // and only the self-join's two reads share an exchange; unchecked,
+    // the 80-dot-product scan re-runs per consumer
+    val bv = lshBucketRel(s, dir, lshPlanes(16, 5)).localCheckpoint(true)
     // 16-entry bucket signature per vector, table order — runs on |V|
     // rows post-aggregate, so the transform over sorted structs is cheap
     val sig = bv.groupBy(col("vec_id"))
@@ -1388,7 +1401,10 @@ object DedupQueries {
     * fixtures. */
   def dedupEmbComponentsLsh(s: SparkSession, dir: String,
       nTables: Int = 16, nBits: Int = 5): DataFrame = {
+    // materialized once for the self-join's two reads (r16, the
+    // annLshBucket note)
     val bv = lshBucketRel(s, dir, lshPlanes(nTables, nBits))
+      .localCheckpoint(true)
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
     // distinct on the id pair only (the annLshNnFrom shape): vectors
     // rejoin after dedup so the bucket shuffle stays narrow

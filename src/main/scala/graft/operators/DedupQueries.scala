@@ -719,7 +719,14 @@ object DedupQueries {
     // (the nested-lambda formulation of the same math ran interpreted and
     // cost ~40 s at sf0.1; this shape is seconds). The signature is
     // bit-identical: same md5-derived 60-bit word hash, same ±1 sums.
+    // WIDTH PIN on the aggregate key (r16, the pcaFit precedent): the
+    // explode + 60 sign-sums per word descend from the documents scan
+    // through narrow ops, so a single-file fixture ran the whole
+    // signature compute as one serial ~1.5 s task; doc_id-hash width
+    // parallelizes it AND co-partitions the groupBy(doc_id) — the
+    // aggregate needs no further exchange.
     val words = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
@@ -733,7 +740,11 @@ object DedupQueries {
     val simhashExpr = (0 until 60).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+    // materialized once (r16): TWO consumers — the blocked self-join
+    // subtree and the final readout join — otherwise the explode + 60
+    // sign-sum aggregate re-runs per consumer
     val sim = bitsums.select(col("doc_id"), simhashExpr.as("simhash"))
+      .localCheckpoint(true)
 
     val blocked = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j => struct(lit(j).as("blk"),

@@ -263,7 +263,16 @@ object GraphQueries {
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .localCheckpoint(true)
-    for (_ <- 1 to coreRounds) {
+    // fixpoint short-circuit (r16, the zero-discovery precedent): the
+    // peeling semi-joins only REMOVE edges, so an unchanged edge count
+    // after a round means keep contained every remaining endpoint and
+    // all later rounds are the identity — skipping them is exact. The
+    // count per executed round is one tiny job over the already-
+    // materialized checkpoint; the oracle's unrolled 8-round CTE chain
+    // reaches the same fixpoint by the same argument.
+    var m = edges.count()
+    var converged = false
+    for (_ <- 1 to coreRounds if !converged) {
       val keep = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= coreK).select(col("doc_a"))
       edges = edges
@@ -271,6 +280,9 @@ object GraphQueries {
         .join(keep.select(col("doc_a").as("doc_b")), Seq("doc_b"),
           "left_semi")
         .localCheckpoint(true)
+      val m2 = edges.count()
+      converged = m2 == m
+      m = m2
     }
     edges.groupBy(col("doc_a")).agg(count(lit(1)).as("core_deg"))
       .select(col("doc_a").as("doc_id"), col("core_deg"))

@@ -60,7 +60,6 @@ object StreamingCurationQueries {
 
     val base = graft.streaming.StreamingQueries.stateBase(
       "graft_stream_cur", dir)
-    val hashDir = s"$base/h"
     val survDir = s"$base/surv"
     val sigDir = s"$base/sig"
     @volatile var mappingPath: Option[String] = None
@@ -95,15 +94,19 @@ object StreamingCurationQueries {
       // trigger would otherwise anti-join the batch against its own
       // prior write and drop every survivor — subdir exclusion keeps
       // the whole trigger idempotent, matching the overwrite-keyed
-      // writes below
-      val prevHashDirs = Option(new java.io.File(hashDir).listFiles())
+      // writes below. The hash store IS the survivor store (r16 write
+      // fusion): h rides as a column of the one survivor write and the
+      // lookup's store scan selects it alone — parquet column pruning
+      // keeps the probe IO at the old dedicated-file width while one
+      // whole write pass per trigger disappears.
+      val prevSurvDirs = Option(new java.io.File(survDir).listFiles())
         .map(_.filter(f => f.isDirectory && f.getName != s"b$bid")
           .map(_.getPath).toSeq)
         .getOrElse(Seq.empty)
       val sb0 =
-        if (prevHashDirs.isEmpty) keep
+        if (prevSurvDirs.isEmpty) keep
         else {
-          val store = ss.read.parquet(prevHashDirs: _*)
+          val store = ss.read.parquet(prevSurvDirs: _*).select(col("h"))
           val matched = store
             .join(broadcast(keep.select(col("h")).distinct()), Seq("h"))
           keep.join(broadcast(matched), Seq("h"), "left_anti")
@@ -117,9 +120,8 @@ object StreamingCurationQueries {
       // shuffle is ∝ batch (StreamWidthPinSpec gates the store layout)
       val sb = sb0.repartition(ss.sparkContext.defaultParallelism)
         .localCheckpoint(true)
-      sb.select(col("h")).write.mode("overwrite")
-        .parquet(s"$hashDir/b$bid")
-      sb.select(col("doc_id"), col("source"), col("text"), col("quality"))
+      sb.select(col("doc_id"), col("source"), col("text"),
+          col("quality"), col("h"))
         .write.mode("overwrite").parquet(s"$survDir/b$bid")
       // stage 3: banded CC over survivors — the StreamingComponents
       // machinery verbatim (append-first so within-batch pairs discover
@@ -152,7 +154,10 @@ object StreamingCurationQueries {
     q.awaitTermination()
 
     // stage 4: the batch pipeline's readout over the accumulated state
+    // (h is store plumbing, not part of the compared relation — project
+    // it away before the shared tail)
     val surv = s.read.option("recursiveFileLookup", "true").parquet(survDir)
+      .select(col("doc_id"), col("source"), col("text"), col("quality"))
     val comp = s.read.parquet(mappingPath.get)
       .select(col("u").as("doc_id"), col("v").as("component"))
     val s3 = surv.join(comp, Seq("doc_id"), "left_outer")

@@ -101,8 +101,19 @@ object DedupQueries {
     * (rare words keep df small), but the escape hatch is the same —
     * this exact formulation is the ≤10×-scale / oracle path, the banded
     * one is the 100 TB path. */
+  /* r17 (VERDICT r16 item 2): the DECLARED query rides the banded path
+   * ([[bandedWordPairsJ]] — linear signature shuffle, exact verification
+   * computing the same jaccard doubles), retiring the broadcast-the-
+   * word-relation plan from the last value-bearing consumer; the exact
+   * inclusion–exclusion arm ([[jaccardPairs]]) stays as the oracle
+   * formulation, the property-spec brute force's subject, and the
+   * batch-bounded engine of jaccardPairsTo / jaccardPairsStore.
+   * Band-miss waiver recorded at the registration. */
   def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    bandedWordPairsJ(docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+      .select(col("u").as("doc_a"), col("v").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Unordered pair relation — shared by the pair query above and the
     * connected-components clustering below. */
@@ -268,28 +279,122 @@ object DedupQueries {
     * exact, so no false edge ever enters) — the stream_components /
     * stream_minhash_dedup waiver, recorded at each consumer's oracle
     * registration. Returned unordered (u < v), distinct. */
-  private[operators] def bandedWordEdges(d: DataFrame): DataFrame = {
+  private[operators] def bandedWordEdges(d: DataFrame): DataFrame =
+    bandedWordPairsJ(d).select(col("u"), col("v"))
+
+  /** The banded pair relation WITH the verified jaccard value — the
+    * 100 TB arm for the value-bearing consumer too (VERDICT r16 item 2):
+    * verification already computes the exact sorted-set Jaccard on every
+    * candidate, so emitting it costs nothing, and `sorted_jaccard` is
+    * the double division of the same integers the exact arm divides
+    * (hash-proven cross-engine by the dedup_minhash_lsh oracle).
+    *
+    * EXACT-DUP PRE-CONTRACTION, DATA-GATED (r17, VERDICT r16 item 3):
+    * docs with IDENTICAL word-hash sets are certain J = 1.0 pairs and
+    * share all 32 band hashes, so every (source, band, bh) bucket holds
+    * the whole clique and the band self-join is quadratic in clique
+    * size — the latent skew cliff on duplicate-heavy corpora (§2.5).
+    * The contracted arm collapses each identical-set group to one
+    * representative before banding and expands after verification; but
+    * its (source, wh) set shuffle costs ~1.5 s per consumer on the
+    * LOW-duplication bench fixture (dup mass 0.08), where it buys
+    * nothing. So the arm choice is made FROM THE DATA, like
+    * dedupContainmentAuto and at its same 0.25 threshold: one narrow
+    * HLL prepass estimates the identical-set duplication mass, and only
+    * a corpus where ≥ a quarter of the docs collapse pays the
+    * contraction. The routing is PHYSICAL ONLY — both arms compute the
+    * identical pair relation (spec-pinned on a dup-heavy corpus), so no
+    * oracle surface changes; the estimator's ±2% HLL error can only
+    * move the cutover point, never a result. */
+  private[operators] val contractionDupMassGate = 0.25
+
+  private[operators] def bandedWordPairsJ(d: DataFrame): DataFrame = {
     val whs = wordHashSets(d)
+    val st = whs.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("source"), col("wh"))).as("nd"))
+      .head()
+    val n = st.getLong(0)
+    val dupMass = if (n == 0L) 0.0 else 1.0 - st.getLong(1).toDouble / n
+    if (dupMass >= contractionDupMassGate) bandedContractedPairsJ(whs)
+    else bandedDirectPairsJ(whs)
+  }
+
+  /** The direct (r16) banded shape: signature every doc, band self-join,
+    * exact verify — the arm for low-duplication corpora. */
+  private def bandedDirectPairsJ(whs: DataFrame): DataFrame = {
     val sig = whs.select(col("doc_id"), col("source"),
       size(col("wh")).as("nw"),
       graft.functions.ShingleOps.minhash_bands(col("wh"), 64, 32)
         .as("bands"))
-    // The bucket-key repartition at explicit width is the same pin the
-    // r15 audit put on jaccardJoin's probe side: without it, a corpus
-    // whose parquet compresses under the broadcast threshold runs the
-    // bucket fan-out at INPUT-SPLIT parallelism (one task on a
-    // single-file table). With it, BOTH regimes are healthy: at small
-    // scale Catalyst broadcasts one side onto the repartitioned probe
-    // (parallel fan-out), at large scale the estimates cross the
-    // threshold and the join falls back to a shuffle join whose
-    // exchanges this repartition already satisfies — and because both
-    // join inputs are the SAME subtree, the exchange plans once and is
-    // reused for the other side.
+    val cand = bandCandidates(sig)
+    val wa = whs.select(col("doc_id").as("u"), col("wh").as("wa"))
+    val wb = whs.select(col("doc_id").as("v"), col("wh").as("wb"))
+    cand.join(wa, Seq("u")).join(wb, Seq("v"))
+      .select(col("u"), col("v"),
+        graft.functions.ShingleOps.sorted_jaccard(col("wa"), col("wb"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** The contracted arm: one row per DISTINCT word set enters the band
+    * self-join; within-group pairs emit deterministically at J = 1.0
+    * (a band can no longer miss them) and every verified rep–rep pair
+    * expands through both member lists (identical sets ⇒ the identical
+    * jaccard). grp is MATERIALIZED once: its four consumers would
+    * otherwise re-run the set shuffle's final aggregate each. */
+  private def bandedContractedPairsJ(whs: DataFrame): DataFrame = {
+    val grp = whs.groupBy(col("source"), col("wh"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).as("gsz"))
+      .localCheckpoint(true)
+    val sig = grp.select(col("rep").as("doc_id"), col("source"),
+      size(col("wh")).as("nw"),
+      graft.functions.ShingleOps.minhash_bands(col("wh"), 64, 32)
+        .as("bands"))
+    val cand = bandCandidates(sig)
+    // verify AND expand from the same two group joins (wh and ids ride
+    // together), so grp is read twice here, not four times
+    val ga = grp.select(col("rep").as("u"), col("wh").as("wa"),
+      col("ids").as("ia"))
+    val gb = grp.select(col("rep").as("v"), col("wh").as("wb"),
+      col("ids").as("ib"))
+    val repPairs = cand.join(ga, Seq("u")).join(gb, Seq("v"))
+      .select(col("u"), col("v"), col("ia"), col("ib"),
+        graft.functions.ShingleOps.sorted_jaccard(col("wa"), col("wb"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+    val cross = repPairs
+      .select(explode(col("ia")).as("a"), col("ib"), col("jaccard"))
+      .select(col("a"), explode(col("ib")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"), col("jaccard"))
+    val intra = grp.filter(col("gsz") > 1)
+      .select(explode(col("ids")).as("u"), col("ids"))
+      .select(col("u"), explode(col("ids")).as("v"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The slim band-bucket self-join over a (doc_id, source, nw, bands)
+    * signature relation — shared by both arms. The bucket-key
+    * repartition at explicit width is the same pin the r15 audit put on
+    * jaccardJoin's probe side: without it, a corpus whose parquet
+    * compresses under the broadcast threshold runs the bucket fan-out
+    * at INPUT-SPLIT parallelism (one task on a single-file table). With
+    * it, BOTH regimes are healthy: at small scale Catalyst broadcasts
+    * one side onto the repartitioned probe (parallel fan-out), at large
+    * scale the estimates cross the threshold and the join falls back to
+    * a shuffle join whose exchanges this repartition already satisfies —
+    * and because both join inputs are the SAME subtree, the exchange
+    * plans once and is reused for the other side. */
+  private def bandCandidates(sig: DataFrame): DataFrame = {
     val slim = sig.select(col("doc_id"), col("source"), col("nw"),
         posexplode(col("bands")).as(Seq("band", "bh")))
-      .repartition(d.sparkSession.sparkContext.defaultParallelism,
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism,
         col("source"), col("band"), col("bh"))
-    val cand = slim.as("x").join(slim.as("y"),
+    slim.as("x").join(slim.as("y"),
         col("x.source") === col("y.source") &&
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -297,12 +402,6 @@ object DedupQueries {
             lit(jaccardThreshold) * greatest(col("x.nw"), col("y.nw")))
       .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
       .distinct()
-    val wa = whs.select(col("doc_id").as("u"), col("wh").as("wa"))
-    val wb = whs.select(col("doc_id").as("v"), col("wh").as("wb"))
-    cand.join(wa, Seq("u")).join(wb, Seq("v"))
-      .filter(graft.functions.ShingleOps.sorted_jaccard(
-        col("wa"), col("wb")) >= jaccardThreshold)
-      .select(col("u"), col("v"))
   }
 
   /** Store-probe variant: exact J ≥ 0.7 pairs between the docs of
@@ -1043,6 +1142,41 @@ object DedupQueries {
     Array.fill(nTables, nBits)(Array.fill(64)(rnd.nextGaussian()))
   }
 
+  /** DATA-DERIVED LSH posture (r17, VERDICT r16 item 1 — the
+    * dedup_containment_auto / kCellsFor pattern): candidates grow
+    * ∝ L·N²/2^nBits at constant nBits (measured: 26.5 GiB spill at the
+    * 10× fixture), so the DECLARED queries derive nBits from the corpus
+    * size instead of pinning 5. The rule holds expected bucket
+    * occupancy at ≤ [[lshBucketTarget]]: the smallest b in
+    * [5, [[lshMaxBits]]] with target·2^b ≥ N — the r8/r15 documented
+    * "+log2(scale)" lever, now in the query path. Exact integer
+    * arithmetic so DuckDB derives the identical b (no float log2); at
+    * every oracle-checked fixture (N ≤ 512) b = 5, i.e. the historical
+    * results are bit-identical. */
+  private[operators] val lshMaxBits = 16
+  private[operators] val lshBucketTarget = 16L
+
+  private[operators] def lshBitsFor(n: Long): Int = {
+    var b = 5
+    while (b < lshMaxBits && (lshBucketTarget << b) < n) b += 1
+    b
+  }
+
+  /** [[lshPlanes]](nTables, 5) extended to [[lshMaxBits]] bits per table
+    * by CONTINUING the same seeded gaussian stream (first the historical
+    * 16×5 block, then the extension block), so the first-5-bits slice of
+    * every table is bit-identical to the r8-pinned planes — a corpus
+    * small enough to derive b = 5 produces the exact historical
+    * relation. The derived-b query slices `.take(b)` per table. */
+  private[operators] def lshPlanesWide(
+      nTables: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(nTables, 5)(Array.fill(64)(rnd.nextGaussian()))
+    val extra = Array.fill(nTables, lshMaxBits - 5)(
+      Array.fill(64)(rnd.nextGaussian()))
+    base.zip(extra).map { case (b, e) => b ++ e }
+  }
+
   /** Per-(vector, table) bucket relation (vec_id, tbl, bucket). */
   private def lshBucketRel(s: SparkSession, dir: String,
       planes: Array[Array[Array[Double]]]): DataFrame = {
@@ -1124,11 +1258,17 @@ object DedupQueries {
     * compare can't sort ARRAY cells (unhashable ndarray), and the join is
     * a bijection on the ordered signature — no information loss. */
   def annLshBucket(s: SparkSession, dir: String): DataFrame = {
+    // data-derived nBits (r17): one scalar count, then the smallest b
+    // holding bucket occupancy — b = 5 (the historical pin) at every
+    // oracle fixture, +log2(scale) past them. The oracle SQL derives
+    // the identical b from the same count (lshBkCtesSql's nb CTE).
+    val bits = lshBitsFor(Tables(s, dir, "embeddings").count())
     // materialize the signature relation once (r16): THREE consumers —
     // the sig aggregate plus both sides of the candidate self-join —
     // and only the self-join's two reads share an exchange; unchecked,
     // the 80-dot-product scan re-runs per consumer
-    val bv = lshBucketRel(s, dir, lshPlanes(16, 5)).localCheckpoint(true)
+    val bv = lshBucketRel(s, dir, lshPlanesWide(16).map(_.take(bits)))
+      .localCheckpoint(true)
     // 16-entry bucket signature per vector, table order — runs on |V|
     // rows post-aggregate, so the transform over sorted structs is cheap
     val sig = bv.groupBy(col("vec_id"))
@@ -1150,8 +1290,15 @@ object DedupQueries {
   private def lshBkCtesSql(planes: Array[Array[Array[Double]]]): String = {
     val rows = for { t <- planes.indices; b <- planes(t).indices } yield
       s"  ($t, $b, [${planes(t)(b).mkString(", ")}]::DOUBLE[])"
+    // nb replays lshBitsFor in exact integer arithmetic: 5 + the number
+    // of b in [5, lshMaxBits) with lshBucketTarget·2^b < count — the
+    // same monotone predicate the Scala while-loop walks. planes carries
+    // all lshMaxBits bits per table; bits prunes to the derived width.
     s"""planes(tbl, bit, p) AS (VALUES
        |${rows.mkString(",\n")}),
+       |nb AS (SELECT 5 + count(*) AS nbits FROM range(5, $lshMaxBits) t(b)
+       |       WHERE (CAST($lshBucketTarget AS BIGINT) << b)
+       |             < (SELECT count(*) FROM embeddings)),
        |n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
        |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
        |          x -> x * x))) AS nrm
@@ -1161,7 +1308,8 @@ object DedupQueries {
        |    CASE WHEN list_sum(list_transform(list_zip(n.e, pl.p),
        |           s -> s[1] * s[2])) >= 0
        |         THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END AS bval
-       |  FROM n CROSS JOIN planes pl),
+       |  FROM n CROSS JOIN planes pl
+       |  WHERE pl.bit < (SELECT nbits FROM nb)),
        |bk AS (SELECT vec_id, tbl, CAST(sum(bval) AS BIGINT) AS bucket
        |       FROM bits GROUP BY 1, 2)""".stripMargin
   }
@@ -1170,7 +1318,7 @@ object DedupQueries {
     * hyperplane literals are byte-derived from the same [[lshPlanes]] seed
     * the Spark plan compiles in. */
   val annLshBucketSql: String = {
-    s"""WITH ${lshBkCtesSql(lshPlanes(16, 5))},
+    s"""WITH ${lshBkCtesSql(lshPlanesWide(16))},
        |sig AS (SELECT vec_id,
        |          array_to_string(list(bucket::VARCHAR ORDER BY tbl),
        |            '; ') AS buckets
@@ -1411,10 +1559,27 @@ object DedupQueries {
     * containment plus edge-subset, and the measured overlap on the
     * fixtures. */
   def dedupEmbComponentsLsh(s: SparkSession, dir: String,
-      nTables: Int = 16, nBits: Int = 5): DataFrame = {
+      nTables: Int = 16, nBits: Int = 5): DataFrame =
+    dedupEmbComponentsLshFrom(s, dir, lshPlanes(nTables, nBits))
+
+  /** The DECLARED arm: nBits data-derived at held bucket occupancy
+    * ([[lshBitsFor]] — r17, VERDICT r16 item 1), b = 5 at every
+    * oracle fixture so historical results are bit-identical. Raising b
+    * with N trades recall exactly as the operator's scaladoc prices it
+    * (p_table = 0.685^b at cos 0.45); the refinement contract —
+    * LSH components REFINE exact components — holds at ANY b, and the
+    * scale arm for threshold clustering remains the cells path. */
+  private def dedupEmbComponentsLshAuto(s: SparkSession,
+      dir: String): DataFrame = {
+    val bits = lshBitsFor(Tables(s, dir, "embeddings").count())
+    dedupEmbComponentsLshFrom(s, dir, lshPlanesWide(16).map(_.take(bits)))
+  }
+
+  private def dedupEmbComponentsLshFrom(s: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
     // materialized once for the self-join's two reads (r16, the
     // annLshBucket note)
-    val bv = lshBucketRel(s, dir, lshPlanes(nTables, nBits))
+    val bv = lshBucketRel(s, dir, planes)
       .localCheckpoint(true)
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
     // distinct on the id pair only (the annLshNnFrom shape): vectors
@@ -1516,7 +1681,7 @@ object DedupQueries {
     * edges, then the same recursive-CTE closure as
     * [[dedupEmbComponentsSql]]. */
   val dedupEmbComponentsLshSql: String =
-    s"""WITH RECURSIVE ${lshBkCtesSql(lshPlanes(16, 5))},
+    s"""WITH RECURSIVE ${lshBkCtesSql(lshPlanesWide(16))},
        |cand AS (SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb
        |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
        |         WHERE a.vec_id < b.vec_id),
@@ -2005,6 +2170,12 @@ object DedupQueries {
       // composed pipelines below ((1−J²)³² ≤ 4.4e-10 per qualifying
       // pair, verification exact)
       ("dedup_components", dedupComponents _, Some(dedupComponentsSql)),
+      // banded candidate path with the verified jaccard emitted (r17) —
+      // same probabilistic-equality waiver as dedup_components: a true
+      // J ≥ 0.7 pair misses all 32 bands with probability ≤ 4.4e-10
+      // (exact-dup pairs can no longer miss at all — pre-contraction
+      // emits them deterministically), verification exact, values the
+      // same doubles the exact SQL divides
       ("dedup_jaccard_pairs", dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
       ("dedup_minhash_lsh", dedupMinhashLsh _, Some(dedupMinhashLshSql)),
       ("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
@@ -2012,7 +2183,7 @@ object DedupQueries {
       ("dedup_emb_components", dedupEmbComponents _,
         Some(dedupEmbComponentsSql)),
       ("dedup_emb_components_lsh",
-        (s: SparkSession, d: String) => dedupEmbComponentsLsh(s, d),
+        (s: SparkSession, d: String) => dedupEmbComponentsLshAuto(s, d),
         Some(dedupEmbComponentsLshSql)),
       ("dedup_emb_components_cells",
         (s: SparkSession, d: String) => dedupEmbComponentsCells(s, d),

@@ -107,6 +107,27 @@ object StressFixture {
     println(s"[stress] wrote $nd docs, $nv vectors to $outDir")
   }
 
+  /** `gendup <outDir> [mult]`: the DUPLICATE-HEAVY corpus class (VERDICT
+    * r16 item 3's fixture): sf0.1's documents replicated mult× with a
+    * doc_id shift and UNCHANGED text, so every doc sits in an
+    * identical-word-set clique of size mult (dup mass 1 − 1/mult) — the
+    * shape where the banded path's (source, band, bh) buckets hold whole
+    * cliques and the candidate self-join goes quadratic in clique size.
+    * Embeddings ride along 1× so the registry loads. */
+  private def genDup(spark: SparkSession, outDir: String, mult: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val src = spark.read.parquet(s"$base/documents.parquet")
+    (0 until mult).map { i =>
+      src.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+    }.reduce(_ union _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    val n = spark.read.parquet(s"$outDir/documents.parquet").count()
+    println(s"[stress] wrote $n docs (${mult}x identical-set cliques) " +
+      s"to $outDir")
+  }
+
   /** `genrel <outDir> [mult]`: a mult× relational fixture for the MWAS
     * pipeline A/Bs — orders/lineitem/customer replicated from sf0.1 with
     * key-shifted copies (order keys +i·10⁷, customer keys +i·10⁶). The
@@ -345,6 +366,8 @@ object StressFixture {
           rest.drop(3).headOption.map(_.toDouble).getOrElse(0.0016))
       case "genrel" :: out :: rest =>
         genRel(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
+      case "gendup" :: out :: rest =>
+        genDup(spark, out, rest.headOption.map(_.toInt).getOrElse(10))
       case "genall" :: out :: rest =>
         val m = rest.headOption.map(_.toInt).getOrElse(10)
         genAll(spark, out, m,

@@ -102,6 +102,9 @@ class CorpusPipelineE2eSpec extends AnyFunSuite {
       val s2 = DedupQueries.docs(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint(true)
+      // this fixture's identical-set dup mass (~3%) routes the DIRECT
+      // arm — the r16 shape whose invariants this test pins; the
+      // contracted arm has its own gate below
       val plan = DedupQueries.bandedWordEdges(s2)
         .queryExecution.executedPlan.toString
       assert(plan.linesIterator.exists(_.contains("ReusedExchange")),
@@ -117,6 +120,57 @@ class CorpusPipelineE2eSpec extends AnyFunSuite {
       assert(!candidateExchanges.exists(_.contains("wh")),
         s"word sets ride the candidate shuffle:\n$candidateExchanges")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dup-heavy corpora route the exact-dup pre-contraction: same " +
+      "pair relation, one signature row per DISTINCT set") {
+    import spark.implicits._
+    // 8 distinct near-dup-structured texts x 5 identical copies each:
+    // identical-set dup mass 0.8 >= the 0.25 gate. Word sets chosen so
+    // cross-group J >= 0.7 pairs exist (expansion path exercised), and
+    // each copy group is an intra clique at J = 1.0.
+    val base = Seq(
+      "aa bb cc dd ee ff gg hh ii jj",
+      "aa bb cc dd ee ff gg hh ii kk", // J = 9/11 with the first
+      "zz yy xx ww vv uu tt ss",
+      "zz yy xx ww vv uu tt rr",       // J = 7/9 with the third
+      "mm nn oo pp",
+      "mm nn oo qq",                   // J = 3/5 < 0.7 with the fifth
+      "one two three four five six",
+      "unrelated words entirely here")
+    val docs = for {
+      (t, g) <- base.zipWithIndex
+      c <- 0 until 5
+    } yield ((g * 5 + c).toLong, "s1", t)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("dup_contract").toString
+    graft.core.TempDirs.cleanOnExit(java.nio.file.Paths.get(tmp))
+    docs.toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.dedupJaccardPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // brute force over the same docs
+    val sets = docs.map { case (id, _, t) => (id, t.split(" ").toSet) }
+    val exp = (for {
+      a <- sets; b <- sets
+      if a._1 < b._1
+      inter = (a._2 & b._2).size
+      j = inter.toDouble / (a._2.size + b._2.size - inter)
+      if j >= 0.7
+    } yield (a._1, b._1, j)).toSet
+    assert(got == exp,
+      s"contracted∖exact=${(got -- exp).take(5)} " +
+        s"exact∖contracted=${(exp -- got).take(5)}")
+    assert(exp.exists(_._3 < 1.0), "no cross-group pair exercised")
+    assert(exp.exists(_._3 == 1.0), "no intra-clique pair exercised")
+    // the contraction reached the plan: the signature/band machinery
+    // runs over the materialized distinct-set relation, so the word-set
+    // derivation (ngramhashes) appears nowhere downstream of it
+    val plan = DedupQueries.dedupJaccardPairs(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("ngramhashes"),
+      s"dup-heavy corpus did not route the contracted arm:\n$plan")
   }
 
   test("the pair join's (source, word) exchange is planned once and " +

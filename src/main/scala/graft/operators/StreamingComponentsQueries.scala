@@ -65,10 +65,12 @@ import org.apache.spark.sql.streaming.Trigger
   * SQL as `dedup_components`.
   *
   * Determinism: staged single-file batches, `maxFilesPerTrigger=1`,
-  * `Trigger.AvailableNow`; generation-suffixed mapping dirs and
-  * batchId-keyed store subdirs written with overwrite (replay-idempotent
-  * — a re-executed micro-batch lands on its own path instead of
-  * double-appending). */
+  * `Trigger.AvailableNow`; batchId-keyed store subdirs written with
+  * overwrite (replay-idempotent — a re-executed micro-batch lands on
+  * its own path instead of double-appending). The mapping is DERIVED
+  * state carried in memory across triggers (r17): recomputable from the
+  * idempotent store, and re-contracting with the same pairs is the
+  * identity, so replay needs nothing durable. */
 object StreamingComponentsQueries {
 
   /** (doc_id, source, wh, nw, bands): the per-doc signature-store row —
@@ -189,7 +191,7 @@ object StreamingComponentsQueries {
     val base = graft.streaming.StreamingQueries.stateBase(
       "graft_stream_cc", dir)
     val sigDir = s"$base/sig"
-    @volatile var mappingPath: Option[String] = None
+    @volatile var mapping: Option[DataFrame] = None
 
     val src = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
@@ -204,16 +206,25 @@ object StreamingComponentsQueries {
       // the store layout inherits the width. Measured at 100× docs:
       // 156 → 50 s.
       val batch = batch0.repartition(ss.sparkContext.defaultParallelism)
-      // signature the NEW docs once (batch-sized, a single narrow map
-      // job straight to the store path — write-then-read-back replaces
-      // localCheckpoint, so the probe and the store share the on-disk
-      // rows); append-first: the store covers this batch's own docs, so
-      // within-batch pairs discover in the same trigger as new–old
-      signatureRows(batch).write.mode("overwrite")
-        .parquet(s"$sigDir/b$bid")
-      val bsig = ss.read.parquet(s"$sigDir/b$bid")
-      val store = ss.read.option("recursiveFileLookup", "true")
-        .parquet(sigDir)
+      // signature the NEW docs once, IN MEMORY (r17, VERDICT r16 item
+      // 4): the store write reads the checkpointed rows, and the probe
+      // reuses the same in-memory relation — the parquet read-back of
+      // the batch's own subdir (one job + one store-file re-scan per
+      // trigger) is gone. The durable store write itself stays,
+      // batchId-keyed overwrite as before (replay-idempotent).
+      val bsig = signatureRows(batch).localCheckpoint(true)
+      bsig.write.mode("overwrite").parquet(s"$sigDir/b$bid")
+      // store = the PRIOR subdirs from disk + this batch in memory
+      // (append-first semantics unchanged: within-batch pairs discover
+      // in the same trigger; a replayed trigger excludes its own prior
+      // write exactly as the curation stream's subdir exclusion does)
+      val prevDirs = Option(new java.io.File(sigDir).listFiles())
+        .map(_.filter(f => f.isDirectory && f.getName != s"b$bid")
+          .map(_.getPath).toSeq)
+        .getOrElse(Seq.empty)
+      val store =
+        if (prevDirs.isEmpty) bsig
+        else ss.read.parquet(prevDirs: _*).unionByName(bsig)
       // probe: batch bands (word sets riding in the broadcast, ∝ batch)
       // against the store scan exploded map-side; prefilter + exact
       // verify INSIDE the map stage, so only verified edges shuffle.
@@ -233,24 +244,30 @@ object StreamingComponentsQueries {
       // set returns it unchanged — skip the star rounds entirely.
       // Exact and replay-safe; the guard count scans the checkpointed
       // batch-sized pair relation, not the probe.
-      if (!newPairs.isEmpty || mappingPath.isEmpty) {
-        val prev = mappingPath match {
-          case Some(p) => ss.read.parquet(p)
-          case None => ss.createDataFrame(
-            ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
-        }
-        val next = advanceMapping(prev, newPairs)
-        val nextPath = s"$base/mapping_g$bid"
-        next.write.mode("overwrite").parquet(nextPath)
-        mappingPath = Some(nextPath)
+      if (!newPairs.isEmpty || mapping.isEmpty) {
+        val prev = mapping.getOrElse(ss.createDataFrame(
+          ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG")))
+        // the advanced mapping is already localCheckpoint-backed (the
+        // star rounds end in one) — carry IT across triggers instead of
+        // a parquet write + read-back per trigger (r17, VERDICT r16
+        // item 4). The mapping is derived state, not a store: a
+        // replayed trigger recomputes it from the idempotent signature
+        // store, and re-contracting an already-advanced mapping with
+        // the same pairs is the identity (bridges collapse to
+        // self-loops), so nothing durable is needed.
+        mapping = Some(advanceMapping(prev, newPairs))
       }
       ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
-    // the batch query's tail over the final mapping — same SQL oracle
-    val comp = s.read.parquet(mappingPath.get)
+    // the batch query's tail over the final mapping — same SQL oracle.
+    // (Re-based onto the OUTER session: the mapping DataFrame was built
+    // on the micro-batch session clone; its checkpointed rows carry
+    // over via the shared SparkContext.)
+    val m = mapping.get
+    val comp = s.createDataFrame(m.rdd, m.schema)
       .select(col("u").as("doc_id"), col("v").as("component"))
     d.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")

@@ -62,7 +62,7 @@ object StreamingCurationQueries {
       "graft_stream_cur", dir)
     val survDir = s"$base/surv"
     val sigDir = s"$base/sig"
-    @volatile var mappingPath: Option[String] = None
+    @volatile var mapping: Option[DataFrame] = None
 
     val src = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
@@ -126,28 +126,38 @@ object StreamingCurationQueries {
       // stage 3: banded CC over survivors — the StreamingComponents
       // machinery verbatim (append-first so within-batch pairs discover
       // in the same trigger)
-      StreamingComponentsQueries.signatureRows(
+      // signature the survivors once, IN MEMORY (r17, VERDICT r16 item
+      // 4): the store write reads the checkpointed rows and the probe
+      // reuses the same relation — the per-trigger parquet read-back of
+      // the batch's own subdir is gone; the durable batchId-keyed store
+      // write stays. Store = prior subdirs from disk + this batch in
+      // memory (append-first semantics unchanged).
+      val bsig = StreamingComponentsQueries.signatureRows(
           sb.select(col("doc_id"), col("source"), col("text")))
-        .write.mode("overwrite").parquet(s"$sigDir/b$bid")
-      val bsig = ss.read.parquet(s"$sigDir/b$bid")
-      val store = ss.read.option("recursiveFileLookup", "true")
-        .parquet(sigDir)
+        .localCheckpoint(true)
+      bsig.write.mode("overwrite").parquet(s"$sigDir/b$bid")
+      val prevSigDirs = Option(new java.io.File(sigDir).listFiles())
+        .map(_.filter(f => f.isDirectory && f.getName != s"b$bid")
+          .map(_.getPath).toSeq)
+        .getOrElse(Seq.empty)
+      val store =
+        if (prevSigDirs.isEmpty) bsig
+        else ss.read.parquet(prevSigDirs: _*).unionByName(bsig)
       val newPairs = StreamingComponentsQueries.probePairs(store, bsig)
         .localCheckpoint(true)
       // zero-discovery short-circuit (the stream_phash_dedup pattern):
       // an empty bridge set leaves the converged mapping unchanged —
       // skip the star rounds. Exact and replay-safe.
-      if (!newPairs.isEmpty || mappingPath.isEmpty) {
-        val prev = mappingPath match {
-          case Some(p) => ss.read.parquet(p)
-          case None => ss.createDataFrame(
-            ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
-        }
-        val next = StreamingComponentsQueries.advanceMapping(prev, newPairs)
-        val nextPath = s"$base/mapping_g$bid"
-        next.write.mode("overwrite").parquet(nextPath)
-        mappingPath = Some(nextPath)
+      if (!newPairs.isEmpty || mapping.isEmpty) {
+        val prev = mapping.getOrElse(ss.createDataFrame(
+          ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG")))
+        // carry the checkpoint-backed advanced mapping across triggers
+        // instead of a parquet write + read-back (r17 — derived state,
+        // recomputable from the idempotent stores; re-contracting with
+        // the same pairs is the identity, so replay is safe)
+        mapping = Some(StreamingComponentsQueries
+          .advanceMapping(prev, newPairs))
       }
       ()
     }.trigger(Trigger.AvailableNow()).start()
@@ -158,7 +168,8 @@ object StreamingCurationQueries {
     // it away before the shared tail)
     val surv = s.read.option("recursiveFileLookup", "true").parquet(survDir)
       .select(col("doc_id"), col("source"), col("text"), col("quality"))
-    val comp = s.read.parquet(mappingPath.get)
+    val m = mapping.get
+    val comp = s.createDataFrame(m.rdd, m.schema)
       .select(col("u").as("doc_id"), col("v").as("component"))
     val s3 = surv.join(comp, Seq("doc_id"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("doc_id")))

@@ -41,10 +41,11 @@ import org.apache.spark.sql.streaming.Trigger
   * for and this operator pays one batch probe for.
   *
   * Determinism: staged single-file batches, `maxFilesPerTrigger=1`,
-  * `Trigger.AvailableNow`; batchId-keyed store subdirs and
-  * generation-suffixed mapping dirs written with overwrite
-  * (replay-idempotent). Reference analogue: the curation jobs the
-  * engine extends beyond `old/mwas_rfam.py`'s batch-only posture. */
+  * `Trigger.AvailableNow`; batchId-keyed store subdirs written with
+  * overwrite (replay-idempotent); the mapping is derived state carried
+  * in memory across triggers (r17 — recomputable from the idempotent
+  * store). Reference analogue: the curation jobs the engine extends
+  * beyond `old/mwas_rfam.py`'s batch-only posture. */
 object StreamingPhashQueries {
 
   def streamPhashDedup(s: SparkSession, dir: String): DataFrame = {
@@ -67,7 +68,7 @@ object StreamingPhashQueries {
     val stateBase = graft.streaming.StreamingQueries.stateBase(
       "graft_stream_ph", dir)
     val sigDir = s"$stateBase/sig"
-    @volatile var mappingPath: Option[String] = None
+    @volatile var mapping: Option[DataFrame] = None
 
     val src = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging.toString)
@@ -85,14 +86,22 @@ object StreamingPhashQueries {
       // docs: 161 → 45 s (the residual vs the batch arm's 16 s is the
       // inherent Σ_t store_t×batch_t probe mass plus per-trigger CC).
       val batch = batch0.repartition(ss.sparkContext.defaultParallelism)
-      // hash the new media once, straight to the store path (append-
-      // first, so within-batch pairs discover in the same trigger);
-      // write-then-read-back so probe and store share the on-disk rows
-      MultimodalQueries.phashOf(batch).write.mode("overwrite")
-        .parquet(s"$sigDir/b$bid")
-      val bsig = ss.read.parquet(s"$sigDir/b$bid")
-      val store = ss.read.option("recursiveFileLookup", "true")
-        .parquet(sigDir)
+      // hash the new media once, IN MEMORY (r17, VERDICT r16 item 4):
+      // the store write reads the checkpointed rows and the probe
+      // reuses the same relation — the per-trigger parquet read-back of
+      // the batch's own subdir is gone; the durable batchId-keyed store
+      // write stays (replay-idempotent). Append-first semantics
+      // unchanged: store = prior subdirs from disk + this batch in
+      // memory, so within-batch pairs discover in the same trigger.
+      val bsig = MultimodalQueries.phashOf(batch).localCheckpoint(true)
+      bsig.write.mode("overwrite").parquet(s"$sigDir/b$bid")
+      val prevDirs = Option(new java.io.File(sigDir).listFiles())
+        .map(_.filter(f => f.isDirectory && f.getName != s"b$bid")
+          .map(_.getPath).toSeq)
+        .getOrElse(Seq.empty)
+      val store =
+        if (prevDirs.isEmpty) bsig
+        else ss.read.parquet(prevDirs: _*).unionByName(bsig)
       // probe: store scan exploded to block buckets map-side vs the
       // batch's BROADCAST block relation (4 rows/doc, phash riding);
       // exact hamming verify inside the map stage, only verified edges
@@ -115,18 +124,16 @@ object StreamingPhashQueries {
       // replay-safe: a replayed empty trigger leaves the mapping where
       // it was. (newPairs is localCheckpointed, so the guard count is
       // a cheap in-memory scan, not a probe recompute.)
-      if (!newPairs.isEmpty || mappingPath.isEmpty) {
-        val prev = mappingPath match {
-          case Some(p) => ss.read.parquet(p)
-          case None => ss.createDataFrame(
-            ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG"))
-        }
-        val next = StreamingComponentsQueries
-          .advanceMappingForProbe(prev, newPairs)
-        val nextPath = s"$stateBase/mapping_g$bid"
-        next.write.mode("overwrite").parquet(nextPath)
-        mappingPath = Some(nextPath)
+      if (!newPairs.isEmpty || mapping.isEmpty) {
+        val prev = mapping.getOrElse(ss.createDataFrame(
+          ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("u LONG, v LONG")))
+        // carry the checkpoint-backed advanced mapping across triggers
+        // instead of a parquet write + read-back (r17 — derived state,
+        // recomputable from the idempotent store; re-contracting with
+        // the same pairs is the identity, so replay is safe)
+        mapping = Some(StreamingComponentsQueries
+          .advanceMappingForProbe(prev, newPairs))
       }
       ()
     }.trigger(Trigger.AvailableNow()).start()
@@ -134,8 +141,10 @@ object StreamingPhashQueries {
 
     // readout = the batch query's tail over the ACCUMULATED fingerprint
     // store + final mapping (the corpus is never re-hashed) — same SQL
-    // oracle as dedup_image_phash
-    val comp = s.read.parquet(mappingPath.get)
+    // oracle as dedup_image_phash; the mapping re-bases onto the outer
+    // session via its checkpointed rows
+    val m = mapping.get
+    val comp = s.createDataFrame(m.rdd, m.schema)
       .select(col("u").as("doc_id"), col("v").as("component"))
     s.read.option("recursiveFileLookup", "true").parquet(sigDir)
       .join(comp, Seq("doc_id"), "left_outer")

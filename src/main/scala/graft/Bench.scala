@@ -270,6 +270,41 @@ object Bench {
       }
     }.getOrElse("null")
 
+    // ---- optional SLOPE leg (r17, VERDICT r16 item 6). The driver's
+    // low-core/high-core comparison at sf0.1 is fixed-overhead-bound
+    // (the full 8-core surface beats 32 cores end-to-end: per-query
+    // JVM/plan/trigger floor ~2 s dominates), so it cannot distinguish
+    // parallel from serial plans. When SPARK_GRAFT_SLOPE_DIR names a
+    // larger fixture (e.g. tools.StressFixture genall 10), a pinned
+    // parallelism-sensitive subset is ALSO timed against it — same
+    // session, same core count, same noop-sink/median methodology — and
+    // lands under a "slope" key. Additions-only: with the env unset
+    // (the driver's default) nothing here runs and the printed line is
+    // byte-identical to the previous format.
+    val slopeFrag: String = sys.env.get("SPARK_GRAFT_SLOPE_DIR").map { sd =>
+      val names = sys.env.getOrElse("SPARK_GRAFT_SLOPE_QUERIES",
+        "emb_pca_power,mwas_pipeline_full,dedup_components," +
+          "triangle_count,ann_lsh_bucket,dedup_simhash").split(",").toSeq
+        .filter(SparkEntry.queries.contains)
+      val rows = names.map { name =>
+        val ts = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          graft.operators.MwasPipelineQueries.evict()
+          val t0 = System.nanoTime()
+          // a slope failure is visible on stderr but must not disturb
+          // the main surface's errors/exit contract
+          try SparkEntry.queries(name)(spark, sd)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH SLOPE FAIL $name: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.toVector
+        "\"" + name + f"""\":${median(ts)}%.3f"""
+      }
+      s""","slope":{"dir":"$sd","queries":${rows.mkString("{", ",", "}")}}"""
+    }.getOrElse("")
+
     // Full per-query detail (name-sorted, 3 decimals) goes to a file: the
     // harness that captures our stdout keeps only the LAST 2000 chars, so
     // the printed line below must fit that window together with sbt's
@@ -290,7 +325,7 @@ object Bench {
       .map { case (k, m1, m2) => "\"" + k + f"""\":[$m1%.3f,$m2%.3f]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"reruns":$fullReruns,"weather":$weatherJson,"shared_total":$sharedJson,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$fullQs,"samples":$fullSamples,"reruns":$fullReruns,"weather":$weatherJson,"shared_total":$sharedJson$slopeFrag%s,"errors":$errs,"sf":"$sfDir"}"""
     val fw = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
     try fw.println(fullLine) finally fw.close()
     // append-only per-run history: spikes become machine-detectable by
@@ -310,7 +345,7 @@ object Bench {
     val budget = 1600 // line bytes; leaves headroom in the 2000-char tail
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val tailFmt = (omitted: Int) =>
-      s"""},"omitted":$omitted,"detail":"BENCH_FULL.json","weather":$weatherJson,"shared_total":$sharedJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""},"omitted":$omitted,"detail":"BENCH_FULL.json","weather":$weatherJson,"shared_total":$sharedJson$slopeFrag,"errors":$errs,"sf":"$sfDir"}"""
     val entries = measured.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }
     // strict prefix of the slowest-first ordering: stop at the first entry

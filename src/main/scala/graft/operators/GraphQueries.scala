@@ -64,9 +64,14 @@ object GraphQueries {
     // side (no edge exchange at all), large-scale the SMJ/SHJ reuses
     // the checkpointed HashPartitioning(doc_a) instead of re-shuffling
     // the edge relation every round.
+    // EXPLICIT width (ADVICE r16): a numberless keyed repartition is
+    // AQE-byte-coalesced to ~1 partition at small sizes and the eager
+    // checkpoint would freeze that serial layout for all 5 iterations —
+    // the same pcaFit/lshBucketRel lesson
     val edgesW = edges.join(deg, Seq("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("deg"))
-      .repartition(col("doc_a"))
+      .repartition(pairRel.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"))
       .localCheckpoint(true)
     var ranks = deg.select(col("doc_a").as("doc_id"),
       lit(1.0 / n).as("pr"))

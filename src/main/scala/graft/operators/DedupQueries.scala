@@ -1455,9 +1455,15 @@ object DedupQueries {
     * ([[annLshNn]] pairs ≥ τ) — the clustering stage is unchanged. */
   def dedupEmbComponents(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 4
-    // explicit-width streamed side — see exactNn (r15 audit)
+    // explicit-width streamed side — see exactNn (r15 audit).
+    // Materialized once (r17 A/B at the 10× fixture, VERDICT r16 item
+    // 7): the cast+norm+repartition subtree feeds all four block
+    // branches on BOTH join sides (8 consumers); the checkpoint read
+    // 10.1/7.9 → 8.9/7.2 s at 10× with shufW 22.2 → 14.1 MiB,
+    // ~neutral (+0.3 s) at sf0.1.
     val v = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .localCheckpoint(true)
     val edges = (0 until nBlocks).map { k =>
       val block = v.filter(pmod(col("vec_id"), lit(nBlocks)) === k)
         .select(col("vec_id").as("nb_id"), col("v").as("vb"),
